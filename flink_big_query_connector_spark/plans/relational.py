@@ -1,0 +1,876 @@
+"""Relational query surface (SURVEY.md §2 Part B, B1–B19).
+
+Each query is declared with the DataFrame API so Catalyst supplies predicate
+pushdown, column pruning, join selection, partial aggregation and AQE; the
+paired DuckDB oracle SQL computes the identical result for the hash gate.
+
+Scale notes (100 TB):
+- small dims (``nation``, ``region``) are broadcast explicitly;
+- money arithmetic runs in decimal domain (order-independent sums — see
+  ``functions.numeric``), so results are stable under any partitioning;
+- every aggregate is map-side combinable (plain groupBy/agg — Spark plans
+  partial_ + final HashAggregate automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dbl, dec
+from ..sources.tables import load_tables
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# B1 — parquet scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b01_scan_count",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    tags=("scan",),
+)
+def b01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table count; Catalyst answers this from parquet row-group stats."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# B2 — projection with computed column
+# ---------------------------------------------------------------------------
+
+_REV = (
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) "
+    "AS DECIMAL(18,4)) AS DOUBLE)"
+)
+
+
+def _rev_col() -> F.Column:
+    return dbl(
+        (
+            dec("l_extendedprice", 14, 2)
+            * (F.lit(1).cast(DecimalType(4, 2)) - dec("l_discount", 4, 2))
+        ).cast(DecimalType(18, 4))
+    )
+
+
+@register(
+    "b02_projection",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, {_REV} AS revenue
+        FROM lineitem
+    """,
+    tags=("projection",),
+)
+def b02_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection: the scan should read only 4 columns (ReadSchema)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey", "l_linenumber", _rev_col().alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 — filters / predicates (pushed to the parquet scan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b03_filter",
+    oracle="""
+        SELECT COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("filter",),
+)
+def b03_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped predicate stack; all three predicates push down."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    return (
+        l.filter(
+            F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 23:59:59")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — inner equi-join (broadcast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b04_join_broadcast",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("join",),
+)
+def b04_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation with an explicit broadcast of the 25-row dim.
+
+    At 100 TB the fact side never shuffles for this join: nation is
+    broadcast to every executor (BroadcastHashJoin in the plan).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — outer join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b05_outer_join",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def b05_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — semi / anti join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b06_anti_join",
+    oracle="""
+        SELECT COUNT(*) AS n_without_orders
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders via left_anti (no row explosion, one shuffle)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+
+
+@register(
+    "b06_semi_join",
+    oracle="""
+        SELECT COUNT(*) AS n_with_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def b06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — theta / range join (equi key + inequality residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b07_range_join",
+    oracle="""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM part p JOIN lineitem l
+          ON p.p_partkey = l.l_partkey AND l.l_quantity < 5
+    """,
+    tags=("join",),
+)
+def b07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an inequality residual; Spark keys the hash join on
+    p_partkey and applies the range predicate as a post-filter — the
+    inequality is also pushed to the lineitem scan as ``l_quantity < 5``."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .join(
+            t["lineitem"],
+            (F.col("p_partkey") == F.col("l_partkey")) & (F.col("l_quantity") < 5),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — hash aggregation: TPC-H Q1 pricing summary
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+            AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("b08_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("aggregate",))
+def b08_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: 8 aggregates over 2 grouping keys.
+
+    All sums run in decimal domain (exact, order-independent), averages are
+    computed as double-division of exact sums — bit-identical to the oracle
+    regardless of partitioning.
+    """
+    t = load_tables(spark, sf_dir)
+    one = F.lit(1).cast(DecimalType(4, 2))
+    disc_price = (
+        dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))
+    ).cast(DecimalType(18, 4))
+    charge = (disc_price * (one + dec("l_tax", 4, 2))).cast(DecimalType(24, 6))
+    cnt = F.count(F.lit(1))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+            dbl(F.sum(dec("l_extendedprice", 14, 2))).alias("sum_base_price"),
+            dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            dbl(F.sum(charge)).alias("sum_charge"),
+            (dbl(F.sum(dec("l_quantity", 12, 2))) / cnt).alias("avg_qty"),
+            (dbl(F.sum(dec("l_extendedprice", 14, 2))) / cnt).alias("avg_price"),
+            (dbl(F.sum(dec("l_discount", 8, 2))) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b09_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def b09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "b09_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def b09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10 — distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b10_distinct",
+    oracle="""
+        SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part
+        FROM lineitem
+    """,
+    tags=("aggregate",),
+)
+def b10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct-counts in one pass (Spark expands + partial aggregates)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 — window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b11_window_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(rnk AS BIGINT) AS rnk,
+               prev_price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 RANK() OVER w AS rnk,
+                 LAG(o_totalprice) OVER w AS prev_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def b11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-per-customer via rank; single shuffle on the partition key."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "b11_window_running_sum",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_partkey, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_qty,
+               CAST(ROW_NUMBER()
+                    OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_partkey, l_suppkey)
+                    AS BIGINT) AS rn
+        FROM lineitem
+    """,
+    tags=("window",),
+)
+def b11_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # (l_orderkey, l_linenumber) is NOT unique in the test data — a total
+    # order inside each partition is required for a deterministic prefix sum.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        dbl(
+            F.sum(dec("l_quantity", 12, 2)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("running_qty"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b12_topk",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("sort",),
+)
+def b12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Spark plans TakeOrderedAndProject (per-partition heap
+    + driver merge) — no global sort materialization at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b13_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def b13_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "b13_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "b13_union",
+    oracle="""
+        SELECT nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey FROM supplier
+        ) GROUP BY nationkey
+    """,
+    tags=("setop",),
+)
+def b13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .unionAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 — string functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b14_string_funcs",
+    oracle="""
+        SELECT
+          UPPER(SUBSTR(p_name, 1, 6)) AS prefix6,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(LENGTH(p_name) AS BIGINT)) AS BIGINT) AS total_len,
+          MIN(TRIM(CONCAT(p_brand, ' ', p_type))) AS min_brand_type,
+          MAX(REGEXP_EXTRACT(p_name, '^([a-z]+)', 1)) AS max_first_word
+        FROM part
+        WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%red%'
+        GROUP BY prefix6
+    """,
+    tags=("scalar",),
+)
+def b14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_type").like("PROMO%") | F.col("p_name").like("%red%"))
+        .groupBy(F.upper(F.substring("p_name", 1, 6)).alias("prefix6"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("p_name").cast("long")).cast("long").alias("total_len"),
+            F.min(
+                F.trim(F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type")))
+            ).alias("min_brand_type"),
+            F.max(F.regexp_extract("p_name", "^([a-z]+)", 1)).alias("max_first_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — date/time functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b15_datetime",
+    oracle="""
+        SELECT
+          CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+          CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+          CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+          COUNT(*) AS n,
+          MIN(o_orderdate) AS first_order,
+          MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY 1, 2, 3
+    """,
+    tags=("scalar",),
+)
+def b15_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@register(
+    "b15_datediff",
+    oracle="""
+        SELECT
+          CAST(FLOOR(DATEDIFF('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
+                     / 365) AS BIGINT) AS yrs_bucket,
+          COUNT(*) AS n
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("scalar",),
+)
+def b15_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # Spark datediff(end, start) counts day-boundary crossings after casting
+    # to date — same as duckdb's datediff('day', ...). Integer division:
+    # duckdb `/` on ints is float division, so use explicit floor-free cast
+    # semantics: both sides compute (diff / 365) in double then CAST->BIGINT?
+    # CAST(double AS BIGINT) rounds in duckdb but truncates in Spark, so do
+    # integer division explicitly on both sides via FLOOR.
+    return (
+        t["orders"]
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+                / F.lit(365)
+            )
+            .cast("long")
+            .alias("yrs_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 — math / rounding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_math",
+    oracle="""
+        SELECT
+          o_orderpriority,
+          CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+          CAST(SUM(CAST(CEIL(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_ceil,
+          CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS sum_round,
+          CAST(SUM(CAST(ABS(o_totalprice - 100000.0) AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_absdev
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("scalar",),
+)
+def b16_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = F.col("o_totalprice")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.floor(p).cast("long")).cast("long").alias("sum_floor"),
+            F.sum(F.ceil(p).cast("long")).cast("long").alias("sum_ceil"),
+            F.sum(F.round(p, 0).cast("long")).cast("long").alias("sum_round"),
+            dbl(F.sum(F.abs(p - F.lit(100000.0)).cast(DecimalType(18, 2)))).alias(
+                "sum_absdev"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 — JSON / arrays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b17_json_extract",
+    oracle="""
+        SELECT json_extract_string(props, '$.k') AS k_str,
+               COUNT(*) AS n,
+               MIN(event_id) AS min_event
+        FROM events
+        GROUP BY k_str
+    """,
+    tags=("json",),
+)
+def b17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction on the events table (JVM-side, codegen)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.get_json_object("props", "$.k").alias("k_str"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("min_event"))
+    )
+
+
+@register(
+    "b17_explode_tokens",
+    oracle="""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    tags=("array",),
+)
+def b17_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(...)) — generator + agg; partial aggregation bounds the
+    shuffle to |vocabulary| rows per partition regardless of input size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18 — approximate + exact quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b18_median_manual",
+    oracle="""
+        WITH ranked AS (
+          SELECT l_quantity,
+                 ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM lineitem
+        )
+        SELECT CAST(AVG(l_quantity) AS DOUBLE) AS median_qty
+        FROM ranked
+        WHERE rn IN ((n + 1) / 2, (n + 2) / 2)
+    """,
+    tags=("quantile",),
+)
+def b18_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via rank arithmetic (engine-neutral, no interpolation
+    ambiguity). duckdb's integer `/` is float division, so the oracle uses
+    (n+1)/2 semantics via IN on both integer positions after flooring."""
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("l_quantity")
+    ranked = t["lineitem"].select(
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    picked = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return picked.agg(F.avg("l_quantity").cast("double").alias("median_qty"))
+
+
+@register(
+    "b18_approx_distinct",
+    oracle=None,  # approximate by definition — rows-only check
+    tags=("approx",),
+)
+def b18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct + KLL-sketch approximate percentiles."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 — correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b19_q17_subquery",
+    oracle="""
+        WITH perpart AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total_price
+        FROM lineitem l JOIN perpart p ON l.l_partkey = p.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(5 * p.n AS DECIMAL(12,0))
+              < p.s
+    """,
+    tags=("subquery",),
+)
+def b19_q17_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 semantics: rows with quantity below 0.2 * per-part average.
+
+    The predicate ``q < 0.2 * s/n`` is rewritten as ``5*q*n < s`` so it runs
+    entirely in exact decimal arithmetic (no division) — this is also how a
+    correlated scalar subquery decorrelates: aggregate-then-join.
+    """
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    perpart = l.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 12, 2)).cast(DecimalType(18, 2)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = l.join(perpart, "l_partkey")
+    return (
+        joined.filter(
+            dec("l_quantity", 12, 2) * (F.col("n") * 5).cast(DecimalType(12, 0))
+            < F.col("s")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dbl(F.sum(dec("l_extendedprice", 14, 2))).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join: TPC-H Q3-shaped (customer ⋈ orders ⋈ lineitem)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b20_q3_shipping",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 20
+    """,
+    tags=("join", "aggregate"),
+)
+def b20_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filters push down before the joins;
+    AQE converts the filtered customer side to a broadcast when small."""
+    t = load_tables(spark, sf_dir)
+    one = F.lit(1).cast(DecimalType(4, 2))
+    disc_price = (
+        dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))
+    ).cast(DecimalType(18, 4))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(F.sum(disc_price)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(20)
+    )

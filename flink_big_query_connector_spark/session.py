@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+knobs (AQE, shuffle partitions, Arrow) are what we would set on a real
+1000-executor cluster — only the numbers change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink-big-query-connector-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime re-plan (shuffle coalescing, skew-join splitting,
+        # dynamic broadcast conversion) — essential at 100 TB, free locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # UTC so timestamp semantics match the (tz-naive) parquet test data
+        # and the duckdb oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Test parquet carries TIMESTAMP(NANOS); read as NTZ (Spark truncates
+        # to micros, matching duckdb's microsecond timestamps).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally provided session.
+
+    The correctness driver hands us its own SparkSession; timezone must be
+    pinned to UTC for oracle comparison and Arrow should be on.  Only
+    runtime-mutable keys are touched here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in (
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # nanosecond-timestamp parquet (driver test data) -> timestamp_ntz
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
