@@ -1,0 +1,122 @@
+"""BigQuery schema <-> Spark StructType conversion.
+
+Port of the reference's ``schema/SchemaTransformer.java:22-81``: the static
+type map, the three field modes (NULLABLE / REPEATED / REQUIRED, with null
+mode defaulting to NULLABLE), and recursive STRUCT handling.  BigQuery
+schemas are represented as plain dicts (the REST/JSON shape):
+
+    {"fields": [{"name": ..., "type": "INT64", "mode": "NULLABLE",
+                 "fields": [...]}, ...]}
+
+Type-fidelity notes (SURVEY §1.2): BIGNUMERIC's 76-digit precision exceeds
+Spark's DecimalType(38) — values outside DECIMAL(38,38-capped) need a
+StringType carrier; TIME and GEOGRAPHY have no Spark type and map to
+STRING; JSON maps to STRING (VariantType exists on Spark 4 but string keeps
+the oracle comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+# BigQuery type -> Spark type (reference SchemaTransformer.java:22-38)
+_BQ_TO_SPARK: dict[str, DataType] = {
+    "BOOL": BooleanType(),
+    "BOOLEAN": BooleanType(),
+    "BYTES": BinaryType(),
+    "DATE": DateType(),
+    "DATETIME": TimestampNTZType(),
+    "FLOAT64": DoubleType(),
+    "FLOAT": DoubleType(),
+    "GEOGRAPHY": StringType(),  # WKT carrier
+    "INT64": LongType(),
+    "INTEGER": LongType(),
+    "NUMERIC": DecimalType(38, 9),
+    "BIGNUMERIC": DecimalType(38, 38),  # capped; full range -> STRING
+    "JSON": StringType(),
+    "STRING": StringType(),
+    "TIME": StringType(),  # no Spark TimeType; micros-as-string
+    "TIMESTAMP": TimestampType(),
+    "INTERVAL": StringType(),
+}
+
+_SPARK_TO_BQ: dict[type, str] = {
+    BooleanType: "BOOL",
+    BinaryType: "BYTES",
+    DateType: "DATE",
+    TimestampNTZType: "DATETIME",
+    DoubleType: "FLOAT64",
+    LongType: "INT64",
+    StringType: "STRING",
+    TimestampType: "TIMESTAMP",
+}
+
+
+def _field_to_spark(field: dict) -> StructField:
+    mode = (field.get("mode") or "NULLABLE").upper()  # null -> NULLABLE (:65-67)
+    ftype = field["type"].upper()
+    if ftype in ("STRUCT", "RECORD"):
+        base: DataType = StructType(
+            [_field_to_spark(f) for f in field.get("fields", [])]
+        )
+    else:
+        if ftype not in _BQ_TO_SPARK:
+            raise ValueError(f"unsupported BigQuery type: {ftype}")
+        base = _BQ_TO_SPARK[ftype]
+    if mode == "REPEATED":
+        return StructField(field["name"], ArrayType(base), nullable=True)
+    return StructField(field["name"], base, nullable=(mode != "REQUIRED"))
+
+
+def bq_schema_to_struct_type(schema: dict) -> StructType:
+    """BigQuery JSON schema -> Spark StructType (recursive)."""
+    return StructType([_field_to_spark(f) for f in schema.get("fields", [])])
+
+
+def _spark_to_field(field: StructField) -> dict:
+    dtype = field.dataType
+    mode = "NULLABLE" if field.nullable else "REQUIRED"
+    if isinstance(dtype, ArrayType):
+        mode = "REPEATED"
+        dtype = dtype.elementType
+    out: dict = {"name": field.name, "mode": mode}
+    if isinstance(dtype, StructType):
+        out["type"] = "STRUCT"
+        out["fields"] = [_spark_to_field(f) for f in dtype.fields]
+    elif isinstance(dtype, DecimalType):
+        # NUMERIC covers (38,9); anything wider-scaled -> BIGNUMERIC.
+        out["type"] = "NUMERIC" if dtype.scale <= 9 else "BIGNUMERIC"
+    else:
+        for spark_cls, bq in _SPARK_TO_BQ.items():
+            if isinstance(dtype, spark_cls):
+                out["type"] = bq
+                break
+        else:
+            from pyspark.sql.types import FloatType, IntegerType, ShortType
+
+            if isinstance(dtype, (IntegerType, ShortType)):
+                out["type"] = "INT64"
+            elif isinstance(dtype, FloatType):
+                out["type"] = "FLOAT64"
+            else:
+                raise ValueError(f"unsupported Spark type: {dtype}")
+    return out
+
+
+def struct_type_to_bq_schema(schema: StructType) -> dict:
+    """Spark StructType -> BigQuery JSON schema (recursive)."""
+    return {"fields": [_spark_to_field(f) for f in schema.fields]}

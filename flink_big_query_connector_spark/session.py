@@ -8,8 +8,39 @@ knobs (AQE, shuffle partitions, Arrow) are what we would set on a real
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Executor workers are separate processes that do not inherit the
+    driver's ``sys.path`` edits; any closure that references this package
+    (foreachPartition writers, pandas UDFs) needs the package distributed.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="fbqc_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for base, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(base, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(

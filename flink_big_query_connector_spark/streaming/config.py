@@ -1,0 +1,64 @@
+"""Writer configuration.
+
+Defaults mirror the reference's shipped tunables
+(``model/config/WriterSettings.java:93-102`` and
+``model/config/WriterRetrySettings.java:54-59`` in the reference repo):
+streamsPerTable=1, writerThreads=1, timeout 10s, retryCount=5,
+retryPause=5s, maxInflightRequests=1000, maxInflightBytes=100MB,
+maxRetryDuration=5min, maxRequestWaitCallbackTime=5min; exponential
+backoff initial 500ms x1.1 capped at 1min / 5 attempts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class WriterRetrySettings:
+    """Backoff schedule for append RPC retries."""
+
+    initial_backoff_s: float = 0.5
+    backoff_multiplier: float = 1.1
+    max_backoff_s: float = 60.0
+    max_attempts: int = 5
+    max_retry_duration_s: float = 300.0
+
+    def backoff(self, attempt: int) -> float:
+        """Delay before retry ``attempt`` (0-based)."""
+        return min(
+            self.initial_backoff_s * (self.backoff_multiplier**attempt),
+            self.max_backoff_s,
+        )
+
+
+@dataclass(frozen=True)
+class WriterSettings:
+    """Per-writer tunables (reference defaults)."""
+
+    streams_per_table: int = 1
+    writer_threads: int = 1
+    timeout_s: float = 10.0
+    retry_count: int = 5
+    retry_pause_s: float = 5.0
+    max_inflight_requests: int = 1000
+    max_inflight_bytes: int = 100 * 1024 * 1024
+    max_retry_duration_s: float = 300.0
+    max_request_wait_callback_s: float = 300.0
+    enable_connection_pool: bool = False
+    # BigQuery Storage Write API AppendRows hard limit the reference's split
+    # logic honors (split-in-half on "MessageSize is too large").
+    max_append_bytes: int = 10_000_000
+    retry: WriterRetrySettings = field(default_factory=WriterRetrySettings)
+
+
+@dataclass(frozen=True)
+class BatchTriggerSettings:
+    """Count/size/time batch trigger bounds (reference
+    ``process/BatchTrigger.java`` builder; README example: count 100,
+    timeout 1s, 1MB)."""
+
+    max_count: int = 100
+    max_bytes: int = 1 * 1024 * 1024
+    timeout_s: float = 1.0
+    reset_timer_on_new_record: bool = True

@@ -1,0 +1,353 @@
+"""Sink writers: at-least-once, exactly-once (2PC), and async.
+
+Spark-first port of the reference's three sink implementations:
+
+- :class:`DefaultStreamSink` — at-least-once appends to the ``_default``
+  stream (reference ``sink/defaultStream/``).  Semantics come from Spark's
+  replay: a failed micro-batch re-runs in full, so each append only has to
+  be durable before ``foreachBatch`` returns.
+
+- :class:`BufferedStreamSink` — exactly-once via buffered streams + a
+  two-phase commit (reference ``sink/buffered/``).  Spark has no committer
+  operator, so the protocol is: deterministic per-(batchId, partitionId)
+  stream names -> offset-checked appends (replay trims via ALREADY_EXISTS)
+  -> driver flushes rows visible and records the batchId in a commit log.
+  Replay of a committed batch is a no-op; replay of a half-written batch
+  trims and re-flushes idempotently.
+
+- :class:`AsyncSink` — at-least-once with bounded in-flight async appends
+  (reference ``sink/async/``): a thread pool + semaphore replaces Flink's
+  AsyncSinkBase buffering; awaiting all futures before the micro-batch
+  returns replaces the Phaser barrier.
+
+The shared retry state machine (:func:`write_with_retry`) mirrors the
+reference's gRPC status branching (``sink/buffered/BigQueryBufferedSinkWriter
+.java:72-190`` and ``sink/async/AsyncBigQuerySinkWriter.java:107-204``):
+INTERNAL/CANCELLED pause-retry, UNAVAILABLE/ABORTED retry, UNKNOWN
+recreate-retry, ALREADY_EXISTS trims already-stored rows, oversized batches
+split in half recursively, OUT_OF_RANGE and everything else fail the batch.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from threading import BoundedSemaphore
+
+from pyspark.sql import DataFrame
+
+from ..session import ensure_package_on_executors
+from ..sources.fake_bigquery import DEFAULT_STREAM, FakeBigQuery
+from .batching import chunk_rows, json_size_of
+from .config import BatchTriggerSettings, WriterSettings
+from .errors import (
+    AppendException,
+    BigQueryError,
+    MessageTooLargeError,
+    OffsetAlreadyExistsError,
+    StatusCode,
+    StreamFinalizedError,
+)
+
+RETRYABLE_PAUSE = {StatusCode.INTERNAL, StatusCode.CANCELLED}
+RETRYABLE = {StatusCode.UNAVAILABLE, StatusCode.ABORTED}
+RECREATE_AND_RETRY = {StatusCode.UNKNOWN}
+
+
+def write_with_retry(
+    client: FakeBigQuery,
+    table: str,
+    stream: str,
+    rows: list[dict],
+    offset: int,
+    settings: WriterSettings,
+    trace_id: str | None = None,
+    sleep=time.sleep,
+    _depth: int = 0,
+) -> int:
+    """Append ``rows`` at ``offset`` (-1 for default stream), surviving the
+    transient-status taxonomy; returns rows actually appended (post-trim)."""
+    trace_id = trace_id or uuid.uuid4().hex[:8]
+    attempt = 0
+    while True:
+        try:
+            client.append(table, stream, rows, offset)
+            return len(rows)
+        except MessageTooLargeError:
+            # Oversized: split in half recursively, preserving offsets
+            # (reference BigQueryBufferedSinkWriter.java:167-173).
+            if len(rows) <= 1:
+                raise AppendException(
+                    trace_id, table, stream, offset, attempt,
+                    MessageTooLargeError(json_size_of(rows[0]) if rows else 0),
+                )
+            mid = len(rows) // 2
+            first, second = rows[:mid], rows[mid:]
+            n1 = write_with_retry(
+                client, table, stream, first, offset, settings,
+                trace_id, sleep, _depth + 1,
+            )
+            n2 = write_with_retry(
+                client, table, stream, second,
+                offset + len(first) if offset >= 0 else -1,
+                settings, trace_id, sleep, _depth + 1,
+            )
+            return n1 + n2
+        except OffsetAlreadyExistsError as e:
+            # Rows up to e.actual_offset are already durably stored
+            # (checkpoint replay): skip them, append the tail at the
+            # expected offset (reference :118-148).
+            already = e.actual_offset - e.expected_offset
+            if already >= len(rows):
+                return 0  # whole batch already stored
+            rows = rows[already:]
+            offset = e.actual_offset
+            continue
+        except StreamFinalizedError:
+            raise  # caller decides (stream-state handler recreates)
+        except BigQueryError as e:
+            if e.code in RETRYABLE_PAUSE:
+                attempt += 1
+                if attempt > settings.retry_count:
+                    raise AppendException(
+                        trace_id, table, stream, offset, attempt, e
+                    )
+                sleep(settings.retry_pause_s)
+                continue
+            if e.code in RETRYABLE:
+                attempt += 1
+                if attempt > settings.retry_count:
+                    raise AppendException(
+                        trace_id, table, stream, offset, attempt, e
+                    )
+                sleep(settings.retry.backoff(attempt - 1))
+                continue
+            if e.code in RECREATE_AND_RETRY:
+                # UNKNOWN / callback timeout: recreate the writer connection
+                # then retry.  The fake client is connectionless, so this is
+                # just a bounded retry.
+                attempt += 1
+                if attempt > settings.retry_count:
+                    raise AppendException(
+                        trace_id, table, stream, offset, attempt, e
+                    )
+                continue
+            # OUT_OF_RANGE, PERMISSION_DENIED, other INVALID_ARGUMENT, ...
+            raise AppendException(trace_id, table, stream, offset, attempt, e)
+
+
+# ---------------------------------------------------------------------------
+# At-least-once: default stream
+# ---------------------------------------------------------------------------
+
+
+class DefaultStreamSink:
+    """At-least-once sink writing whole micro-batches to ``_default``.
+
+    ``foreachBatch`` -> ``foreachPartition``: appends run on executors in
+    parallel (one writer per partition, the per-subtask writer analogue);
+    the micro-batch completes only when every partition finished, which is
+    the Phaser/flush-on-checkpoint barrier of the reference.
+    """
+
+    def __init__(
+        self,
+        backend_root: str,
+        table: str,
+        settings: WriterSettings | None = None,
+        trigger: BatchTriggerSettings | None = None,
+    ):
+        self.backend_root = backend_root
+        self.table = table
+        self.settings = settings or WriterSettings()
+        self.trigger = trigger or BatchTriggerSettings()
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        ensure_package_on_executors(df.sparkSession)
+        root, table = self.backend_root, self.table
+        settings, trigger = self.settings, self.trigger
+
+        def write_partition(rows_iter):
+            client = FakeBigQuery(root)  # per-task handle (connection pool)
+            stream = DEFAULT_STREAM
+            for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
+                write_with_retry(client, table, stream, chunk, -1, settings)
+
+        df.foreachPartition(write_partition)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
+        return (
+            stream_df.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start(**options)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once: buffered streams + two-phase commit
+# ---------------------------------------------------------------------------
+
+
+class BufferedStreamSink:
+    """Exactly-once sink: buffered appends made visible atomically with a
+    per-batch commit record.
+
+    Commit protocol per micro-batch (batchId is Spark's replay key):
+
+    1. skip if batchId is in the commit log (idempotent replay);
+    2. executors append partitions to deterministic streams
+       ``b{batchId}-p{partitionId}`` at offset-checked positions — replay
+       after a crash trims already-stored rows via ALREADY_EXISTS;
+    3. committables (stream, end_offset) return to the driver, which calls
+       ``flush_rows(end_offset - 1)`` (rows become visible) and then
+       atomically records the batchId.
+
+    A crash between 3's flush and the log write replays the batch: appends
+    trim to no-ops, flush at the same offset is tolerated (ALREADY_EXISTS
+    semantics of the reference committer), and the log is written — rows
+    are visible exactly once.
+    """
+
+    def __init__(
+        self,
+        backend_root: str,
+        table: str,
+        settings: WriterSettings | None = None,
+    ):
+        self.backend_root = backend_root
+        self.table = table
+        self.settings = settings or WriterSettings()
+        self.client = FakeBigQuery(backend_root)
+
+    # -- commit log --------------------------------------------------------
+    def _commit_path(self, batch_id: int) -> str:
+        import os
+
+        d = os.path.join(
+            self.backend_root, "commits", self.table.replace("/", "__")
+        )
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        import os
+
+        return os.path.exists(self._commit_path(batch_id))
+
+    def _record_commit(self, batch_id: int, committables: list) -> None:
+        import json
+        import os
+
+        tmp = self._commit_path(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "committables": committables}, f)
+        os.replace(tmp, self._commit_path(batch_id))
+
+    # -- write path --------------------------------------------------------
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay of a committed batch: exactly-once no-op
+
+        ensure_package_on_executors(df.sparkSession)
+        root, table, settings = self.backend_root, self.table, self.settings
+
+        def write_partition(pid: int, rows_iter):
+            rows = [r.asDict() for r in rows_iter]
+            if not rows:
+                return iter(())
+            client = FakeBigQuery(root)
+            stream = client.create_write_stream(
+                table, "BUFFERED", name=f"{table}/streams/b{batch_id}-p{pid}"
+            )
+            # Replay-safe: the stream's current end is our base offset; on a
+            # clean first run it is 0, on replay the trim logic absorbs
+            # whatever is already durable.
+            write_with_retry(client, table, stream, rows, 0, settings)
+            end = client.get_write_stream(table, stream).offset
+            return iter([(stream, end)])
+
+        committables = (
+            df.rdd.mapPartitionsWithIndex(write_partition).collect()
+        )
+        # Commit phase (driver = the committer operator): flush each stream
+        # to its end offset, then record the batch atomically.
+        for stream, end in committables:
+            self.client.flush_rows(self.table, stream, end - 1)
+        self._record_commit(batch_id, committables)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
+        return (
+            stream_df.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start(**options)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Async at-least-once
+# ---------------------------------------------------------------------------
+
+
+class AsyncSink:
+    """At-least-once with bounded async in-flight appends.
+
+    Per partition: a thread pool of ``writer_threads`` with a semaphore of
+    ``max_inflight_requests`` submits chunk appends concurrently; the task
+    blocks until all futures resolve (the AsyncSinkBase flush barrier).
+    Retryable failures are re-queued locally by ``write_with_retry``;
+    exhausted retries raise, failing the task -> Spark replays the batch.
+    """
+
+    def __init__(
+        self,
+        backend_root: str,
+        table: str,
+        settings: WriterSettings | None = None,
+        trigger: BatchTriggerSettings | None = None,
+        max_inflight: int = 4,  # reference AsyncBigQuerySink default
+    ):
+        self.backend_root = backend_root
+        self.table = table
+        self.settings = settings or WriterSettings()
+        self.trigger = trigger or BatchTriggerSettings()
+        self.max_inflight = max_inflight
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        ensure_package_on_executors(df.sparkSession)
+        root, table = self.backend_root, self.table
+        settings, trigger = self.settings, self.trigger
+        max_inflight = self.max_inflight
+        threads = max(1, settings.writer_threads)
+
+        def write_partition(rows_iter):
+            client = FakeBigQuery(root)
+            sem = BoundedSemaphore(max_inflight)
+            futures = []
+            with ThreadPoolExecutor(max_workers=max(threads, max_inflight)) as pool:
+                for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
+                    sem.acquire()
+
+                    def task(c=chunk):
+                        try:
+                            return write_with_retry(
+                                client, table, DEFAULT_STREAM, c, -1, settings
+                            )
+                        finally:
+                            sem.release()
+
+                    futures.append(pool.submit(task))
+                for fut in futures:  # barrier: surface the first failure
+                    fut.result(timeout=settings.max_request_wait_callback_s)
+
+        df.foreachPartition(write_partition)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
+        return (
+            stream_df.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start(**options)
+        )

@@ -1,0 +1,129 @@
+"""Keyed write-stream state with TTL and recovery verification.
+
+Port of the reference's exactly-once preprocessor
+(``process/StreamStateHandler.java:53-145`` and
+``process/StreamState.java:5-49``): per key, resolve the current BUFFERED
+write stream + next row offset, creating a new stream when the state is
+missing, expired (7-day TTL), or the stream was finalized/deleted behind
+our back (checkpoint-recovery case).
+
+State is directory-backed (one JSON file per key under ``state_dir``) —
+the durable-keyed-state analogue; in a full Structured Streaming topology
+the same logic runs inside ``transformWithStateInPandas`` with the state
+store holding (stream, offset, last_update).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from ..sources.fake_bigquery import FakeBigQuery, _locked
+from .errors import StreamFinalizedError, StreamNotFoundError
+
+DEFAULT_TTL_DAYS = 7  # reference: StreamStateHandler.java:33
+
+
+@dataclass
+class StreamState:
+    name: str
+    offset: int
+    last_update_ms: int
+
+    def expired(self, ttl_days: int, now_ms: int) -> bool:
+        return now_ms - self.last_update_ms >= ttl_days * 86_400_000
+
+    def update(self, batch_size: int, now_ms: int) -> "StreamState":
+        return StreamState(self.name, self.offset + batch_size, now_ms)
+
+
+class StreamStateHandler:
+    """Resolve (stream, offset) per key; NOT_EXISTS / NOT_CACHED / EXPIRED /
+    CACHED state machine with recovery verification."""
+
+    def __init__(
+        self,
+        client: FakeBigQuery,
+        state_dir: str,
+        ttl_days: int = DEFAULT_TTL_DAYS,
+        clock=None,
+    ):
+        self.client = client
+        self.state_dir = state_dir
+        self.ttl_days = ttl_days
+        self.clock = clock or (lambda: int(time.time() * 1000))
+        os.makedirs(state_dir, exist_ok=True)
+        # keys seen since process start; a durable state file for a key NOT
+        # in this set means "restored from checkpoint" -> verify the stream
+        # still exists server-side (reference :71-94).
+        self._cached: set[str] = set()
+
+    def _path(self, key: str) -> str:
+        safe = key.replace("/", "__")
+        return os.path.join(self.state_dir, f"{safe}.json")
+
+    def _load(self, key: str) -> StreamState | None:
+        try:
+            with open(self._path(key)) as f:
+                d = json.load(f)
+            return StreamState(d["name"], d["offset"], d["last_update_ms"])
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _store(self, key: str, st: StreamState) -> None:
+        tmp = self._path(key) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"name": st.name, "offset": st.offset,
+                 "last_update_ms": st.last_update_ms},
+                f,
+            )
+        os.replace(tmp, self._path(key))
+
+    def acquire(self, key: str, table: str, batch_size: int) -> tuple[str, int]:
+        """Resolve the write stream + append offset for a batch of
+        ``batch_size`` rows keyed by ``key``; advances the stored offset."""
+        with _locked(self._path(key) + ".lock"):
+            now = self.clock()
+            st = self._load(key)
+            if st is None:  # NOT_EXISTS
+                st = self._create(table, now)
+            elif st.expired(self.ttl_days, now):  # EXPIRED
+                st = self._create(table, now)
+            elif key not in self._cached:  # NOT_CACHED -> verify on recovery
+                st = self._verify_or_recreate(st, table, now)
+            offset = st.offset
+            self._store(key, st.update(batch_size, now))
+            self._cached.add(key)
+            return st.name, offset
+
+    def _create(self, table: str, now_ms: int) -> StreamState:
+        name = self.client.create_write_stream(table, "BUFFERED")
+        return StreamState(name, 0, now_ms)
+
+    def _verify_or_recreate(
+        self, st: StreamState, table: str, now_ms: int
+    ) -> StreamState:
+        """After recovery: getWriteStream; recreate on NOT_FOUND or
+        finalized; any other failure propagates (fails the job), as in the
+        reference (:85-93)."""
+        try:
+            info = self.client.get_write_stream(table, st.name)
+        except StreamNotFoundError:
+            return self._create(table, now_ms)
+        if info.finalized:
+            return self._create(table, now_ms)
+        return st
+
+    def peek(self, key: str) -> StreamState | None:
+        return self._load(key)
+
+
+__all__ = [
+    "StreamState",
+    "StreamStateHandler",
+    "StreamFinalizedError",
+    "DEFAULT_TTL_DAYS",
+]

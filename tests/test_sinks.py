@@ -1,0 +1,212 @@
+"""Sink writer behavior tests (ports of BigQueryDefaultSinkTest /
+BigQueryBufferedSinkTest / AsyncBigQuerySinkTest interaction assertions)."""
+
+import pytest
+
+from flink_big_query_connector_spark.sources.fake_bigquery import (
+    DEFAULT_STREAM,
+    FakeBigQuery,
+)
+from flink_big_query_connector_spark.streaming.config import (
+    BatchTriggerSettings,
+    WriterSettings,
+)
+from flink_big_query_connector_spark.streaming.errors import (
+    AppendException,
+    StatusCode,
+)
+from flink_big_query_connector_spark.streaming.sinks import (
+    AsyncSink,
+    BufferedStreamSink,
+    DefaultStreamSink,
+    write_with_retry,
+)
+
+FAST = WriterSettings(retry_count=5, retry_pause_s=0.0)
+
+
+def rows(n, start=0):
+    return [{"value": i} for i in range(start, start + n)]
+
+
+class CountingClient(FakeBigQuery):
+    """Wraps append with a call counter (the Mockito verify() analogue)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.append_calls = 0
+
+    def append(self, table, stream, rows, offset=-1):
+        self.append_calls += 1
+        return super().append(table, stream, rows, offset)
+
+
+# -- retry state machine -----------------------------------------------------
+
+
+@pytest.mark.parametrize("status", ["INTERNAL", "CANCELLED", "UNAVAILABLE", "ABORTED"])
+def test_retryable_status_retries_until_success(tmp_path, status):
+    c = CountingClient(str(tmp_path))
+    c.script_append_failures([status] * 3)
+    n = write_with_retry(c, "t", DEFAULT_STREAM, rows(2), -1, FAST, sleep=lambda s: None)
+    assert n == 2
+    assert c.append_calls == 4  # 3 failures + 1 success
+    assert c.table_count("t") == 2
+
+
+@pytest.mark.parametrize("status", ["INTERNAL", "UNAVAILABLE"])
+def test_retry_exhaustion_fails(tmp_path, status):
+    c = CountingClient(str(tmp_path))
+    c.script_append_failures([status] * 10)
+    with pytest.raises(AppendException):
+        write_with_retry(c, "t", DEFAULT_STREAM, rows(2), -1, FAST, sleep=lambda s: None)
+    # retry_count=5 -> 6 total attempts, as the reference's
+    # times(5)-then-fail interaction tests assert
+    assert c.append_calls == 6
+
+
+@pytest.mark.parametrize("status", ["PERMISSION_DENIED", "NOT_FOUND"])
+def test_fatal_status_fails_immediately(tmp_path, status):
+    c = CountingClient(str(tmp_path))
+    c.script_append_failures([status])
+    with pytest.raises(AppendException) as e:
+        write_with_retry(c, "t", DEFAULT_STREAM, rows(2), -1, FAST, sleep=lambda s: None)
+    assert c.append_calls == 1
+    assert e.value.cause.code == StatusCode(status)
+
+
+def test_oversized_batch_splits_into_three_appends(tmp_path):
+    """One oversized batch -> failed append + two half appends = 3 calls
+    (BigQueryBufferedSinkTest.java:45-56 expects 3 appends for 6 rows)."""
+    c = CountingClient(str(tmp_path))
+    c.script_append_failures(["INVALID_ARGUMENT"], message="MessageSize is too large")
+    n = write_with_retry(c, "t", DEFAULT_STREAM, rows(6), -1, FAST, sleep=lambda s: None)
+    assert n == 6
+    assert c.append_calls == 3
+    assert c.table_count("t") == 6
+
+
+def test_offset_trim_on_already_exists(tmp_path):
+    """Replay of a half-stored batch appends only the missing tail
+    (BigQueryBufferedSinkWriter.java:118-148)."""
+    c = CountingClient(str(tmp_path))
+    s = c.create_write_stream("t", "BUFFERED")
+    c.append("t", s, rows(3), 0)  # rows 0..2 already durable
+    c.append_calls = 0
+    n = write_with_retry(c, "t", s, rows(5), 0, FAST, sleep=lambda s_: None)
+    assert n == 2  # only rows 3,4 newly appended
+    info = c.get_write_stream("t", s)
+    assert info.offset == 5
+    assert c.append_calls == 2  # ALREADY_EXISTS probe + trimmed append
+
+
+def test_whole_batch_already_stored_is_noop(tmp_path):
+    c = CountingClient(str(tmp_path))
+    s = c.create_write_stream("t", "BUFFERED")
+    c.append("t", s, rows(5), 0)
+    n = write_with_retry(c, "t", s, rows(5), 0, FAST, sleep=lambda s_: None)
+    assert n == 0
+    assert c.get_write_stream("t", s).offset == 5
+
+
+# -- Spark-integrated sinks --------------------------------------------------
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}")
+        .selectExpr("event_id", "user_id", "event_type", "value")
+    )
+
+
+def test_default_sink_at_least_once(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    sink = DefaultStreamSink(root, "events_sink", FAST,
+                             BatchTriggerSettings(max_count=500, max_bytes=1 << 20))
+    sink.write_batch(events, 0)
+    assert FakeBigQuery(root).table_count("events_sink") == events.count()
+
+
+def test_buffered_sink_exactly_once_idempotent_replay(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    n = events.count()
+    sink = BufferedStreamSink(root, "events_eo", FAST)
+    sink.write_batch(events, 7)
+    assert FakeBigQuery(root).table_count("events_eo") == n
+    # Spark replays the same (df, batchId) after a failure: must be a no-op.
+    sink.write_batch(events, 7)
+    assert FakeBigQuery(root).table_count("events_eo") == n
+
+
+def test_buffered_sink_replay_after_partial_write(spark, sf_dir, tmp_path):
+    """Crash between executor appends and driver commit: re-running the
+    batch must trim, flush, and commit without duplicates."""
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    ).repartition(4)
+    n = events.count()
+    sink = BufferedStreamSink(root, "events_crash", FAST)
+
+    # Simulate the pre-commit half: appends happen, commit never recorded.
+    def write_only(pid, rows_iter):
+        rows_ = [r.asDict() for r in rows_iter]
+        if not rows_:
+            return iter(())
+        client = FakeBigQuery(root)
+        stream = client.create_write_stream(
+            "events_crash", "BUFFERED", name=f"events_crash/streams/b3-p{pid}"
+        )
+        write_with_retry(client, "events_crash", stream, rows_, 0, FAST)
+        return iter(())
+
+    events.rdd.mapPartitionsWithIndex(write_only).collect()
+    assert FakeBigQuery(root).table_count("events_crash") == 0  # nothing visible
+    assert not sink.is_committed(3)
+
+    sink.write_batch(events, 3)  # the replay
+    assert FakeBigQuery(root).table_count("events_crash") == n
+    assert sink.is_committed(3)
+
+
+def test_async_sink_bounded_inflight(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    sink = AsyncSink(root, "events_async", FAST,
+                     BatchTriggerSettings(max_count=100, max_bytes=1 << 20),
+                     max_inflight=4)
+    sink.write_batch(events, 0)
+    assert FakeBigQuery(root).table_count("events_async") == events.count()
+
+
+def test_streaming_end_to_end_default_sink(spark, sf_dir, tmp_path):
+    """readStream -> foreachBatch sink -> counts match the batch source."""
+    import shutil
+
+    root = str(tmp_path / "bq")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source streams a directory; stage the table into one
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(stage))
+        .select("event_id", "event_type")
+    )
+    sink = DefaultStreamSink(root, "events_stream", FAST,
+                             BatchTriggerSettings(max_count=1000, max_bytes=1 << 20))
+    q = sink.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert FakeBigQuery(root).table_count("events_stream") == src.count()

@@ -1,0 +1,77 @@
+"""StreamStateHandler state machine (StreamHandlerTest port): creation,
+offset advance, TTL expiry via scripted clock, recovery verification."""
+
+from flink_big_query_connector_spark.streaming.stream_state import (
+    StreamState,
+    StreamStateHandler,
+)
+
+
+class MockClock:
+    """Scripted clock (util/MockClock.java analogue)."""
+
+    def __init__(self, times_ms):
+        self.times = list(times_ms)
+        self.i = 0
+
+    def __call__(self):
+        t = self.times[min(self.i, len(self.times) - 1)]
+        self.i += 1
+        return t
+
+
+def test_offsets_advance_per_key(bq, tmp_path):
+    h = StreamStateHandler(bq, str(tmp_path / "state"))
+    s1, o1 = h.acquire("k1", "t", 2)
+    s2, o2 = h.acquire("k1", "t", 3)
+    assert s1 == s2
+    assert (o1, o2) == (0, 2)
+    assert h.peek("k1").offset == 5
+    # independent key gets its own stream starting at 0
+    s3, o3 = h.acquire("k2", "t", 4)
+    assert s3 != s1 and o3 == 0
+
+
+def test_ttl_expiry_recreates_stream(bq, tmp_path):
+    day = 86_400_000
+    clock = MockClock([0, 20 * day])  # jump past the 7-day TTL
+    h = StreamStateHandler(bq, str(tmp_path / "state"), ttl_days=7, clock=clock)
+    s1, _ = h.acquire("k", "t", 2)
+    s2, o2 = h.acquire("k", "t", 2)
+    assert s2 != s1  # expired -> new stream
+    assert o2 == 0
+
+
+def test_recovery_reuses_live_stream(bq, tmp_path):
+    state_dir = str(tmp_path / "state")
+    h1 = StreamStateHandler(bq, state_dir)
+    s1, _ = h1.acquire("k", "t", 3)
+    # "restart": fresh handler, same durable state -> verify + reuse
+    h2 = StreamStateHandler(bq, state_dir)
+    s2, o2 = h2.acquire("k", "t", 2)
+    assert s2 == s1
+    assert o2 == 3
+
+
+def test_recovery_recreates_on_not_found(bq, tmp_path):
+    state_dir = str(tmp_path / "state")
+    h1 = StreamStateHandler(bq, state_dir)
+    h1.acquire("k", "t", 3)
+    # hand-corrupt: point the durable state at a stream the backend lost
+    st = h1.peek("k")
+    h1._store("k", StreamState("t/streams/vanished", st.offset, st.last_update_ms))
+    h2 = StreamStateHandler(bq, state_dir)
+    s2, o2 = h2.acquire("k", "t", 1)
+    assert s2 != "t/streams/vanished"
+    assert o2 == 0
+
+
+def test_recovery_recreates_on_finalized(bq, tmp_path):
+    state_dir = str(tmp_path / "state")
+    h1 = StreamStateHandler(bq, state_dir)
+    s1, _ = h1.acquire("k", "t", 3)
+    bq.finalize_stream("t", s1)
+    h2 = StreamStateHandler(bq, state_dir)
+    s2, o2 = h2.acquire("k", "t", 1)
+    assert s2 != s1
+    assert o2 == 0
