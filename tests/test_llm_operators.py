@@ -1,0 +1,169 @@
+"""LLM-pipeline operator semantics on hand-built known-answer inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_big_query_connector_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content talking about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0 and 3
+    assert len(out) == 5  # 6 docs, one merged pair
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    withsh = dedup.with_shingles(docs).filter(F.size("shingles") > 0)
+    pairs = dedup.exact_jaccard_pairs(withsh, "doc_id", threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in got  # exact dup -> jaccard 1.0
+    assert (0, 1) in got and (1, 3) in got  # one-word change
+    assert not any(2 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_matches_exact_on_planted_pairs(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_neardup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert {(0, 1), (0, 3), (1, 3)} <= got
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    sh = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.simhash_expr(text.tokens_expr(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert sh[0] == sh[3]
+    assert 0 <= sh[0] < (1 << 32)
+    # different docs differ
+    assert sh[0] != sh[2]
+
+
+def test_simhash_banded_pairs_equal_quadratic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    sh = docs.select(
+        "doc_id", dedup.simhash_expr(text.tokens_expr(F.col("text"))).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    quad = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == quad  # pigeonhole: banding is exact for hamming<=3
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 3), k=5
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for qid in range(3):
+        got = sorted(
+            [(r.rank, r.cand_id) for r in out if r.query_id == qid]
+        )
+        q = vecs[qid]
+        sims = []
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            c = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            sims.append((round(c, 6), -cid))
+        sims.sort(reverse=True)
+        expected = [(i + 1, -sims[i][1]) for i in range(5)]
+        assert got == expected
+
+
+def test_langid_prefers_english_stopwords(docs):
+    out = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id",
+            text.lang_id_expr(text.tokens_expr(F.col("text"))).alias("lang"),
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[4] == "es"
+    assert out[5] == "und"  # no stopwords at all
+
+
+def test_quality_features_values(docs):
+    r = (
+        text.quality_features(docs)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    assert r.n_tokens == 9
+    assert r.n_chars_calc == len("the quick brown fox jumps over the lazy dog")
+    assert r.stopword_ratio == pytest.approx(2 / 9)  # 'the' twice
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], ["doc_id", "text"]
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id",
+            text.fingerprint_expr(text.tokens_expr(F.col("text"))).alias("fp"),
+        ).collect()
+    }
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_payload_and_features(docs):
+    wp = multimodal.attach_binary_payload(docs, "text")
+    row = wp.filter(F.col("doc_id") == 0).collect()[0]
+    assert bytes(row.payload).decode() == row.text
+    assert row.payload_meta.byte_size == len(row.text)
+    assert len(row.payload_meta.sha256) == 64
+
+    feats = multimodal.fake_feature_extract(wp, "doc_id").collect()
+    assert len(feats) == docs.count()
+    by_id = {r.doc_id: r for r in feats}
+    # deterministic: same payload (docs 0 and 3) -> same feature
+    assert by_id[0].feature == by_id[3].feature
+    assert len(by_id[0].feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in by_id[0].feature)
+
+
+def test_decode_image_is_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(docs)
