@@ -1,0 +1,482 @@
+"""Structured Streaming queries (SURVEY.md §2 B21–B26).
+
+Every query replays the ``events`` parquet table as a real file-source
+stream (chunked into time-ordered files, one file per micro-batch via
+``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``) and runs to completion
+into an in-memory sink; the returned DataFrame is the final sink table.
+
+The DuckDB oracles are exact because Structured Streaming's semantics are
+deterministic given a deterministic file arrival order:
+
+- append-mode windowed/session aggregations emit exactly the windows whose
+  end <= final watermark (``max(event_time) - delay``);
+- late rows (delivered in a later chunk than their timestamp warrants) are
+  dropped iff their window closed before the batch that carries them — the
+  oracle recomputes the per-batch watermark in SQL;
+- streaming ``dropDuplicates`` over key columns equals batch ``DISTINCT``.
+
+Reference parity: the reference batches with processing-time-only triggers
+(``process/BatchTrigger.java:31-56``, ``GlobalWindows``) and has **no**
+event-time support (SURVEY §2 "explicitly absent"); B21–B24 are the
+event-time surface mandated for the Spark engine, and B25/B26 re-express
+the reference's batching (``process/RowBatcher.java:21-26``) and sink
+delivery guarantees (``sink/defaultStream/BigQueryDefaultSinkWriter.java``)
+as registry-checkable queries.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dbl, dec
+from ..sources.tables import load_tables
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# event-time plumbing
+# ---------------------------------------------------------------------------
+
+def event_time():
+    """ts (int64 nanoseconds, from nanosAsLong parquet reads) -> timestamp.
+
+    Integer `div` keeps full precision (a double division would lose bits
+    above 2^53) and truncation toward zero matches DuckDB's nanos->micros
+    read of the same file.  Built lazily: column expressions need an active
+    SparkContext.
+    """
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _ns(iso_day: str) -> int:
+    """Nanoseconds since epoch for a UTC date string (chunk boundaries)."""
+    d = datetime.fromisoformat(iso_day).replace(tzinfo=timezone.utc)
+    return int((d - _EPOCH).total_seconds()) * 1_000_000_000
+
+
+# events span 2024-01-01 .. 2024-01-31 at every sf.
+CHUNK_BOUNDS = [_ns(d) for d in ("2024-01-08", "2024-01-16", "2024-01-24")]
+LATE_SPLIT_NS = _ns("2024-01-20")
+MID_SPLIT_NS = _ns("2024-01-26")
+LATE_MOD = 13  # event_id % 13 == 0 rows older than the split arrive late
+
+_chunk_cache: dict[tuple, str] = {}
+_name_counter = itertools.count()
+
+
+def _write_chunks(sf_dir: str, scheme: str) -> str:
+    """Materialize the events table as ordered chunk files for replay.
+
+    ``ordered``: 4 files split at fixed date boundaries — pure in-order
+    arrival, nothing is ever late.  ``late``: 2 files split at
+    2024-01-20, except rows with ``event_id % 13 == 0`` older than the
+    split travel in file 1 — deterministic late arrivals.
+
+    Driver-side pyarrow write; at production scale the chunks already
+    exist (the stream IS arriving over time), so this helper is test-only
+    replay machinery, not a scale path.
+    """
+    key = (sf_dir, scheme)
+    if key in _chunk_cache and os.path.isdir(_chunk_cache[key]):
+        return _chunk_cache[key]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = pc.cast(tbl["ts"], "int64")
+    out_dir = tempfile.mkdtemp(prefix=f"events_{scheme}_")
+    if scheme == "ordered":
+        bounds = [None, *CHUNK_BOUNDS, None]
+        masks = []
+        for i in range(len(bounds) - 1):
+            m = pc.greater_equal(ts, bounds[i]) if bounds[i] else None
+            if bounds[i + 1]:
+                hi = pc.less(ts, bounds[i + 1])
+                m = hi if m is None else pc.and_(m, hi)
+            masks.append(m)
+    else:  # late
+        # Three files, not two: Spark's late-event filter watermark lags the
+        # eviction watermark by one batch (filter at batch N uses max event
+        # time through batch N-2), so late rows must arrive two batches
+        # after the data that defines their filter watermark to actually be
+        # dropped (verified empirically; see b23 docstring).
+        import numpy as np
+        import pyarrow as pa
+
+        ts_np = ts.to_numpy()
+        ids_np = pc.cast(tbl["event_id"], "int64").to_numpy()
+        is_old = ts_np < LATE_SPLIT_NS
+        is_mid = (~is_old) & (ts_np < MID_SPLIT_NS)
+        on_time_old = np.asarray(is_old & (ids_np % LATE_MOD != 0))
+        masks = [
+            pa.array(on_time_old),
+            pa.array(is_mid),
+            pa.array(~on_time_old & ~is_mid),
+        ]
+    for i, m in enumerate(masks):
+        chunk = tbl if m is None else tbl.filter(m)
+        path = os.path.join(out_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(chunk, path)
+        # file source orders by (mtime, path): force arrival order
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    _chunk_cache[key] = out_dir
+    return out_dir
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, scheme: str = "ordered"):
+    """events as a file-source stream, one chunk file per micro-batch."""
+    chunk_dir = _write_chunks(sf_dir, scheme)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .withColumn("etime", event_time())
+    )
+
+
+def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming DataFrame to completion into a memory sink."""
+    name = f"stream_result_{os.getpid()}_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# DuckDB fragments ----------------------------------------------------------
+
+_US = 1_000_000
+_ORACLE_TS = "ts"  # duckdb reads the same parquet as TIMESTAMP (micros)
+
+
+def _sql_bucket(col: str, seconds: int, offset_s: int = 0) -> str:
+    """Epoch-aligned window start via exact integer micros arithmetic."""
+    w = seconds * _US
+    o = offset_s * _US
+    return (
+        f"make_timestamp((((epoch_us({col}) - {o}) // {w}) * {w}) + {o})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B21 — tumbling & sliding event-time windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b21_stream_tumbling_window",
+    oracle=f"""
+        WITH agg AS (
+          SELECT {_sql_bucket(_ORACLE_TS, 21600)} AS window_start,
+                 {_sql_bucket(_ORACLE_TS, 21600)} + INTERVAL 6 HOUR AS window_end,
+                 event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT * FROM agg
+        WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def b21_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour tumbling event-time windows per event_type, append mode with a
+    1-hour watermark: only windows the watermark has closed are emitted."""
+    load_tables(spark, sf_dir)  # session tuning (tz, nanosAsLong)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.withWatermark("etime", "1 hour")
+        .groupBy(F.window("etime", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec(F.col("value")))).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_table(out, "append")
+
+
+@register(
+    "b21_stream_sliding_window",
+    oracle=f"""
+        WITH starts AS (
+          SELECT e.*, {_sql_bucket('e.ts', 21600)} - (k.k * INTERVAL 6 HOUR)
+                       AS window_start
+          FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+        )
+        SELECT window_start, window_start + INTERVAL 12 HOUR AS window_end,
+               COUNT(*) AS n
+        FROM starts
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def b21_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-hour windows sliding every 6 hours, complete mode (every event
+    lands in exactly two windows; the sink holds the final state)."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("etime", "12 hours", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    return _run_to_table(out, "complete")
+
+
+# ---------------------------------------------------------------------------
+# B22 — session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b22_stream_session_window",
+    oracle=f"""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 12 HOUR AS session_end,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT * FROM agg
+        WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def b22_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 12-hour inactivity gap (append mode;
+    sessions emitted once the watermark passes session end).  Oracle is the
+    batch gaps-and-islands equivalent."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.withWatermark("etime", "1 hour")
+        .groupBy(F.session_window("etime", "12 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_table(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# B23 — watermark semantics: late rows dropped
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b23_stream_late_data_drop",
+    oracle=f"""
+        WITH w0 AS (
+          SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events
+          WHERE ts < TIMESTAMP '2024-01-20'
+            AND NOT (event_id % {LATE_MOD} = 0)
+        ),
+        kept AS (
+          SELECT e.* FROM events e, w0
+          WHERE NOT (
+            e.event_id % {LATE_MOD} = 0
+            AND e.ts < TIMESTAMP '2024-01-20'
+            AND {_sql_bucket('e.ts', 21600)} + INTERVAL 6 HOUR <= w0.wm
+          )
+        ),
+        agg AS (
+          SELECT {_sql_bucket(_ORACLE_TS, 21600)} AS window_start,
+                 {_sql_bucket(_ORACLE_TS, 21600)} + INTERVAL 6 HOUR AS window_end,
+                 COUNT(*) AS n
+          FROM kept GROUP BY 1, 2
+        )
+        SELECT * FROM agg
+        WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def b23_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, end to end: rows older than 2024-01-20
+    with ``event_id % 13 == 0`` are withheld until the third micro-batch,
+    by which point the 1-hour watermark has closed (almost all of) their
+    6-hour windows, so they are dropped (numRowsDroppedByWatermark > 0).
+    Two batches of lead are required because Spark's late-event filter
+    watermark lags eviction by one batch.  The oracle recomputes the
+    filter watermark (max on-time-old event time - 1h) and excludes exactly
+    the late rows whose window end precedes it."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, scheme="late")
+    out = (
+        ev.withWatermark("etime", "1 hour")
+        .groupBy(F.window("etime", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    return _run_to_table(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# B24 — stateful streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b24_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` on (user_id, event_type) across four
+    micro-batches — dedup state carries across batches, so the emitted set
+    equals batch DISTINCT.  Only the key columns are projected (the 'first'
+    row per key is partition-order-dependent; the key set is not)."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_table(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# B25 — declarative batching (reference BatchTrigger/RowBatcher semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b25_batch_assign_count",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY event_id) - 1) / 50) AS BIGINT) AS batch_index
+        FROM events
+    """,
+    tags=("batching",),
+)
+def b25_batch_assign_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-bounded batch assignment (reference CountTrigger semantics,
+    ``process/BatchTrigger.java:27``): one shuffle on the key, window
+    row_number arithmetic."""
+    from ..streaming.batching import assign_batches_by_count
+
+    t = load_tables(spark, sf_dir)
+    return assign_batches_by_count(
+        t["events"], "user_id", ["event_id"], 50
+    ).select("event_id", "user_id", "batch_index")
+
+
+@register(
+    "b25_batch_assign_size",
+    oracle="""
+        WITH sized AS (
+          SELECT event_id, user_id,
+                 CAST(strlen(event_type) + strlen(props) + 16 AS BIGINT) AS sz
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(FLOOR(CAST(SUM(sz) OVER (PARTITION BY user_id
+                    ORDER BY event_id ROWS UNBOUNDED PRECEDING) - sz
+                    AS DOUBLE) / 4096) AS BIGINT) AS batch_index
+        FROM sized
+    """,
+    tags=("batching",),
+)
+def b25_batch_assign_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bounded batch assignment (reference size trigger,
+    ``process/BatchTrigger.java:33-48``): exclusive running byte sum
+    bucketed at 4 KiB."""
+    from ..streaming.batching import assign_batches_by_size
+
+    t = load_tables(spark, sf_dir)
+    sized = t["events"].withColumn(
+        "sz",
+        (F.length("event_type") + F.length("props") + F.lit(16)).cast("long"),
+    )
+    return assign_batches_by_size(
+        sized, "user_id", ["event_id"], 4096, "sz"
+    ).select("event_id", "user_id", "batch_index")
+
+
+# ---------------------------------------------------------------------------
+# B26 — end-to-end streaming sink (at-least-once default stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b26_sink_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("sink",),
+)
+def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: events replayed as a stream -> count/size batching ->
+    at-least-once append to the FakeBigQuery default stream -> read the sink
+    table back.  Row-for-row equality with the source proves no loss and no
+    duplication across micro-batch boundaries (reference
+    ``sink/defaultStream/BigQueryDefaultSinkWriter.java:60-80``)."""
+    from ..sources.fake_bigquery import FakeBigQuery
+    from ..streaming.config import BatchTriggerSettings
+    from ..streaming.sinks import DefaultStreamSink
+
+    load_tables(spark, sf_dir)
+    backend_root = tempfile.mkdtemp(prefix="fbq_sink_")
+    table = "proj.ds.events_sink"
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sink = DefaultStreamSink(
+        backend_root,
+        table,
+        trigger=BatchTriggerSettings(max_count=500, max_bytes=256 * 1024),
+    )
+    q = sink.start(
+        ev, tempfile.mkdtemp(prefix="ckpt_sink_"), available_now=True
+    )
+    q.awaitTermination()
+    rows = FakeBigQuery(backend_root).read_rows(table)
+    return spark.createDataFrame(
+        [
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )

@@ -177,11 +177,8 @@ class DefaultStreamSink:
         df.foreachPartition(write_partition)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
-        return (
-            stream_df.writeStream.foreachBatch(self.write_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .start(**options)
+        return _start_foreach_batch(
+            self.write_batch, stream_df, checkpoint_dir, **options
         )
 
 
@@ -278,11 +275,8 @@ class BufferedStreamSink:
         self._record_commit(batch_id, committables)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
-        return (
-            stream_df.writeStream.foreachBatch(self.write_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .start(**options)
+        return _start_foreach_batch(
+            self.write_batch, stream_df, checkpoint_dir, **options
         )
 
 
@@ -345,9 +339,32 @@ class AsyncSink:
         df.foreachPartition(write_partition)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
-        return (
-            stream_df.writeStream.foreachBatch(self.write_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .start(**options)
+        return _start_foreach_batch(
+            self.write_batch, stream_df, checkpoint_dir, **options
         )
+
+
+def _start_foreach_batch(
+    write_batch,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+    **options,
+):
+    """Shared writeStream wiring for the three sinks.
+
+    ``available_now=True`` drains all available source data then stops (the
+    replay/backfill mode); ``processing_time`` sets a fixed-interval trigger
+    (the reference's ProcessingTimeoutTrigger analogue, SURVEY §2 A2).
+    """
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start(**options)

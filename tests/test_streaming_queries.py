@@ -1,0 +1,106 @@
+"""Streaming-query registry entries (B21–B26): replay machinery + semantics.
+
+The full DuckDB-oracle comparison runs in tools/check_correctness.py; these
+tests cover the replay chunker's determinism and the cheapest end-to-end
+streaming paths at sf0.001 so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from flink_big_query_connector_spark.plans import streaming_queries as sq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ordered_chunks_partition_events():
+    import pyarrow.parquet as pq
+
+    d = sq._write_chunks(SF_DIR, "ordered")
+    files = sorted(os.listdir(d))
+    assert len(files) == 4
+    total = sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files)
+    assert total == pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    # arrival order = mtime order = name order
+    mtimes = [os.path.getmtime(os.path.join(d, f)) for f in files]
+    assert mtimes == sorted(mtimes)
+
+
+def test_late_chunks_withhold_late_rows():
+    import pyarrow.parquet as pq
+
+    d = sq._write_chunks(SF_DIR, "late")
+    files = sorted(os.listdir(d))
+    assert len(files) == 3
+    first = pq.read_table(os.path.join(d, files[0]))
+    ts = first["ts"].cast("int64").to_pylist()
+    ids = first["event_id"].to_pylist()
+    assert all(t < sq.LATE_SPLIT_NS for t in ts)
+    assert all(i % sq.LATE_MOD != 0 for i in ids)
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    got = {
+        (r.user_id, r.event_type)
+        for r in sq.b24_stream_dedup(spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT DISTINCT user_id, event_type "
+            f"FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_tumbling_window_emits_closed_windows_only(spark):
+    rows = sq.b21_stream_tumbling_window(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    (max_ts,) = con.execute(
+        f"SELECT MAX(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()
+    # append mode: every emitted window closed before the final watermark
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    assert all(r.window_end <= wm for r in rows)
+    # and window bounds are 6h-aligned
+    assert all(
+        r.window_start.minute == 0 and r.window_start.hour % 6 == 0
+        for r in rows
+    )
+
+
+def test_late_rows_actually_dropped(spark):
+    """The b23 scenario must exercise the drop path, not vacuously pass."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = sq._events_stream(spark, SF_DIR, scheme="late")
+    out = (
+        ev.withWatermark("etime", "1 hour")
+        .groupBy(F.window("etime", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_t23_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped > 0
