@@ -28,6 +28,7 @@ from ..functions.vectors import cosine_similarity_expr
 from .hashing import (
     MINHASH_SEEDS,
     N_BANDS,
+    P,
     SIMHASH_BITS,
     band_key_expr,
     hash60_expr,
@@ -36,6 +37,23 @@ from .hashing import (
 from .text import tokens_expr
 
 SHINGLE_K = 3  # word 3-grams
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure compute parallelism before expression-heavy pipelines.
+
+    Higher-order functions (transform/aggregate lambdas) evaluate
+    interpreted, outside whole-stage codegen — md5-over-shingles is CPU
+    bound, so it must run on every core.  A scan of one small parquet file
+    yields ONE partition; repartition up to the session's parallelism.
+    No-op at scale: a 100 TB table already has thousands of input splits,
+    so this never adds a shuffle there.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # -- shingling ---------------------------------------------------------------
@@ -64,6 +82,46 @@ def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("shingles", shingles_expr(tokens_expr(F.col(text_col))))
 
 
+def with_token_boundary(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, toks) with the token array materialized behind an exchange.
+
+    Why the explicit boundary: higher-order shingle expressions index the
+    token array per element, and CollapseProject re-inlines a same-stage
+    ``tokens_expr`` into every one of those references — the plan then
+    re-runs the whole-document regexp once per ``element_at`` (observed:
+    6x per shingle).  A repartition makes ``toks`` a shuffled attribute,
+    so downstream lambdas do cheap array reads.  The shuffle also fans a
+    single-file scan out to every core; at 100 TB the scan is already
+    thousands of splits and tokens-per-shuffle is the same data volume the
+    shingle join shuffles anyway.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        spread(df)
+        .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("toks"))
+        .repartition(n)
+    )
+
+
+def with_shingle_hashes(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+    """Add ``sh60``: the distinct 60-bit hashes of the shingle set.
+
+    This is THE md5 pass — everything downstream (16 minhash permutations,
+    the candidate join, the Jaccard verification) works on these longs, so
+    each shingle is hashed exactly once no matter how many consumers the
+    plan has.  Distinct-hash Jaccard equals distinct-string Jaccard up to
+    60-bit collisions (~1e-7 at 10^6 distinct shingles).
+    """
+    return df.withColumn(
+        "sh60",
+        F.array_distinct(
+            F.transform(F.col(shingle_col), lambda s: hash60_expr(s))
+        ),
+    )
+
+
 # -- exact dedup -------------------------------------------------------------
 
 
@@ -89,7 +147,30 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
-    """Add mh0..mh15 columns (NULL for shingle-less docs, filtered out)."""
+    """Add mh0..mh15 columns (NULL for shingle-less docs, filtered out).
+
+    When the frame carries precomputed shingle hashes (``sh60`` from
+    :func:`with_shingle_hashes`), each permutation is pure integer
+    arithmetic over longs — md5 runs once per shingle, not once per
+    (shingle, seed).  min over distinct hashes == min over all hashes.
+    """
+    if "sh60" in df.columns:
+        hmod = F.transform(F.col("sh60"), lambda h: h % F.lit(P))
+        df = df.withColumn("_hmodp", hmod)
+        cols = {
+            f"mh{i}": F.array_min(
+                F.transform(
+                    F.col("_hmodp"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P),
+                )
+            )
+            for i, (a, b) in enumerate(MINHASH_SEEDS)
+        }
+        return (
+            df.withColumns(cols)
+            .drop("_hmodp")
+            .filter(F.size(F.col(shingle_col)) > 0)
+        )
     sh = F.col(shingle_col)
     cols = {
         f"mh{i}": minhash_value_expr(sh, a, b)
@@ -144,8 +225,12 @@ def exact_jaccard_pairs(
     scale only).
     """
     exploded = (
-        df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
+        spread(df)
+        .select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
         .distinct()
+        # three consumers below (both join sides + counts): evaluate the
+        # shingle explode + distinct once
+        .persist()
     )
     counts = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = exploded.alias("a")
@@ -178,15 +263,70 @@ def exact_jaccard_pairs(
     )
 
 
+def candidate_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only, over the ``sh60`` hash sets.
+
+    Scale shape: the shingle equi-join is *restricted to candidate pairs
+    before any counting* — work is O(|candidates| * shingles_per_doc), not
+    O(all docs sharing any shingle).  Set sizes come free from
+    ``size(sh60)`` (no extra aggregation pass).
+    """
+    ex = docs.select(F.col(id_col), F.explode("sh60").alias("h"))
+    sizes = docs.select(F.col(id_col), F.size("sh60").alias("n"))
+    a_sh = ex.select(F.col(id_col).alias("id_a"), F.col("h"))
+    b_sh = ex.select(F.col(id_col).alias("id_b"), F.col("h"))
+    inter = (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> LSH bands -> bucket join ->
-    exact Jaccard verification.  The only quadratic work happens inside
-    buckets."""
-    sig = with_minhash_signature(with_shingles(df, text_col))
+    """Full pipeline: shingle -> hash once -> minhash -> LSH bands ->
+    bucket join -> candidate-restricted exact Jaccard verification.  The
+    only quadratic work happens inside buckets."""
+    tok = with_token_boundary(df, id_col, text_col)
+    docs = (
+        tok.filter(F.size("toks") >= SHINGLE_K)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    shingles_expr(F.col("toks")), lambda s: hash60_expr(s)
+                )
+            ).alias("sh60"),
+        )
+        # Materialized once: the bands self-join and the verification join
+        # are three consumers of the same md5 pass; without the persist,
+        # CollapseProject re-inlines the whole shingle+hash pipeline into
+        # every branch.  (doc_id, sh60) is a fraction of the corpus size.
+        .persist()
+    )
+    sig = with_minhash_signature(docs, shingle_col="sh60")
     cands = lsh_candidate_pairs(sig, id_col)
-    return exact_jaccard_pairs(sig, id_col, "shingles", threshold, cands)
+    return candidate_jaccard_pairs(docs, cands, id_col, threshold)
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -215,14 +355,43 @@ def simhash_expr(toks: Column) -> Column:
     return value
 
 
+def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, simhash) via explode + one hash aggregation.
+
+    Equivalent to :func:`simhash_expr` but md5 runs once per token: tokens
+    explode to (id, token_hash) rows, a single groupBy computes all 32 bit
+    votes with map-side partial aggregation (32 longs per doc cross the
+    shuffle), and the bits reassemble from the vote signs.  This is the
+    scale path; ``simhash_expr`` remains for composing into row-level
+    expressions.
+    """
+    th = F.transform(tokens_expr(F.col(text_col)), lambda t: hash60_expr(t))
+    ex = spread(df).select(F.col(id_col), F.explode_outer(th).alias("h"))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    value = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        value = value + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), value.alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Hamming-<=3 pairs via exact 4-band LSH (8-bit bands; pigeonhole
     guarantees no misses, so this equals the quadratic join)."""
-    sh = df.select(
-        F.col(id_col), simhash_expr(tokens_expr(F.col(text_col))).alias("simhash")
-    )
+    sh = simhash_df(df, id_col, text_col)
     bands = sh.select(
         id_col,
         "simhash",
@@ -268,7 +437,7 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine >= threshold pairs (blocked quadratic join; correctness
     baseline — the LSH-bucketed path lives in similarity.py)."""
-    a = emb_df.select(
+    a = spread(emb_df).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = emb_df.select(

@@ -92,7 +92,12 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram set-Jaccard pairs >= 0.8 (explode + equi-join)."""
     t = load_tables(spark, sf_dir)
-    docs = dedup.with_shingles(t["documents"]).filter(F.size("shingles") > 0)
+    tok = dedup.with_token_boundary(t["documents"], "doc_id")
+    # no size filter needed: explode() of an empty shingle array emits
+    # nothing, which is exactly the oracle's `nonempty` semantics
+    docs = tok.select(
+        "doc_id", dedup.shingles_expr(F.col("toks")).alias("shingles")
+    )
     return dedup.exact_jaccard_pairs(docs, "doc_id", "shingles", 0.8)
 
 
@@ -159,12 +164,10 @@ def _simhash_sql_value() -> str:
     tags=("dedup",),
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (bit-exact across engines)."""
+    """32-bit SimHash per document (bit-exact across engines; explode +
+    single-pass vote aggregation, one md5 per token)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id",
-        dedup.simhash_expr(text.tokens_expr(F.col("text"))).alias("simhash"),
-    )
+    return dedup.simhash_df(t["documents"], "doc_id")
 
 
 @register(

@@ -68,6 +68,14 @@ def get_spark(
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # InferFiltersFromGenerate synthesizes size(e)>0 filters below
+        # explode() and pushdown re-inlines the generator's full expression
+        # tree into the scan filter (cf. SPARK-36715) — for our shingle
+        # pipelines that turns one tokenize pass into hundreds per row.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Test parquet carries TIMESTAMP(NANOS); read as NTZ (Spark truncates
         # to micros, matching duckdb's microsecond timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -91,6 +99,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         # nanosecond-timestamp parquet (driver test data) -> timestamp_ntz
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # see get_spark: avoids re-inlined generator inputs in scan filters
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(k, v)
