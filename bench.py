@@ -60,6 +60,11 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen compiler, parquet footer cache, shuffle service)
+    # with an untimed pass so timings measure the engine, not JIT startup.
+    run_query(spark, "b01_scan_count", sf_dir)
+    run_query(spark, "b08_q1_pricing_summary", sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
