@@ -33,6 +33,7 @@ from __future__ import annotations
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from threading import BoundedSemaphore
 
 from pyspark.sql import DataFrame
@@ -65,6 +66,7 @@ def write_with_retry(
     trace_id: str | None = None,
     sleep=time.sleep,
     _depth: int = 0,
+    metrics=None,
 ) -> int:
     """Append ``rows`` at ``offset`` (-1 for default stream), surviving the
     transient-status taxonomy; returns rows actually appended (post-trim)."""
@@ -73,6 +75,9 @@ def write_with_retry(
     while True:
         try:
             client.append(table, stream, rows, offset)
+            if metrics is not None:
+                metrics.batch_count += 1
+                metrics.append_rows += len(rows)
             return len(rows)
         except MessageTooLargeError:
             # Oversized: split in half recursively, preserving offsets
@@ -84,14 +89,16 @@ def write_with_retry(
                 )
             mid = len(rows) // 2
             first, second = rows[:mid], rows[mid:]
+            if metrics is not None:
+                metrics.split_batch_count += 1
             n1 = write_with_retry(
                 client, table, stream, first, offset, settings,
-                trace_id, sleep, _depth + 1,
+                trace_id, sleep, _depth + 1, metrics,
             )
             n2 = write_with_retry(
                 client, table, stream, second,
                 offset + len(first) if offset >= 0 else -1,
-                settings, trace_id, sleep, _depth + 1,
+                settings, trace_id, sleep, _depth + 1, metrics,
             )
             return n1 + n2
         except OffsetAlreadyExistsError as e:
@@ -109,6 +116,8 @@ def write_with_retry(
         except BigQueryError as e:
             if e.code in RETRYABLE_PAUSE:
                 attempt += 1
+                if metrics is not None:
+                    metrics.retry_count += 1
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -117,6 +126,8 @@ def write_with_retry(
                 continue
             if e.code in RETRYABLE:
                 attempt += 1
+                if metrics is not None:
+                    metrics.retry_count += 1
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -128,6 +139,8 @@ def write_with_retry(
                 # then retry.  The fake client is connectionless, so this is
                 # just a bounded retry.
                 attempt += 1
+                if metrics is not None:
+                    metrics.retry_count += 1
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -157,22 +170,28 @@ class DefaultStreamSink:
         table: str,
         settings: WriterSettings | None = None,
         trigger: BatchTriggerSettings | None = None,
+        metrics=None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
         self.trigger = trigger or BatchTriggerSettings()
+        self.metrics = metrics
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
         root, table = self.backend_root, self.table
         settings, trigger = self.settings, self.trigger
+        metrics = self.metrics
 
         def write_partition(rows_iter):
             client = FakeBigQuery(root)  # per-task handle (connection pool)
             stream = DEFAULT_STREAM
             for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
-                write_with_retry(client, table, stream, chunk, -1, settings)
+                write_with_retry(
+                    client, table, stream, chunk, -1, settings,
+                    metrics=metrics,
+                )
 
         df.foreachPartition(write_partition)
 
@@ -212,11 +231,13 @@ class BufferedStreamSink:
         backend_root: str,
         table: str,
         settings: WriterSettings | None = None,
+        metrics=None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
         self.client = FakeBigQuery(backend_root)
+        self.metrics = metrics
 
     # -- commit log --------------------------------------------------------
     def _commit_path(self, batch_id: int) -> str:
@@ -249,6 +270,7 @@ class BufferedStreamSink:
 
         ensure_package_on_executors(df.sparkSession)
         root, table, settings = self.backend_root, self.table, self.settings
+        metrics = self.metrics
 
         def write_partition(pid: int, rows_iter):
             rows = [r.asDict() for r in rows_iter]
@@ -261,7 +283,9 @@ class BufferedStreamSink:
             # Replay-safe: the stream's current end is our base offset; on a
             # clean first run it is 0, on replay the trim logic absorbs
             # whatever is already durable.
-            write_with_retry(client, table, stream, rows, 0, settings)
+            write_with_retry(
+                client, table, stream, rows, 0, settings, metrics=metrics
+            )
             end = client.get_write_stream(table, stream).offset
             return iter([(stream, end)])
 
@@ -302,12 +326,14 @@ class AsyncSink:
         settings: WriterSettings | None = None,
         trigger: BatchTriggerSettings | None = None,
         max_inflight: int = 4,  # reference AsyncBigQuerySink default
+        metrics=None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
         self.trigger = trigger or BatchTriggerSettings()
         self.max_inflight = max_inflight
+        self.metrics = metrics
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
@@ -315,6 +341,7 @@ class AsyncSink:
         settings, trigger = self.settings, self.trigger
         max_inflight = self.max_inflight
         threads = max(1, settings.writer_threads)
+        metrics = self.metrics
 
         def write_partition(rows_iter):
             client = FakeBigQuery(root)
@@ -327,14 +354,22 @@ class AsyncSink:
                     def task(c=chunk):
                         try:
                             return write_with_retry(
-                                client, table, DEFAULT_STREAM, c, -1, settings
+                                client, table, DEFAULT_STREAM, c, -1,
+                                settings, metrics=metrics,
                             )
                         finally:
                             sem.release()
 
                     futures.append(pool.submit(task))
                 for fut in futures:  # barrier: surface the first failure
-                    fut.result(timeout=settings.max_request_wait_callback_s)
+                    try:
+                        fut.result(
+                            timeout=settings.max_request_wait_callback_s
+                        )
+                    except FuturesTimeoutError:
+                        if metrics is not None:
+                            metrics.callback_timeouts += 1
+                        raise
 
         df.foreachPartition(write_partition)
 
