@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity_expr
+from .dedup import spread
 
 # Fixed random-hyperplane projections: NUM_PLANES x (index stride) pseudo
 # weights derived from a hash — deterministic, no stored model needed.
@@ -38,7 +39,7 @@ def brute_force_topk(
     q = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = emb_df.select(
+    c = spread(emb_df).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -48,6 +49,9 @@ def brute_force_topk(
             "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
         )
     )
+    # Project vectors away BEFORE the ranking shuffle: the window exchange
+    # then carries (query_id, cand_id, cos) only, not the embeddings.
+    scored = scored.select("query_id", "cand_id", "cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
@@ -96,7 +100,7 @@ def rp_lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN top-k: equi-join corpus and queries on the hyperplane-sign
     bucket, rank within bucket.  Shuffles only (bucket, id, vec) once."""
-    c = emb_df.select(
+    c = spread(emb_df).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         rp_signature_expr(F.col(vec_col)).alias("bucket"),
@@ -113,6 +117,9 @@ def rp_lsh_bucketed_topk(
             "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
         )
     )
+    # Project vectors away BEFORE the ranking shuffle: the window exchange
+    # then carries (query_id, cand_id, cos) only, not the embeddings.
+    scored = scored.select("query_id", "cand_id", "cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )

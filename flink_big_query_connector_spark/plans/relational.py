@@ -20,7 +20,7 @@ from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
 from ..functions.numeric import dbl, dec
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, register_views
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -873,4 +873,156 @@ def b20_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4+B8 — TPC-H Q5-style six-table join (local supplier volume)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b20_q5_local_supplier",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    tags=("join", "aggregate"),
+)
+def b20_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join where the region filter prunes through
+    two broadcast dimension hops before the fact-fact join; the only big
+    shuffle is lineitem x orders on orderkey."""
+    t = load_tables(spark, sf_dir)
+    one = F.lit(1).cast(DecimalType(4, 2))
+    disc_price = (
+        dec("l_extendedprice", 14, 2) * (one - dec("l_discount", 4, 2))
+    ).cast(DecimalType(18, 4))
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dbl(F.sum(disc_price)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 — correlated EXISTS (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b19_q4_exists",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+        GROUP BY o_orderpriority
+    """,
+    tags=("subquery",),
+)
+def b19_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelates to a left-semi join;
+    the date filter pushes to the orders scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — explicit GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b09_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("aggregate",),
+)
+def b09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup/cube): Spark
+    expands to a single Expand + one aggregation pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 — lag / lead over event time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b11_window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def b11_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead share one window spec -> one shuffle + one sort."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
     )

@@ -480,3 +480,94 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_id long, user_id long, event_type string, value double",
     )
+
+
+@register(
+    "b26_sink_exactly_once",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("sink",),
+)
+def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once pipeline: events replayed over four micro-batches into
+    the BufferedStreamSink (deterministic per-(batchId, partition) BUFFERED
+    streams, offset-checked appends, two-phase commit keyed by batchId) —
+    only rows flushed visible by the commit phase are read back, and they
+    equal the source exactly once each (reference
+    ``sink/buffered/BigQueryBufferedSinkWriter.java:45-202``)."""
+    from ..sources.fake_bigquery import FakeBigQuery
+    from ..streaming.sinks import BufferedStreamSink
+
+    load_tables(spark, sf_dir)
+    backend_root = tempfile.mkdtemp(prefix="fbq_eo_")
+    table = "proj.ds.events_eo"
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sink = BufferedStreamSink(backend_root, table)
+    q = sink.start(
+        ev, tempfile.mkdtemp(prefix="ckpt_eo_"), available_now=True
+    )
+    q.awaitTermination()
+    rows = FakeBigQuery(backend_root).read_rows(table, only_visible=True)
+    return spark.createDataFrame(
+        [
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+
+
+@register(
+    "b26_stream_state_offsets",
+    oracle="""
+        SELECT user_id, COUNT(*) AS end_offset
+        FROM events GROUP BY user_id
+    """,
+    tags=("sink", "state"),
+)
+def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed write-stream/offset assignment (reference A4,
+    ``process/StreamStateHandler.java:53-145``): every micro-batch acquires
+    (stream, base_offset) per user key and appends at that offset; after
+    four batches each key's stored offset equals its total row count —
+    proving per-key monotonic offsets across batches with no gaps."""
+    import json as _json
+
+    from ..sources.fake_bigquery import FakeBigQuery
+    from ..streaming.stream_state import StreamStateHandler
+
+    load_tables(spark, sf_dir)
+    backend_root = tempfile.mkdtemp(prefix="fbq_ss_")
+    state_dir = os.path.join(backend_root, "state")
+    table = "proj.ds.events_keyed"
+
+    def handle_batch(df: DataFrame, batch_id: int) -> None:
+        rows_by_key: dict[int, list] = {}
+        # per-key grouping on the driver is fine here: the acquire/append
+        # protocol itself is the unit under test; the distributed variant
+        # is the same calls inside applyInPandas (see tests/test_sinks.py)
+        for r in df.collect():
+            rows_by_key.setdefault(r.user_id, []).append(r.asDict())
+        client = FakeBigQuery(backend_root)
+        handler = StreamStateHandler(client, state_dir)
+        for key, rows in rows_by_key.items():
+            stream, offset = handler.acquire(str(key), table, len(rows))
+            client.append(table, stream, rows, offset)
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = (
+        ev.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ss_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = []
+    for fn in os.listdir(state_dir):
+        if fn.endswith(".json"):
+            with open(os.path.join(state_dir, fn)) as f:
+                d = _json.load(f)
+            out.append((int(fn[: -len(".json")]), d["offset"]))
+    return spark.createDataFrame(out, "user_id long, end_offset long")
