@@ -113,3 +113,37 @@ def fake_feature_extract(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    stride: int = 128,
+) -> DataFrame:
+    """Frame sampling over binary payloads (the video keyframe analogue).
+
+    Every ``stride`` bytes, emit a ``frame_bytes`` slice as its own row —
+    Arrow-batched ``mapInPandas`` that EXPANDS rows (one payload -> many
+    frames), which is the shape a real decoder-sampler has.  Slicing is
+    byte-deterministic, so the DuckDB oracle reproduces it with substring
+    arithmetic; a real codec swaps only the inner loop.
+    """
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = f"{id_col} bigint, frame_idx bigint, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(raw) if raw is not None else b""
+                for k, off in enumerate(range(0, len(buf), stride)):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(buf[off : off + frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, out_schema)

@@ -128,3 +128,22 @@ def sql_fingerprint(toks_expr: str) -> str:
         f"CAST(list_sum(list_transform({toks_expr}, "
         f"(t, i) -> {sql_hash_mod_p('t')} * i)) % {P} AS BIGINT)"
     )
+
+
+# -- BPE-ish subword counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer approximation, engine-portable (Java regex and
+# RE2 agree on this subset): letter runs, single digits, single symbols.
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Subword-ish token count (the cost estimator for LLM training data)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long")
+
+
+def sql_bpe_token_count(text_expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text_expr}, "
+        f"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    )

@@ -369,3 +369,46 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     with_payload = multimodal.attach_binary_payload(t["documents"], "text")
     return multimodal.fake_feature_extract(with_payload, "doc_id")
+
+
+@register(
+    "llm_text_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({text.sql_tokens('text')}) AS BIGINT) AS ws_tokens,
+               {text.sql_bpe_token_count('text')} AS bpe_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def llm_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document (the standard
+    pair of corpus cost estimators)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        text.token_count_expr(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "llm_multimodal_frame_sample",
+    oracle="""
+        SELECT d.doc_id,
+               CAST(t.i AS BIGINT) AS frame_idx,
+               encode(substring(d.text, CAST(t.i * 128 + 1 AS BIGINT), 64))
+                 AS frame
+        FROM documents d,
+             UNNEST(range(0, CAST(ceil(length(d.text) / 128.0) AS BIGINT)))
+               AS t(i)
+    """,
+    tags=("multimodal",),
+)
+def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via row-expanding mapInPandas
+    (64-byte frame every 128 bytes); byte-sliced deterministically so the
+    oracle checks the full decode-sample plumbing."""
+    t = load_tables(spark, sf_dir)
+    with_payload = multimodal.attach_binary_payload(t["documents"], "text")
+    return multimodal.frame_sample(with_payload, "doc_id")
