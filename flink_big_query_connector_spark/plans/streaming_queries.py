@@ -571,3 +571,27 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = _json.load(f)
             out.append((int(fn[: -len(".json")]), d["offset"]))
     return spark.createDataFrame(out, "user_id long, end_offset long")
+
+
+@register(
+    "b25_stateful_batcher",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY event_id) - 1) / 50) AS BIGINT) AS batch_index
+        FROM events
+    """,
+    tags=("batching", "stateful"),
+)
+def b25_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-trigger batching as a custom stateful streaming operator
+    (applyInPandasWithState): the per-key row counter carries across four
+    micro-batches, so batches span micro-batch boundaries exactly like the
+    reference's keyed window trigger.  Deterministic because chunk arrival
+    is time-ordered and event_id is monotone in event time."""
+    from ..streaming.batching import stateful_batch_assign
+
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_id")
+    out = stateful_batch_assign(ev, "user_id", "event_id", 50)
+    return _run_to_table(out, "append")

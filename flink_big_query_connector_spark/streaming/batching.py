@@ -96,3 +96,48 @@ def assign_batches_by_size(
     return df.withColumn(
         "batch_index", F.floor(cum / F.lit(max_bytes)).cast("long")
     )
+
+
+def stateful_batch_assign(
+    stream_df: DataFrame,
+    key_col: str,
+    order_col: str,
+    max_count: int,
+):
+    """Custom stateful streaming operator: per-key batch index that
+    SURVIVES across micro-batches (reference ``BatchTrigger`` count
+    semantics, ``process/BatchTrigger.java:27`` — a batch can span multiple
+    Flink windows / Spark micro-batches, so the row counter must be keyed
+    state, not window arithmetic).
+
+    ``applyInPandasWithState``: state = rows-seen-so-far per key; each
+    incoming Arrow batch is sorted by ``order_col`` (intra-batch arrival
+    order is partition-nondeterministic) and rows get
+    ``batch_index = seen // max_count``.  State is one long per key — at
+    100 TB the state store holds |keys| longs, nothing else.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, {order_col} long, batch_index long"
+    state_schema = "n long"
+
+    def assign(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            idx = (n + np.arange(len(pdf))) // max_count
+            n += len(pdf)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    order_col: pdf[order_col].to_numpy(),
+                    "batch_index": idx.astype("int64"),
+                }
+            )
+        state.update((n,))
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
