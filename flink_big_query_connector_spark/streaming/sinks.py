@@ -56,6 +56,38 @@ RETRYABLE = {StatusCode.UNAVAILABLE, StatusCode.ABORTED}
 RECREATE_AND_RETRY = {StatusCode.UNKNOWN}
 
 
+class WriterPool:
+    """Per-task writer cache with round-robin across ``streams_per_table``
+    connections (reference A9: ``sink/BigQuerySinkWriter.java:65-68`` index
+    cycling, ``:80-89`` lazy cache).  One pool lives per
+    ``foreachPartition`` task — the per-subtask writer map analogue; raising
+    ``streams_per_table`` fans appends for one stream over N client
+    connections.  ``invalidate`` drops a handle so the next acquire rebuilds
+    it (reference A10 recreate-on-closed, ``:91-111``)."""
+
+    def __init__(self, factory, streams_per_table: int = 1):
+        self._factory = factory
+        self._n = max(1, streams_per_table)
+        self._cache: dict = {}
+        self._next_idx: dict = {}
+
+    def writer(self, stream: str):
+        i = self._next_idx.get(stream, 0)
+        self._next_idx[stream] = (i + 1) % self._n
+        key = (stream, i)
+        if key not in self._cache:
+            self._cache[key] = self._factory()
+        return self._cache[key]
+
+    def invalidate(self, stream: str) -> None:
+        last = (self._next_idx.get(stream, 0) - 1) % self._n
+        self._cache.pop((stream, last), None)
+
+    @property
+    def size(self) -> int:
+        return len(self._cache)
+
+
 def write_with_retry(
     client: FakeBigQuery,
     table: str,
@@ -185,11 +217,13 @@ class DefaultStreamSink:
         metrics = self.metrics
 
         def write_partition(rows_iter):
-            client = FakeBigQuery(root)  # per-task handle (connection pool)
+            pool = WriterPool(
+                lambda: FakeBigQuery(root), settings.streams_per_table
+            )
             stream = DEFAULT_STREAM
             for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
                 write_with_retry(
-                    client, table, stream, chunk, -1, settings,
+                    pool.writer(stream), table, stream, chunk, -1, settings,
                     metrics=metrics,
                 )
 

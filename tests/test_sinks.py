@@ -210,3 +210,32 @@ def test_streaming_end_to_end_default_sink(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert FakeBigQuery(root).table_count("events_stream") == src.count()
+
+
+def test_writer_pool_round_robin_and_invalidate():
+    from flink_big_query_connector_spark.streaming.sinks import WriterPool
+
+    created = []
+
+    def factory():
+        created.append(object())
+        return created[-1]
+
+    pool = WriterPool(factory, streams_per_table=3)
+    w = [pool.writer("s") for _ in range(7)]
+    # cycles 0,1,2,0,1,2,0 over three lazily-created handles
+    assert pool.size == 3
+    assert w[0] is w[3] is w[6] and w[1] is w[4] and w[2] is w[5]
+    assert w[0] is not w[1]
+    pool.invalidate("s")  # drops the most recently acquired handle
+    w2 = [pool.writer("s") for _ in range(3)]
+    assert pool.size == 3
+    assert len(created) == 4
+
+
+def test_writer_pool_default_single_stream():
+    from flink_big_query_connector_spark.streaming.sinks import WriterPool
+
+    pool = WriterPool(object, streams_per_table=1)
+    assert pool.writer("a") is pool.writer("a")
+    assert pool.size == 1
