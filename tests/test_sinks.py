@@ -239,3 +239,56 @@ def test_writer_pool_default_single_stream():
     pool = WriterPool(object, streams_per_table=1)
     assert pool.writer("a") is pool.writer("a")
     assert pool.size == 1
+
+
+def test_buffered_sink_restart_from_checkpoint(spark, tmp_path):
+    """Crash AFTER the sink committed batch 1 but BEFORE Spark recorded it;
+    the restarted query (same checkpointLocation) replays batch 1, the
+    commit log turns the replay into a no-op, and every source row is
+    visible exactly once — the MiniCluster restart scenario of the
+    reference tests (StreamHandlerTest.java:94-150) on Spark checkpoints."""
+    import pytest
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _events_stream,
+    )
+    from flink_big_query_connector_spark.sources.fake_bigquery import FakeBigQuery
+    from flink_big_query_connector_spark.streaming.sinks import BufferedStreamSink
+
+    backend = str(tmp_path / "bq")
+    ckpt = str(tmp_path / "ckpt")
+    table = "p.d.restart"
+    sink = BufferedStreamSink(backend, table)
+    crash_marker = tmp_path / "crashed"
+
+    def write(df, batch_id):
+        sink.write_batch(df, batch_id)
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("x")
+            raise RuntimeError("injected crash after commit")
+
+    def run():
+        ev = _events_stream(spark, "/root/testdata/sf0.001").select(
+            "event_id", "user_id"
+        )
+        q = (
+            ev.writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    assert crash_marker.exists()
+    run()  # restart from the same checkpoint
+
+    got = sorted(
+        r["event_id"] for r in FakeBigQuery(backend).read_rows(table)
+    )
+    n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert got == list(range(n))  # every row exactly once, none duplicated
