@@ -128,3 +128,73 @@ def rp_lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+N_CENTROIDS = 16
+
+
+def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign every vector to its nearest of N_CENTROIDS fixed centroids.
+
+    Centroids are the first N_CENTROIDS vectors by id — deterministic, no
+    trained model to ship; a real deployment swaps in k-means centroids
+    without changing the plan shape.  The assignment is a broadcast
+    cross-join (corpus never shuffles) + max_by argmax; cosine is rounded
+    to 6dp so the argmax is reproducible across engines, ties break to the
+    lower centroid id.
+    """
+    cents = F.broadcast(
+        emb_df.filter(F.col(id_col) < N_CENTROIDS).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    spread_emb = spread(emb_df).select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    )
+    scored = spread_emb.crossJoin(cents).withColumn(
+        "ccos", F.round(cosine_similarity_expr(F.col("v"), F.col("cvec")), 6)
+    )
+    return scored.groupBy(id_col, "v").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("ccos"), -F.col("centroid_id"))
+        ).alias("cell")
+    )
+
+
+def ivf_probe_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """IVF top-k: queries probe only their own centroid cell.
+
+    At 100 TB the corpus is written partitioned by ``cell``; a probe then
+    reads one partition per query (partition pruning), and the ranking
+    shuffle carries (query_id, cand_id, cos) triples only.  Approximate at
+    cell boundaries by construction (like any single-probe IVF).
+    """
+    cells = ivf_cells(emb_df, id_col, vec_col).persist()
+    c = cells.select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    q = cells.join(
+        query_df.select(id_col), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
+        )
+        .select("query_id", "cand_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -412,3 +412,47 @@ def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     with_payload = multimodal.attach_binary_payload(t["documents"], "text")
     return multimodal.frame_sample(with_payload, "doc_id")
+
+
+def _ivf_oracle() -> str:
+    return """
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell
+              FROM assigned WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, a.vec_id AS cand_id,
+                 round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+          FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("llm_ann_ivf_probe", oracle=_ivf_oracle(), tags=("similarity",))
+def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 fixed centroids, single-probe within the query's
+    cell (the partition-pruned 100 TB layout); deterministic assignment so
+    the DuckDB oracle reproduces the identical cells and ranking."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.ivf_probe_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
+    )
