@@ -456,3 +456,115 @@ def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
     )
+
+
+# ---------------------------------------------------------------------------
+# B20 — Python UDF surface (scalar / grouped-agg / grouped-map / UDTF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_udf_scalar_pandas",
+    oracle="""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(split(text, ''),
+                    ch -> ord(ch))) AS BIGINT) AS ascii_sum
+        FROM documents
+    """,
+    tags=("udf",),
+)
+def llm_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (B20): per-doc code-point sum,
+    exact integer arithmetic either side."""
+    from ..functions.udfs import ascii_sum_udf
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", ascii_sum_udf(F.col("text")).alias("ascii_sum")
+    )
+
+
+@register(
+    "llm_udf_grouped_agg",
+    oracle=f"""
+        SELECT lang,
+               CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang
+    """,
+    tags=("udf",),
+)
+def llm_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (B20): exact per-language token total;
+    Spark applies it per group with map-side Arrow batching."""
+    from ..functions.udfs import token_sum_agg_udf
+    from ..operators.text import token_count_expr
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("lang", token_count_expr(F.col("text")).alias("n"))
+        .groupBy("lang")
+        .agg(token_sum_agg_udf("n").alias("total_tokens"))
+    )
+
+
+@register(
+    "llm_udf_grouped_map",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY length(text), doc_id) AS BIGINT) AS rank_in_group
+        FROM documents
+    """,
+    tags=("udf",),
+)
+def llm_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (B20): per-language rank by document
+    length, whole group as one pandas frame."""
+    from ..functions.udfs import rank_in_group
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("n_chars_o", F.length("text"))
+    return rank_in_group(docs, "lang", "n_chars_o", "doc_id")
+
+
+@register(
+    "llm_udtf_sentences",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, trim(part) AS sentence,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM (SELECT doc_id, UNNEST(string_split(text, '.')) AS part,
+                       generate_subscripts(string_split(text, '.'), 1) AS pos
+                FROM documents)
+          WHERE trim(part) <> ''
+        )
+        SELECT doc_id, CAST(rn - 1 AS BIGINT) AS sentence_idx, sentence
+        FROM s
+    """,
+    tags=("udf",),
+)
+def llm_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (B20, Spark 4): one document row lateral-joins into its
+    ordered non-empty sentences."""
+    from pyspark.sql.functions import udtf
+
+    from ..functions.udfs import SentenceSplitUDTF
+
+    load_tables(spark, sf_dir)
+    split_udtf = udtf(
+        SentenceSplitUDTF,
+        returnType="doc_id bigint, sentence_idx bigint, sentence string",
+    )
+    spark.udtf.register("sentence_split", split_udtf)
+    register_views_for_udtf(spark, sf_dir)
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence_idx, s.sentence "
+        "FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s"
+    )
+
+
+def register_views_for_udtf(spark: SparkSession, sf_dir: str) -> None:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
