@@ -143,21 +143,35 @@ def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     to 6dp so the argmax is reproducible across engines, ties break to the
     lower centroid id.
     """
-    cents = F.broadcast(
-        emb_df.filter(F.col(id_col) < N_CENTROIDS).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-        )
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
+        .select(id_col, vec_col)
+        .collect()
     )
-    spread_emb = spread(emb_df).select(
-        F.col(id_col), F.col(vec_col).alias("v")
+    # Centroids inline as literals (the "model" is 16 x dim floats — ships
+    # in the plan itself, no join): per row, one struct-array argmax picks
+    # (max cos, then min id) without any shuffle or aggregation.
+    v = F.col(vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity_expr(
+                        v, F.array(*[F.lit(float(x)) for x in cvec])
+                    ),
+                    6,
+                ).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cvec in cents
+        ]
     )
-    scored = spread_emb.crossJoin(cents).withColumn(
-        "ccos", F.round(cosine_similarity_expr(F.col("v"), F.col("cvec")), 6)
-    )
-    return scored.groupBy(id_col, "v").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("ccos"), -F.col("centroid_id"))
-        ).alias("cell")
+    best = F.array_max(pairs)
+    return spread(emb_df).select(
+        F.col(id_col),
+        v.alias("v"),
+        (-best["nid"]).cast("long").alias("cell"),
     )
 
 
