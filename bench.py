@@ -34,6 +34,10 @@ HEADLINE = [
     "b17_explode_tokens",
     "b19_q17_subquery",
     "b20_q3_shipping",
+    "b20_q5_local_supplier",
+    "b21_stream_tumbling_window",
+    "b24_stream_dedup",
+    "b26_sink_roundtrip",
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash",

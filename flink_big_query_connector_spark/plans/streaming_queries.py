@@ -142,19 +142,47 @@ def _events_stream(spark: SparkSession, sf_dir: str, scheme: str = "ordered"):
     )
 
 
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+class _stream_partitions:
+    """Pin a small stateful-op partition count for the replay streams.
+
+    Stateful operators snapshot every state partition to the checkpoint on
+    every micro-batch, and AQE cannot coalesce them (the count is frozen
+    into the checkpoint at first batch) — 32 partitions of per-batch file
+    IO dominates these second-long replays.  Production streams size this
+    to key cardinality / executor count; the conf is restored afterwards so
+    batch queries keep the session default.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
     """Run the streaming DataFrame to completion into a memory sink."""
     name = f"stream_result_{os.getpid()}_{next(_name_counter)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
