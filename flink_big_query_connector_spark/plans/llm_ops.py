@@ -568,3 +568,54 @@ def register_views_for_udtf(spark: SparkSession, sf_dir: str) -> None:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
+
+
+@register(
+    "b10_two_phase_count_distinct",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "skew"),
+)
+def b10_two_phase_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread exact distinct count: COUNT(DISTINCT user_id) over a
+    low-cardinality hot key via two-phase (key, x) pre-aggregation — the
+    100 TB shape where the single-reducer-per-key plan falls over."""
+    from ..operators.skew import two_phase_count_distinct
+
+    t = load_tables(spark, sf_dir)
+    return two_phase_count_distinct(t["events"], "event_type", "user_id")
+
+
+@register(
+    "b08_salted_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "skew"),
+)
+def b08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a hot key: partials per
+    (key, salt), exact decimal merge per key.  Result is identical to the
+    direct groupBy (decimal sums are order-independent)."""
+    from ..functions.numeric import dbl, dec
+    from ..operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    out = salted_agg(
+        t["events"],
+        "event_type",
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value_d": (F.sum(dec(F.col("value"))), F.sum("sum_value_d")),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        dbl(F.col("sum_value_d")).alias("sum_value"),
+    )
