@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) — invariants the example-based suite
+can't sweep: arbitrary batch shapes for the chunker, arbitrary replay
+points for the offset-trim logic, arbitrary schemas for the type mapping.
+(The reference has no property tests at all — SURVEY §5.1.)"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_big_query_connector_spark.schema.transformer import (
+    bq_schema_to_struct_type,
+    struct_type_to_bq_schema,
+)
+from flink_big_query_connector_spark.streaming.batching import (
+    chunk_rows,
+    json_size_of,
+)
+from flink_big_query_connector_spark.streaming.config import BatchTriggerSettings
+
+# ---------------------------------------------------------------------------
+# chunk_rows invariants (reference BatchTrigger semantics)
+# ---------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.fixed_dictionaries(
+        {"k": st.integers(0, 9), "v": st.text(max_size=40)}
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=rows_strategy,
+    max_count=st.integers(1, 20),
+    max_bytes=st.integers(10, 2000),
+)
+def test_chunker_partitions_losslessly_and_respects_bounds(
+    rows, max_count, max_bytes
+):
+    settings_ = BatchTriggerSettings(max_count=max_count, max_bytes=max_bytes)
+    chunks = list(chunk_rows(rows, settings_))
+    # lossless, order-preserving partition
+    assert [r for c in chunks for r in c] == rows
+    assert all(c for c in chunks)
+    for i, c in enumerate(chunks):
+        # count bound is hard
+        assert len(c) <= max_count
+        # a chunk smaller than max_count must have fired on bytes —
+        # accumulated size crossed the bound — unless it is the tail
+        if len(c) < max_count and i < len(chunks) - 1:
+            assert sum(json_size_of(r) for r in c) >= max_bytes
+        # the size trigger fires ON the crossing element: every proper
+        # prefix stays under the byte bound
+        acc = 0
+        for r in c[:-1]:
+            acc += json_size_of(r)
+            assert acc < max_bytes
+
+
+# ---------------------------------------------------------------------------
+# ALREADY_EXISTS trim: replay from any point is exactly-once
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n_rows=st.integers(1, 30),
+    replay_from=st.integers(0, 29),
+)
+def test_offset_trim_replay_is_exactly_once(tmp_path_factory, n_rows, replay_from):
+    from flink_big_query_connector_spark.sources.fake_bigquery import FakeBigQuery
+    from flink_big_query_connector_spark.streaming.config import WriterSettings
+    from flink_big_query_connector_spark.streaming.sinks import write_with_retry
+
+    replay_from = min(replay_from, n_rows)
+    bq = FakeBigQuery(str(tmp_path_factory.mktemp("bq")))
+    table = "p.d.trim"
+    stream = bq.create_write_stream(table, "BUFFERED")
+    rows = [{"i": i} for i in range(n_rows)]
+    # first attempt persisted a prefix, then "crashed"
+    if replay_from:
+        bq.append(table, stream, rows[:replay_from], 0)
+    # full replay at offset 0: trim must skip the stored prefix
+    write_with_retry(bq, table, stream, rows, 0, WriterSettings())
+    bq.flush_rows(table, stream, n_rows - 1)
+    got = [r["i"] for r in bq.read_rows(table)]
+    assert got == list(range(n_rows))
+
+
+# ---------------------------------------------------------------------------
+# schema mapping round-trip
+# ---------------------------------------------------------------------------
+
+scalar_types = st.sampled_from(
+    ["BOOL", "BYTES", "DATE", "DATETIME", "FLOAT64", "INT64", "STRING",
+     "TIMESTAMP", "NUMERIC", "JSON", "GEOGRAPHY", "TIME"]
+)
+
+
+def field_strategy(depth: int = 2):
+    names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+    scalar = st.builds(
+        lambda n, t, m: {"name": n, "type": t, "mode": m},
+        names,
+        scalar_types,
+        st.sampled_from(["NULLABLE", "REQUIRED", "REPEATED"]),
+    )
+    if depth == 0:
+        return scalar
+    nested = st.builds(
+        lambda n, fs, m: {
+            "name": n, "type": "STRUCT", "mode": m, "fields": fs
+        },
+        names,
+        st.lists(field_strategy(depth - 1), min_size=1, max_size=3,
+                 unique_by=lambda f: f["name"]),
+        st.sampled_from(["NULLABLE", "REQUIRED", "REPEATED"]),
+    )
+    return st.one_of(scalar, nested)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    fields=st.lists(field_strategy(), min_size=1, max_size=5,
+                    unique_by=lambda f: f["name"])
+)
+def test_bq_schema_round_trip_preserves_structure(fields):
+    schema = {"fields": fields}
+    struct = bq_schema_to_struct_type(schema)
+    back = struct_type_to_bq_schema(struct)
+
+    def norm(f):
+        out = {
+            "name": f["name"],
+            "mode": f.get("mode") or "NULLABLE",
+        }
+        # lossy-by-design carriers (SURVEY §1.2): GEOGRAPHY/TIME/JSON ride
+        # as STRING, FLOAT64 returns as its canonical name
+        t = f["type"]
+        out["type"] = {"GEOGRAPHY": "STRING", "TIME": "STRING",
+                       "JSON": "STRING"}.get(t, t)
+        if t == "STRUCT":
+            out["fields"] = [norm(x) for x in f["fields"]]
+        return out
+
+    def norm_back(f):
+        out = {"name": f["name"], "mode": f.get("mode") or "NULLABLE",
+               "type": f["type"]}
+        if f["type"] == "STRUCT":
+            out["fields"] = [norm_back(x) for x in f["fields"]]
+        return out
+
+    assert [norm_back(f) for f in back["fields"]] == [norm(f) for f in fields]
