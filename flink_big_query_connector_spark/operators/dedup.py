@@ -453,3 +453,61 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# -- near-dup clustering (connected components) ------------------------------
+
+
+def connected_components(
+    pairs_df: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Connected components over an undirected pair graph: every node gets
+    ``cluster_id`` = the minimum node id reachable from it.
+
+    Iterative min-label propagation (the Pregel pattern as DataFrame
+    joins): each round every node adopts min(own label, neighbors'
+    labels); converges in O(graph diameter) rounds.  Near-dup graphs are
+    overwhelmingly tiny cliques, so 2-3 rounds settle real corpora; each
+    round is one shuffle join on node id.  The loop is driver-side control
+    flow only — data never leaves executors.
+    """
+    edges = (
+        pairs_df.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs_df.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -619,3 +619,32 @@ def b08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         dbl(F.col("sum_value_d")).alias("sum_value"),
     )
+
+
+def _cluster_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({_minhash_oracle()})
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@register("llm_dedup_cluster", oracle=_cluster_oracle(), tags=("dedup",))
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation) — the 'apply' step that turns
+    pairwise matches into keep/drop groups; cluster_id = min doc_id in the
+    component, matching a recursive-CTE oracle."""
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(t["documents"], "doc_id", "text", 0.8)
+    return dedup.connected_components(pairs)
