@@ -648,3 +648,65 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pairs = dedup.minhash_neardup_pairs(t["documents"], "doc_id", "text", 0.8)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "llm_text_quality_filter",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks
+                   FROM documents)
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM d
+        WHERE len(toks) BETWEEN 20 AND 2000
+          AND length(text) / len(toks) <= 12
+          AND len(regexp_extract_all(text, '[.,;:!?]')) * 4 <= len(toks)
+    """,
+    tags=("text",),
+)
+def llm_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate (the Gopher-rules shape): token-count range,
+    mean-token-length bound, punctuation-ratio bound — pure pushed-down
+    Catalyst predicates over the feature expressions."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(text.PUNCT_RE), 0)
+    ).cast("long")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+        .filter(
+            F.col("n_tokens").between(20, 2000)
+            & (F.length("text") / F.col("n_tokens") <= 12)
+            & (n_punct * 4 <= F.col("n_tokens"))
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ({_SQL_H60.format(x="'salt1:' || CAST(doc_id AS VARCHAR)")}) % 100
+              < CASE lang WHEN 'en' THEN 50 ELSE 80 END
+    """,
+    tags=("sampling",),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    per-language rates via a salted content-independent hash of the doc id
+    — reproducible on any cluster size, no RNG state to coordinate, and
+    re-running on grown data keeps previously-sampled ids stable."""
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    bucket = hash60_expr(
+        F.concat(F.lit("salt1:"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(80))
+    return (
+        t["documents"].filter(bucket < rate).select("doc_id", "lang")
+    )
