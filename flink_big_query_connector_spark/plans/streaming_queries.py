@@ -623,3 +623,41 @@ def b25_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).select("user_id", "event_id")
     out = stateful_batch_assign(ev, "user_id", "event_id", 50)
     return _run_to_table(out, "append")
+
+
+@register(
+    "b26_stream_state_tws",
+    oracle="""
+        WITH per_chunk AS (
+          SELECT user_id,
+                 CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                      WHEN ts < TIMESTAMP '2024-01-24' THEN 2
+                      ELSE 3 END AS chunk,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY chunk)
+                    - n AS BIGINT) AS base_offset,
+               CAST(n AS BIGINT) AS n
+        FROM per_chunk
+    """,
+    tags=("sink", "state"),
+)
+def b26_stream_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed write-stream offset assignment as a NATIVE stateful streaming
+    operator (applyInPandasWithState, Spark state store — the idiomatic A4
+    port; see keyed_offset_assignment_tws for why not the newer TWS API).
+    Each (key, micro-batch) emits its (base_offset, n) envelope;
+    offsets are gapless and monotonic per key across the four chunks, and
+    the oracle reproduces them from the chunk boundaries."""
+    from ..streaming.stream_state import keyed_offset_assignment_tws
+
+    load_tables(spark, sf_dir)
+    backend_root = tempfile.mkdtemp(prefix="fbq_tws_")
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    out = keyed_offset_assignment_tws(
+        ev, "user_id", backend_root, "proj.ds.events_tws"
+    )
+    return _run_to_table(out, "append")

@@ -127,3 +127,60 @@ __all__ = [
     "StreamFinalizedError",
     "DEFAULT_TTL_DAYS",
 ]
+
+
+# -- idiomatic Structured Streaming variant (state-store keyed operator) ----
+
+
+def keyed_offset_assignment_tws(
+    stream_df,
+    key_col: str,
+    backend_root: str,
+    table: str,
+):
+    """A4 as a native stateful streaming operator: per-key write-stream +
+    offset state in the Spark state store (the mapping SURVEY §2 prescribes
+    for ``StreamStateHandler``).
+
+    GroupState holds (stream_name, next_offset); on each micro-batch the
+    key's rows are appended to the key's BUFFERED stream at the stored
+    offset and one envelope row (key, base_offset, n) is emitted — the
+    ``Rows(data, offset, stream, table)`` analogue.  Checkpointed state
+    replaces the directory-backed handler; stream creation happens lazily
+    inside the keyed operator, as in the reference.
+
+    Implementation note: uses ``applyInPandasWithState`` — Spark 4's newer
+    ``transformWithStateInPandas`` runner needs the python protobuf stack,
+    which this environment lacks; the state semantics are identical for a
+    single ValueState.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(stream_df.sparkSession)
+
+    def assign(key, pdfs, state):
+        from ..sources.fake_bigquery import FakeBigQuery
+
+        client = FakeBigQuery(backend_root)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            stream, base = state.get[0], int(state.get[1])
+        else:
+            stream, base = client.create_write_stream(table, "BUFFERED"), 0
+        payload = batch.sort_values("event_id").to_dict("records")
+        client.append(table, stream, payload, base)
+        state.update((stream, base + len(payload)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "base_offset": [base], "n": [len(payload)]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        assign,
+        f"{key_col} long, base_offset long, n long",
+        "name string, next_offset long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
