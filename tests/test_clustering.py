@@ -1,0 +1,63 @@
+"""connected_components convergence tests.
+
+The near-dup pair graphs in TESTDATA are almost all 2-cliques, which
+converge in one round — these tests force multi-round propagation (chains)
+and check against a pure-Python union-find on random graphs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from flink_big_query_connector_spark.operators.dedup import connected_components
+
+
+def _cc_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.doc_id: r.cluster_id for r in connected_components(df).collect()
+    }
+
+
+def test_chain_converges_to_min_label(spark):
+    # 0-1-2-3-4-5: diameter 5 forces several propagation rounds
+    edges = [(i, i + 1) for i in range(5)]
+    got = _run(spark, edges)
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_two_components_and_a_clique(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_random_graphs_match_union_find(spark):
+    # fixed-seed random graphs (a hypothesis sweep costs minutes of Spark
+    # jobs; three seeded graphs cover mixed component shapes)
+    rng = random.Random(7)
+    for _ in range(3):
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(16), 2)))
+                for _ in range(rng.randint(5, 20))
+            }
+        )
+        assert _run(spark, edges) == _cc_reference(edges)
