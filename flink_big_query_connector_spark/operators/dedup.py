@@ -483,22 +483,31 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .persist()
     )
-    while True:
+    def propagate(lbls):
         neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(lbls, edges.v == lbls.node)
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()
+        return lbls.join(
+            neighbor_min, lbls.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
+
+    while True:
+        # two propagation rounds per convergence check: each check is a
+        # full Spark action, and label propagation is monotone, so an
+        # extra round never changes the fixpoint — it halves driver
+        # round-trips on deep graphs for one wasted round at the end
+        # localCheckpoint truncates lineage: without it every round's plan
+        # re-analyzes the whole prior iteration chain and driver-side
+        # planning grows linearly with rounds (use checkpoint() on a real
+        # cluster for fault tolerance)
+        new_labels = propagate(propagate(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
