@@ -1,0 +1,80 @@
+"""Plan-level proofs of the 100 TB layout claims.
+
+These assert on the PHYSICAL PLAN, not just results: partition pruning for
+the cell-partitioned ANN layout, bucketed co-located joins eliminating the
+shuffle, and filter/column pushdown reaching the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    from flink_big_query_connector_spark.operators.similarity import ivf_cells
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cells = ivf_cells(emb, "vec_id", "embedding")
+    out = str(tmp_path / "ivf_layout")
+    cells.write.partitionBy("cell").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("cell") == 3)
+    plan = _plan(probe)
+    # the cell predicate must become a partition filter on the scan —
+    # a probe then reads one directory, not the corpus
+    assert "PartitionFilters: [isnotnull(cell" in plan
+    assert "(cell" in plan.split("PartitionFilters")[1][:80]
+    got_cells = {r.cell for r in probe.select("cell").distinct().collect()}
+    assert got_cells <= {3}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        (
+            orders.write.bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("t_orders_b")
+        )
+        (
+            li.write.bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("t_lineitem_b")
+        )
+        j = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        # bucketed layout co-locates both sides: a sort-merge join with NO
+        # exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the result is still correct
+        n = j.count()
+        assert n == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity," in plan
+    # column pruning: the read schema carries only the two projected columns
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
