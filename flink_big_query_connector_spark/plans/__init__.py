@@ -5,6 +5,7 @@ Importing this package populates the registry with every declared query;
 """
 
 from . import relational  # noqa: F401
+from . import tpch_extra  # noqa: F401
 
 try:  # modules added incrementally; keep the registry importable throughout
     from . import llm_ops  # noqa: F401

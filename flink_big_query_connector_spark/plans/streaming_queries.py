@@ -406,6 +406,30 @@ def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, "append")
 
 
+@register(
+    "b24_stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def b24_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: unlike plain streaming dedup, key
+    state is EVICTED once the watermark passes first-seen + delay — the
+    production-safe variant (bounded state at 100 TB: state size ~ keys per
+    delay window, not keys ever seen).  With a delay exceeding the replayed
+    event-time span nothing is evicted mid-run, so the emitted key set
+    equals batch DISTINCT exactly; the state-store semantics still run for
+    real across the four micro-batches."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_type", "etime")
+        .withWatermark("etime", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(out, "append")
+
+
 # ---------------------------------------------------------------------------
 # B25 — declarative batching (reference BatchTrigger/RowBatcher semantics)
 # ---------------------------------------------------------------------------
