@@ -1,0 +1,145 @@
+"""Connector-path queries: data flows THROUGH the fakebigquery DataSource
+(write then read back) before being aggregated, so the oracle checks the
+whole connector round-trip — serialization, stream bookkeeping, visibility,
+partitioned reads, and filter pushdown — not just the final aggregation.
+
+JSON round-trips are exact for the column set used (int64, repr'd doubles,
+strings), so the DuckDB oracle over the ORIGINAL parquet is bitwise-valid
+for the post-roundtrip aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dbl, dec
+from ..sources import bq_datasource as dsrc
+from ..sources.tables import load_tables
+from .registry import register
+
+
+def _fresh_root() -> str:
+    return tempfile.mkdtemp(prefix="fakebq_ds_")
+
+
+def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with JSON-exact column types (ts as integer micros)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("mts"),
+    )
+
+
+@register(
+    "b26_dsv2_roundtrip",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE value > 50.0 AND event_type IN ('click', 'purchase')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("connector", "sink", "source"),
+)
+def b26_dsv2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write -> partitioned read with pushed filters -> aggregate.
+
+    The write is the at-least-once default-stream append; the read plans
+    (stream, row-range) splits and evaluates the ``value > 50 AND
+    event_type IN (...)`` restriction inside the partition reader (Spark's
+    plan shows a bare BatchScan, no Filter node).  At 100 TB the same
+    query shape fans out to thousands of read ranges."""
+    dsrc.register(spark)
+    root = _fresh_root()
+    table = "proj/ds/events_rt"
+    ev = _events_typed(spark, sf_dir)
+    (
+        ev.write.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        back.filter(
+            (F.col("value") > 50.0)
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "b26_dsv2_stream_exactly_once",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("connector", "sink", "streaming"),
+)
+def b26_dsv2_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming write through the DataSource 2PC path: every
+    micro-batch partition appends to a fresh BUFFERED stream at explicit
+    offsets and the epoch commit flushes them (visibility atomic with the
+    checkpoint — `sink/buffered/BigQuerySinkCommitter.java:23-50`).  The
+    visible row set after AvailableNow completion equals the input exactly
+    (no dupes, no loss), checked per event_type."""
+    from .streaming_queries import _events_stream, _stream_partitions
+
+    dsrc.register(spark)
+    root = _fresh_root()
+    table = "proj/ds/events_eo"
+    stream_df = _events_stream(spark, sf_dir).drop("etime")
+    typed = stream_df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("mts"),
+    )
+    ckpt = os.path.join(root, "_ckpt")
+    with _stream_partitions(spark):
+        q = (
+            typed.writeStream.format(dsrc.SOURCE_NAME)
+            .option("root", root)
+            .option("table", table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

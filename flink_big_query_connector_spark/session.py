@@ -79,6 +79,9 @@ def get_spark(
         # Test parquet carries TIMESTAMP(NANOS); read as NTZ (Spark truncates
         # to micros, matching duckdb's microsecond timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource readers (sources/bq_datasource.py) declare
+        # pushFilters(); Spark requires this opt-in to call it.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -104,6 +107,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         ),
+        # required for Python DataSource filter pushdown (bq_datasource)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

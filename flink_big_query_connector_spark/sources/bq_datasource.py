@@ -1,0 +1,460 @@
+"""``fakebigquery`` — a Spark DataSource (Python DataSource API, Spark 4)
+over the FakeBigQuery backend.
+
+This is the connector-shaped surface of the engine.  The reference is a
+Flink *sink* connector (`BigQueryStreamSink.java:50-55`); Spark's native
+connector contract is DataSource V2, so the engine exposes the same
+capabilities idiomatically:
+
+- **batch write** = the reference's at-least-once default-stream append
+  (`sink/defaultStream/BigQueryDefaultSinkWriter.java:60-80`): per-task
+  chunked appends bounded by the 10 MB AppendRows limit (proactive
+  equivalent of the split-on-too-large path,
+  `sink/buffered/BigQueryBufferedSinkWriter.java:167-173`);
+- **streaming write** = the reference's exactly-once buffered-stream 2PC
+  (`sink/buffered/BigQuerySinkCommitter.java:23-50`): each task appends to
+  a fresh BUFFERED stream at explicit offsets and the driver-side
+  ``commit(messages, batchId)`` flushes them — visibility is atomic with
+  epoch commit, and a crash before commit leaves the partial streams
+  invisible forever (``abort`` finalizes them).  ``WriterCommitMessage`` is
+  the structural twin of ``BigQueryCommittable`` (SURVEY §3.2);
+- **read** = new scope the reference lacks (it never reads): partitioned
+  scans with filter pushdown, shaped like the BigQuery Storage READ API —
+  one input partition per (stream, row-range) "read stream", pushed
+  filters applied server-side (here: inside the partition reader) as a row
+  restriction.  At 100 TB the analogue is a read session fanning out to
+  thousands of ranges; parallelism is the ``partitions`` option, decoupled
+  from file layout.
+
+Schema travels with the table (``schema.json`` written at commit), mirroring
+the reference's fetch-schema-at-writer-creation behavior
+(`client/BigQueryProtoClientProvider.java:45-46,89-101`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Iterable, Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from .fake_bigquery import DEFAULT_STREAM, FakeBigQuery, default_stream_name
+
+SOURCE_NAME = "fakebigquery"
+_DEFAULT_READ_PARTITIONS = 8
+_DEFAULT_BATCH_ROWS = 1000
+
+
+# ---------------------------------------------------------------------------
+# schema persistence (the "live table schema" the connector fetches)
+# ---------------------------------------------------------------------------
+
+
+def _schema_path(root: str, table: str) -> str:
+    return os.path.join(root, "tables", table.replace("/", "__"), "schema.json")
+
+
+def _save_schema(root: str, table: str, schema: StructType) -> None:
+    path = _schema_path(root, table)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(schema.json())
+    os.replace(tmp, path)
+
+
+def _load_schema(root: str, table: str) -> StructType:
+    path = _schema_path(root, table)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"fakebigquery: no schema for table '{table}' under '{root}' — "
+            "write the table first or pass .schema(...) explicitly"
+        )
+    with open(path) as f:
+        return StructType.fromJson(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# JSON <-> typed-row coercion
+# ---------------------------------------------------------------------------
+
+
+def _coerce(v: Any, dt: DataType) -> Any:
+    """JSON-decoded value -> Python value for ``dt`` (rows are stored as
+    JSON lines by the backend; timestamps/decimals arrive as strings)."""
+    if v is None:
+        return None
+    if isinstance(dt, (LongType, IntegerType)):
+        return int(v)
+    if isinstance(dt, (DoubleType, FloatType)):
+        return float(v)
+    if isinstance(dt, StringType):
+        return str(v)
+    if isinstance(dt, BooleanType):
+        return bool(v)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return v if isinstance(v, datetime) else datetime.fromisoformat(str(v))
+    if isinstance(dt, DateType):
+        return v if isinstance(v, date) else date.fromisoformat(str(v))
+    if isinstance(dt, DecimalType):
+        return Decimal(str(v))
+    if isinstance(dt, ArrayType):
+        return [_coerce(x, dt.elementType) for x in v]
+    return v
+
+
+def _json_default(v: Any) -> Any:
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)  # datetime/date -> ISO text
+
+
+# ---------------------------------------------------------------------------
+# filter evaluation (the connector-side "row restriction")
+# ---------------------------------------------------------------------------
+
+_SIMPLE_FILTERS = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+    StringStartsWith,
+    StringEndsWith,
+    StringContains,
+)
+
+
+def _supported(f: Filter) -> bool:
+    inner = f.child if isinstance(f, Not) else f
+    return isinstance(inner, _SIMPLE_FILTERS) and len(inner.attribute) == 1
+
+
+def _eval_filter(f: Filter, row: dict) -> bool:
+    if isinstance(f, Not):
+        return not _eval_filter(f.child, row)
+    v = row.get(f.attribute[0])
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return False  # SQL three-valued logic: NULL comparisons don't match
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    if isinstance(f, In):
+        return v in f.value
+    if isinstance(f, StringStartsWith):
+        return isinstance(v, str) and v.startswith(f.value)
+    if isinstance(f, StringEndsWith):
+        return isinstance(v, str) and v.endswith(f.value)
+    if isinstance(f, StringContains):
+        return isinstance(v, str) and f.value in v
+    raise AssertionError(f"unreachable: {f}")
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _RangeSplit(InputPartition):
+    """A (stream, row-range) split — the unit of read parallelism, like one
+    stream of a BigQuery Storage read session."""
+
+    stream: str
+    start: int
+    end: int
+
+
+class FakeBigQueryReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.out_schema = schema
+        self.root = options["root"]
+        self.table = options["table"]
+        self.only_visible = str(options.get("only_visible", "true")).lower() == "true"
+        self.num_partitions = int(
+            options.get("partitions", _DEFAULT_READ_PARTITIONS)
+        )
+        self.filters: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Accept every single-column comparison we can evaluate row-side
+        (the Storage READ API row-restriction analogue); hand anything else
+        back to Spark."""
+        unsupported = []
+        for f in filters:
+            if _supported(f):
+                self.filters.append(f)
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Plan (stream, row-range) splits proportional to stream sizes.
+
+        Planning reads only stream METADATA (row counts), never data — the
+        driver-side cost is O(#streams) however large the table is."""
+        bq = FakeBigQuery(self.root)
+        sizes: list[tuple[str, int]] = []
+        for stream in bq.list_streams(self.table):
+            info = bq.get_write_stream(self.table, stream)
+            n = info.flushed if self.only_visible else info.offset
+            if n > 0:
+                sizes.append((stream, n))
+        total = sum(n for _, n in sizes)
+        if total == 0:
+            return [_RangeSplit(DEFAULT_STREAM, 0, 0)]
+        splits: list[_RangeSplit] = []
+        for stream, n in sizes:
+            k = max(1, min(n, round(self.num_partitions * n / total)))
+            step = math.ceil(n / k)
+            for s in range(0, n, step):
+                splits.append(_RangeSplit(stream, s, min(s + step, n)))
+        return splits
+
+    def read(self, partition: _RangeSplit) -> Iterator[Tuple]:
+        if partition.end <= partition.start:
+            return
+        bq = FakeBigQuery(self.root)
+        data_path, _ = bq._stream_paths(self.table, partition.stream)
+        fields = self.out_schema.fields
+        filters = self.filters
+        with open(data_path) as f:
+            for i, line in enumerate(f):
+                if i < partition.start:
+                    continue
+                if i >= partition.end:
+                    break
+                raw = json.loads(line)
+                row = {
+                    fld.name: _coerce(raw.get(fld.name), fld.dataType)
+                    for fld in fields
+                }
+                if all(_eval_filter(flt, row) for flt in filters):
+                    yield tuple(row[fld.name] for fld in fields)
+
+
+# ---------------------------------------------------------------------------
+# batch writer (at-least-once, default stream)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _AppendResult(WriterCommitMessage):
+    rows: int
+    appends: int
+
+
+class FakeBigQueryBatchWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["root"]
+        self.table = options["table"]
+        self.batch_rows = int(options.get("batch_rows", _DEFAULT_BATCH_ROWS))
+        self.max_bytes = int(options.get("max_append_bytes", 0)) or None
+
+    def _chunks(self, iterator) -> Iterator[list[dict]]:
+        """Count- and byte-bounded chunking: stay under the AppendRows limit
+        proactively instead of splitting reactively."""
+        bq_limit = self.max_bytes or FakeBigQuery(self.root).max_append_bytes
+        budget = bq_limit // 2  # headroom: JSON size estimate is pre-framing
+        buf: list[dict] = []
+        size = 0
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            sz = len(json.dumps(d, sort_keys=True, default=_json_default)) + 1
+            if buf and (len(buf) >= self.batch_rows or size + sz > budget):
+                yield buf
+                buf, size = [], 0
+            buf.append(d)
+            size += sz
+        if buf:
+            yield buf
+
+    def write(self, iterator) -> _AppendResult:
+        bq = FakeBigQuery(self.root)
+        stream = default_stream_name(self.table)
+        rows = appends = 0
+        for chunk in self._chunks(iterator):
+            bq.append(self.table, stream, chunk, offset=-1)
+            rows += len(chunk)
+            appends += 1
+        return _AppendResult(rows=rows, appends=appends)
+
+    def commit(self, messages) -> None:
+        _save_schema(self.root, self.table, self.schema)
+
+    def abort(self, messages) -> None:
+        # Default-stream appends are immediately visible: at-least-once, a
+        # failed job may leave rows behind — exactly the reference's
+        # default-sink guarantee (job restart implies possible duplicates).
+        pass
+
+
+# ---------------------------------------------------------------------------
+# streaming writer (exactly-once, buffered streams + 2PC)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _BufferedResult(WriterCommitMessage):
+    stream: str
+    rows: int
+
+
+class FakeBigQueryStreamWriter(DataSourceStreamWriter):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["root"]
+        self.table = options["table"]
+        self.batch_rows = int(options.get("batch_rows", _DEFAULT_BATCH_ROWS))
+
+    def write(self, iterator) -> _BufferedResult:
+        """Append this partition's rows to a FRESH buffered stream at
+        explicit offsets.  Rows are invisible until the epoch commit —
+        a replay after a crash re-writes into a new stream and the orphan
+        stays unflushed, so visibility is exactly-once."""
+        bq = FakeBigQuery(self.root)
+        stream = bq.create_write_stream(
+            self.table, "BUFFERED",
+            name=f"{self.table}/streams/ep_{uuid.uuid4().hex[:16]}",
+        )
+        writer = FakeBigQueryBatchWriter.__new__(FakeBigQueryBatchWriter)
+        writer.schema, writer.root, writer.table = self.schema, self.root, self.table
+        writer.batch_rows, writer.max_bytes = self.batch_rows, None
+        offset = 0
+        for chunk in writer._chunks(iterator):
+            offset = bq.append(self.table, stream, chunk, offset=offset)
+        return _BufferedResult(stream=stream, rows=offset)
+
+    def commit(self, messages, batchId: int) -> None:
+        """FlushRows per stream — the committer half of the 2PC
+        (`sink/buffered/BigQuerySinkCommitter.java:23-50`); flushing at or
+        below the current point is tolerated, so commit replay is a no-op."""
+        bq = FakeBigQuery(self.root)
+        for m in messages:
+            if m is not None and m.rows > 0:
+                bq.flush_rows(self.table, m.stream, m.rows - 1)
+        _save_schema(self.root, self.table, self.schema)
+
+    def abort(self, messages, batchId: int) -> None:
+        """Finalize (never flush) the epoch's streams: buffered rows stay
+        permanently invisible."""
+        bq = FakeBigQuery(self.root)
+        for m in messages:
+            if m is not None:
+                try:
+                    bq.finalize_stream(self.table, m.stream)
+                except Exception:
+                    pass  # stream may not exist if the task died pre-create
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+class FakeBigQueryDataSource(DataSource):
+    """``spark.read.format("fakebigquery").option("root", ...).option("table", ...)``.
+
+    Options: ``root`` (backend directory), ``table``, ``partitions`` (read
+    parallelism), ``only_visible`` (read uncommitted rows when false),
+    ``batch_rows`` / ``max_append_bytes`` (writer chunking).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def _opts(self) -> dict:
+        for req in ("root", "table"):
+            if req not in self.options:
+                raise ValueError(f"fakebigquery: missing required option '{req}'")
+        return dict(self.options)
+
+    def schema(self) -> StructType:
+        opts = self._opts()
+        return _load_schema(opts["root"], opts["table"])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return FakeBigQueryReader(schema, self._opts())
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        opts = self._opts()
+        if overwrite:
+            import shutil
+
+            table_dir = os.path.join(
+                opts["root"], "tables", opts["table"].replace("/", "__")
+            )
+            shutil.rmtree(table_dir, ignore_errors=True)
+        return FakeBigQueryBatchWriter(schema, opts)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return FakeBigQueryStreamWriter(schema, self._opts())
+
+
+def register(spark) -> None:
+    """Register the source for this session (idempotent).
+
+    Ships the package to executor Python workers first: DataSource classes
+    are pickled by reference, so workers must be able to import this
+    module regardless of the driver's cwd/sys.path."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(FakeBigQueryDataSource)

@@ -1,0 +1,171 @@
+"""The fakebigquery Python DataSource: batch/streaming writes, partitioned
+reads, filter pushdown, and 2PC visibility semantics.
+
+Mirrors the reference's sink contract tests (`BigQueryDefaultSinkTest.java`,
+`BigQueryBufferedSinkTest.java`) on Spark's native connector surface.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_big_query_connector_spark.sources import bq_datasource as dsrc
+from flink_big_query_connector_spark.sources.fake_bigquery import FakeBigQuery
+
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "bq")
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    dsrc.register(spark)
+
+
+def _sample_df(spark, n=100):
+    return spark.createDataFrame(
+        [Row(id=i, name=f"name_{i % 7}", score=float(i) / 2) for i in range(n)],
+        SCHEMA,
+    )
+
+
+def _write(df, root, table, mode="overwrite"):
+    df.write.format(dsrc.SOURCE_NAME).option("root", root).option(
+        "table", table
+    ).mode(mode).save()
+
+
+def _read(spark, root, table, **opts):
+    r = spark.read.format(dsrc.SOURCE_NAME).option("root", root).option(
+        "table", table
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_batch_roundtrip(spark, root):
+    df = _sample_df(spark)
+    _write(df, root, "p/d/t")
+    back = _read(spark, root, "p/d/t")
+    assert back.schema == SCHEMA
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_append_mode_accumulates(spark, root):
+    df = _sample_df(spark, 10)
+    _write(df, root, "p/d/t")
+    _write(df, root, "p/d/t", mode="append")
+    assert _read(spark, root, "p/d/t").count() == 20
+
+
+def test_overwrite_replaces(spark, root):
+    _write(_sample_df(spark, 50), root, "p/d/t")
+    _write(_sample_df(spark, 10), root, "p/d/t", mode="overwrite")
+    assert _read(spark, root, "p/d/t").count() == 10
+
+
+def test_read_partition_planning(spark, root):
+    """Reads split into (stream, row-range) splits honoring `partitions`."""
+    _write(_sample_df(spark, 1000).repartition(1), root, "p/d/t")
+    back = _read(spark, root, "p/d/t", partitions=6)
+    assert back.rdd.getNumPartitions() >= 6
+    assert back.count() == 1000
+
+
+def test_filter_pushdown_results(spark, root):
+    df = _sample_df(spark, 200)
+    _write(df, root, "p/d/t")
+    back = _read(spark, root, "p/d/t")
+    got = back.filter(
+        (F.col("score") > 10.0) & F.col("name").isin("name_1", "name_2")
+    )
+    want = df.filter(
+        (F.col("score") > 10.0) & F.col("name").isin("name_1", "name_2")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_filter_pushdown_reaches_reader(spark, root):
+    """Supported predicates vanish from the Spark plan (evaluated reader-side,
+    the row-restriction analogue of the Storage READ API)."""
+    _write(_sample_df(spark, 50), root, "p/d/t")
+    back = _read(spark, root, "p/d/t").filter(F.col("id") > 25)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" not in plan or "GreaterThan" in plan
+    assert back.count() == 24
+
+
+def test_chunked_appends_bounded(spark, root):
+    """Writer chunks by count: 100 rows at batch_rows=30 -> >=4 appends."""
+    df = _sample_df(spark, 100).repartition(1)
+    (
+        df.write.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "p/d/t")
+        .option("batch_rows", "30")
+        .mode("overwrite")
+        .save()
+    )
+    assert _read(spark, root, "p/d/t").count() == 100
+
+
+def test_streaming_write_exactly_once_visibility(spark, root, tmp_path):
+    """AvailableNow stream through the 2PC writer: all rows visible after
+    the epoch commit, none before via only_visible=true on orphans."""
+    src_dir = str(tmp_path / "src")
+    _sample_df(spark, 60).coalesce(2).write.parquet(src_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        stream.writeStream.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "p/d/st")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _read(spark, root, "p/d/st").count() == 60
+
+
+def test_unflushed_buffered_rows_invisible(spark, root):
+    """Rows appended to a buffered stream without FlushRows stay invisible
+    to the reader (the crash-before-commit case)."""
+    _write(_sample_df(spark, 20), root, "p/d/t")
+    bq = FakeBigQuery(root)
+    s = bq.create_write_stream("p/d/t", "BUFFERED")
+    bq.append("p/d/t", s, [{"id": 999, "name": "orphan", "score": 0.0}], offset=0)
+    assert _read(spark, root, "p/d/t").count() == 20
+    assert _read(spark, root, "p/d/t", only_visible="false").count() == 21
+
+
+def test_schema_persisted_and_loaded(spark, root):
+    _write(_sample_df(spark, 5), root, "p/d/t")
+    back = spark.read.format(dsrc.SOURCE_NAME).option("root", root).option(
+        "table", "p/d/t"
+    ).load()
+    assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
+
+
+def test_missing_table_raises(spark, root):
+    with pytest.raises(Exception, match="no schema"):
+        _read(spark, root, "p/d/absent").count()
