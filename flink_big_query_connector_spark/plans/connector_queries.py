@@ -10,6 +10,7 @@ for the post-roundtrip aggregate.
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
 
@@ -24,6 +25,9 @@ from .registry import register
 
 def _fresh_root() -> str:
     return tempfile.mkdtemp(prefix="fakebq_ds_")
+
+
+_name_counter = itertools.count()
 
 
 def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,3 +147,70 @@ def b26_dsv2_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "b26_dsv2_stream_read",
+    oracle="""
+        SELECT user_id % 16 AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events
+        GROUP BY user_id % 16
+        ORDER BY user_bucket
+    """,
+    tags=("connector", "source", "streaming"),
+)
+def b26_dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream OUT of the backend: ``readStream.format("fakebigquery")``.
+
+    The source's offsets are per-write-stream visible row counts (the READ
+    API cursor analogue); micro-batches cover the newly visible delta as
+    range splits.  Here the table is loaded once, so the stream drains it
+    in offset-bounded batches and the complete-mode aggregate over the
+    memory sink must equal the batch aggregate exactly — exactly-once
+    source semantics, the read-side mirror of `b26_dsv2_stream_exactly_once`.
+    """
+    from .streaming_queries import _stream_partitions
+
+    dsrc.register(spark)
+    root = _fresh_root()
+    table = "proj/ds/events_sr"
+    ev = _events_typed(spark, sf_dir)
+    (
+        ev.write.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+    stream = (
+        spark.readStream.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .option("stream_rows_per_partition", "25000")
+        .load()
+    )
+    agg = (
+        stream.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+    name = f"dsv2_stream_read_{os.getpid()}_{next(_name_counter)}"
+    ckpt = os.path.join(root, "_ckpt_read")
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("user_bucket")

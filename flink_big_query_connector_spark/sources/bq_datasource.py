@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import uuid
 from dataclasses import dataclass
 from datetime import date, datetime
@@ -45,6 +46,7 @@ from typing import Any, Iterable, Iterator, List, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -289,6 +291,72 @@ class FakeBigQueryReader(DataSourceReader):
 
 
 # ---------------------------------------------------------------------------
+# streaming reader (change capture over write streams)
+# ---------------------------------------------------------------------------
+
+
+class FakeBigQueryStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the backend's write streams.
+
+    An offset is ``{stream_name: visible_row_count}`` — the structural twin
+    of the BigQuery Storage READ API's per-stream cursor, and the read-side
+    mirror of the write-side offsets the reference tracks per stream
+    (`process/StreamState.java:47-49`).  Each micro-batch covers the delta
+    ``start[s]..end[s]`` per stream, split into range partitions, so a
+    table being appended to (by the default-stream or 2PC sink) is
+    consumable as an exactly-once stream: rows enter an epoch exactly when
+    they become *visible* (buffered rows appear only after FlushRows).
+
+    Planning touches stream metadata only — O(#streams) per trigger
+    regardless of table size.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.out_schema = schema
+        self.root = options["root"]
+        self.table = options["table"]
+        self.rows_per_partition = int(options.get("stream_rows_per_partition", 10_000))
+
+    def _snapshot(self) -> dict:
+        bq = FakeBigQuery(self.root)
+        out = {}
+        for stream in bq.list_streams(self.table):
+            n = bq.get_write_stream(self.table, stream).flushed
+            if n > 0:
+                out[stream] = n
+        return out
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        return self._snapshot()
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        splits: list[_RangeSplit] = []
+        for stream, hi in end.items():
+            lo = int(start.get(stream, 0))
+            hi = int(hi)
+            for s in range(lo, hi, self.rows_per_partition):
+                splits.append(_RangeSplit(stream, s, min(s + self.rows_per_partition, hi)))
+        # Spark requires >=1 partition per batch; an empty batch reads nothing.
+        return splits or [_RangeSplit(DEFAULT_STREAM, 0, 0)]
+
+    def read(self, partition: _RangeSplit) -> Iterator[Tuple]:
+        reader = FakeBigQueryReader.__new__(FakeBigQueryReader)
+        reader.out_schema = self.out_schema
+        reader.root, reader.table = self.root, self.table
+        reader.only_visible, reader.filters = True, []
+        return reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in Spark's checkpoint WAL
+
+    def stop(self) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
 # batch writer (at-least-once, default stream)
 # ---------------------------------------------------------------------------
 
@@ -447,14 +515,29 @@ class FakeBigQueryDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
         return FakeBigQueryStreamWriter(schema, self._opts())
 
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return FakeBigQueryStreamReader(schema, self._opts())
+
 
 def register(spark) -> None:
     """Register the source for this session (idempotent).
 
-    Ships the package to executor Python workers first: DataSource classes
-    are pickled by reference, so workers must be able to import this
-    module regardless of the driver's cwd/sys.path."""
-    from ..session import ensure_package_on_executors
+    Two delivery paths, because two kinds of Python workers deserialize the
+    DataSource:
 
-    ensure_package_on_executors(spark)
+    - executor data workers get the package via ``addPyFile``;
+    - the driver-side *streaming source planning runner*
+      (``python_streaming_source_runner.py``) is a separate process that
+      does NOT see pyFiles — so the connector's module closure is marked
+      pickle-by-value, making the pickled DataSource self-contained and
+      importable-from-nowhere."""
+    from pyspark import cloudpickle
+
+    from .. import session as _session
+    from ..streaming import errors as _errors
+    from . import fake_bigquery as _fbq
+
+    _session.ensure_package_on_executors(spark)
+    for mod in (_errors, _fbq, sys.modules[__name__]):
+        cloudpickle.register_pickle_by_value(mod)
     spark.dataSource.register(FakeBigQueryDataSource)

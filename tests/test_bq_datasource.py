@@ -169,3 +169,48 @@ def test_schema_persisted_and_loaded(spark, root):
 def test_missing_table_raises(spark, root):
     with pytest.raises(Exception, match="no schema"):
         _read(spark, root, "p/d/absent").count()
+
+
+def test_stream_read_incremental(spark, root, tmp_path):
+    """readStream over the backend: each micro-batch covers the newly
+    VISIBLE delta per write stream; appends made while the query runs are
+    picked up by later triggers, and unflushed buffered rows never appear."""
+    _write(_sample_df(spark, 30), root, "p/d/t")
+    stream = (
+        spark.readStream.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "p/d/t")
+        .option("stream_rows_per_partition", "10")
+        .load()
+    )
+    name = "dsv2_stream_read_test"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 30
+        bq = FakeBigQuery(root)
+        from flink_big_query_connector_spark.sources.fake_bigquery import (
+            default_stream_name,
+        )
+        bq.append(
+            "p/d/t",
+            default_stream_name("p/d/t"),
+            [{"id": 100 + i, "name": "late", "score": 1.0} for i in range(5)],
+            offset=-1,
+        )
+        # buffered-but-unflushed rows must NOT enter any epoch
+        s = bq.create_write_stream("p/d/t", "BUFFERED")
+        bq.append("p/d/t", s, [{"id": 999, "name": "orphan", "score": 0.0}], offset=0)
+        q.processAllAvailable()
+        assert spark.table(name).count() == 35
+        # flushing makes them visible to the NEXT trigger
+        bq.flush_rows("p/d/t", s, 0)
+        q.processAllAvailable()
+        assert spark.table(name).count() == 36
+    finally:
+        q.stop()
