@@ -86,6 +86,7 @@ from .fake_bigquery import DEFAULT_STREAM, FakeBigQuery, default_stream_name
 SOURCE_NAME = "fakebigquery"
 _DEFAULT_READ_PARTITIONS = 8
 _DEFAULT_BATCH_ROWS = 1000
+_ARROW_BATCH_ROWS = 8192
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +209,133 @@ def _eval_filter(f: Filter, row: dict) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Arrow fast path: C++ JSON parse + vectorized filter evaluation
+# ---------------------------------------------------------------------------
+
+
+class _ArrowFastPathUnsupported(Exception):
+    pass
+
+
+def _session_timezone() -> str:
+    """Spark session timezone, captured DRIVER-side at reader construction
+    (readers are built on the driver, then pickled to workers)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return s.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        pass
+    return "UTC"
+
+
+def _arrow_parse_type(dt):
+    """Arrow type to PARSE the JSON lines as (temporal/decimal values are
+    stored as strings by the writer and cast after parsing)."""
+    import pyarrow as pa
+
+    if (
+        pa.types.is_integer(dt)
+        or pa.types.is_floating(dt)
+        or pa.types.is_boolean(dt)
+        or pa.types.is_string(dt)
+    ):
+        return dt
+    if pa.types.is_list(dt):
+        return pa.list_(_arrow_parse_type(dt.value_type))
+    if (
+        pa.types.is_timestamp(dt)
+        or pa.types.is_date(dt)
+        or pa.types.is_decimal(dt)
+    ):
+        return pa.string()
+    raise _ArrowFastPathUnsupported(str(dt))
+
+
+def _arrow_read_slice(
+    data_path: str,
+    spark_schema: StructType,
+    start: int,
+    end: int,
+    session_tz: str = "UTC",
+):
+    """Parse the JSON-lines stream file in C++, slice [start, end), and
+    cast to the table's Arrow schema.  A real backend would serve the range
+    directly (a Storage READ API stream); here planning is row-indexed so
+    the parse covers the file and the slice is zero-copy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    parse_schema = pa.schema(
+        [pa.field(f.name, _arrow_parse_type(f.type)) for f in target]
+    )
+    opts = pj.ParseOptions(
+        explicit_schema=parse_schema, unexpected_field_behavior="ignore"
+    )
+    tbl = pj.read_json(
+        data_path,
+        read_options=pj.ReadOptions(use_threads=False),
+        parse_options=opts,
+    ).slice(start, end - start)
+    cols = []
+    for i, f in enumerate(target):
+        col = tbl.column(i)
+        if not col.type.equals(f.type):
+            if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+                # Writer stores session-local wall-clock text (no offset):
+                # parse naive, pin the session zone, then convert.
+                naive = col.cast(pa.timestamp(f.type.unit))
+                col = pc.assume_timezone(naive, timezone=session_tz).cast(f.type)
+            else:
+                col = col.cast(f.type)  # ISO text -> ntz-timestamp/date/decimal
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def _arrow_mask(f: "Filter", tbl):
+    """Pushed filter -> boolean mask with SQL three-valued null semantics
+    (null stays null; Table.filter drops null-mask rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(f, Not):
+        return pc.invert(_arrow_mask(f.child, tbl))
+    col = tbl[f.attribute[0]]
+    if isinstance(f, IsNull):
+        return pc.is_null(col)
+    if isinstance(f, IsNotNull):
+        return pc.is_valid(col)
+    if isinstance(f, In):
+        vs = pa.array(list(f.value), type=col.type)
+        hit = pc.is_in(col, value_set=vs)
+        null = pa.scalar(None, pa.bool_())
+        return pc.if_else(pc.is_valid(col), hit, null)
+    val = pa.scalar(f.value, type=col.type) if not isinstance(f.value, bool) else f.value
+    if isinstance(f, EqualTo):
+        return pc.equal(col, val)
+    if isinstance(f, GreaterThan):
+        return pc.greater(col, val)
+    if isinstance(f, GreaterThanOrEqual):
+        return pc.greater_equal(col, val)
+    if isinstance(f, LessThan):
+        return pc.less(col, val)
+    if isinstance(f, LessThanOrEqual):
+        return pc.less_equal(col, val)
+    if isinstance(f, StringStartsWith):
+        return pc.starts_with(col, pattern=f.value)
+    if isinstance(f, StringEndsWith):
+        return pc.ends_with(col, pattern=f.value)
+    if isinstance(f, StringContains):
+        return pc.match_substring(col, pattern=f.value)
+    raise AssertionError(f"unreachable: {f}")
+
+
+# ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
 
@@ -232,6 +360,7 @@ class FakeBigQueryReader(DataSourceReader):
             options.get("partitions", _DEFAULT_READ_PARTITIONS)
         )
         self.filters: List[Filter] = []
+        self.session_tz = _session_timezone()
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         """Accept every single-column comparison we can evaluate row-side
@@ -268,11 +397,34 @@ class FakeBigQueryReader(DataSourceReader):
                 splits.append(_RangeSplit(stream, s, min(s + step, n)))
         return splits
 
-    def read(self, partition: _RangeSplit) -> Iterator[Tuple]:
+    def read(self, partition: _RangeSplit) -> Iterator:
+        """Yield Arrow RecordBatches: parse the stream file with Arrow's
+        C++ JSON-lines reader, slice the partition's row range, evaluate
+        the pushed filters with Arrow compute kernels, and stream the
+        result to the JVM as columnar Arrow — the Python-source analogue
+        of the Storage READ API's Arrow wire format.  Falls back to the
+        row-at-a-time path for types the fast path can't cast."""
         if partition.end <= partition.start:
             return
         bq = FakeBigQuery(self.root)
         data_path, _ = bq._stream_paths(self.table, partition.stream)
+        try:
+            tbl = _arrow_read_slice(
+                data_path,
+                self.out_schema,
+                partition.start,
+                partition.end,
+                self.session_tz,
+            )
+        except _ArrowFastPathUnsupported:
+            yield from self._read_rows(data_path, partition)
+            return
+        for f in self.filters:
+            mask = _arrow_mask(f, tbl)
+            tbl = tbl.filter(mask)  # null mask entries drop (SQL 3VL)
+        yield from tbl.to_batches(max_chunksize=_ARROW_BATCH_ROWS)
+
+    def _read_rows(self, data_path: str, partition: _RangeSplit) -> Iterator[Tuple]:
         fields = self.out_schema.fields
         filters = self.filters
         with open(data_path) as f:
@@ -316,6 +468,7 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
         self.root = options["root"]
         self.table = options["table"]
         self.rows_per_partition = int(options.get("stream_rows_per_partition", 10_000))
+        self.session_tz = _session_timezone()
 
     def _snapshot(self) -> dict:
         bq = FakeBigQuery(self.root)
@@ -347,6 +500,7 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
         reader.out_schema = self.out_schema
         reader.root, reader.table = self.root, self.table
         reader.only_visible, reader.filters = True, []
+        reader.session_tz = self.session_tz
         return reader.read(partition)
 
     def commit(self, end: dict) -> None:

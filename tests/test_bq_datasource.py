@@ -166,6 +166,43 @@ def test_schema_persisted_and_loaded(spark, root):
     assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
 
 
+def test_typed_roundtrip_arrow_fast_path(spark, root):
+    """date/timestamp/decimal/array columns survive the C++ JSON parse +
+    Arrow cast read path bit-exactly."""
+    from datetime import date, datetime
+    from decimal import Decimal
+    from pyspark.sql.types import ArrayType, DateType, DecimalType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("d", DateType()),
+            StructField("ts", TimestampType()),
+            StructField("dec", DecimalType(14, 4)),
+            StructField("arr", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [
+        Row(
+            id=i,
+            d=date(2024, 1, 1 + i % 28),
+            ts=datetime(2024, 1, 1, 12, 30, i % 60, 123456),
+            dec=Decimal(f"{i}.{i % 10}001"),
+            arr=[float(i), i / 3.0, None],
+        )
+        for i in range(50)
+    ] + [Row(id=999, d=None, ts=None, dec=None, arr=None)]
+    df = spark.createDataFrame(rows, schema)
+    _write(df, root, "p/d/typed")
+    back = _read(spark, root, "p/d/typed")
+    assert back.schema == schema
+    assert sorted(back.collect()) == sorted(df.collect())
+    # pushed date comparison evaluated arrow-side
+    got = back.filter(F.col("d") >= date(2024, 1, 15)).count()
+    want = df.filter(F.col("d") >= date(2024, 1, 15)).count()
+    assert got == want > 0
+
+
 def test_missing_table_raises(spark, root):
     with pytest.raises(Exception, match="no schema"):
         _read(spark, root, "p/d/absent").count()
