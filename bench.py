@@ -38,6 +38,7 @@ HEADLINE = [
     "b21_stream_tumbling_window",
     "b24_stream_dedup",
     "b26_sink_roundtrip",
+    "b26_dsv2_roundtrip",
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash",

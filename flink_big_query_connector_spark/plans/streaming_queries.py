@@ -505,7 +505,6 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table back.  Row-for-row equality with the source proves no loss and no
     duplication across micro-batch boundaries (reference
     ``sink/defaultStream/BigQueryDefaultSinkWriter.java:60-80``)."""
-    from ..sources.fake_bigquery import FakeBigQuery
     from ..streaming.config import BatchTriggerSettings
     from ..streaming.sinks import DefaultStreamSink
 
@@ -524,13 +523,17 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, tempfile.mkdtemp(prefix="ckpt_sink_"), available_now=True
     )
     q.awaitTermination()
-    rows = FakeBigQuery(backend_root).read_rows(table)
-    return spark.createDataFrame(
-        [
-            (r["event_id"], r["user_id"], r["event_type"], r["value"])
-            for r in rows
-        ],
-        "event_id long, user_id long, event_type string, value double",
+    # read back through the connector: distributed (stream, row-range)
+    # splits + Arrow transfer instead of a driver-side collect
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    return (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, event_type string, value double")
+        .option("root", backend_root)
+        .option("table", table)
+        .load()
     )
 
 
@@ -546,7 +549,6 @@ def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     only rows flushed visible by the commit phase are read back, and they
     equal the source exactly once each (reference
     ``sink/buffered/BigQueryBufferedSinkWriter.java:45-202``)."""
-    from ..sources.fake_bigquery import FakeBigQuery
     from ..streaming.sinks import BufferedStreamSink
 
     load_tables(spark, sf_dir)
@@ -560,13 +562,17 @@ def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, tempfile.mkdtemp(prefix="ckpt_eo_"), available_now=True
     )
     q.awaitTermination()
-    rows = FakeBigQuery(backend_root).read_rows(table, only_visible=True)
-    return spark.createDataFrame(
-        [
-            (r["event_id"], r["user_id"], r["event_type"], r["value"])
-            for r in rows
-        ],
-        "event_id long, user_id long, event_type string, value double",
+    # distributed read of the VISIBLE (flushed) rows only — unflushed
+    # buffered streams are excluded by the connector's visibility cursor
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    return (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, event_type string, value double")
+        .option("root", backend_root)
+        .option("table", table)
+        .load()
     )
 
 

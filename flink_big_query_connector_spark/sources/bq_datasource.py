@@ -148,9 +148,11 @@ def _coerce(v: Any, dt: DataType) -> Any:
 
 
 def _json_default(v: Any) -> Any:
-    if isinstance(v, Decimal):
-        return str(v)
-    return str(v)  # datetime/date -> ISO text
+    from pyspark.sql import Row as _Row
+
+    if isinstance(v, _Row):  # nested struct
+        return v.asDict(recursive=True)
+    return str(v)  # datetime/date/Decimal -> ISO/plain text
 
 
 # ---------------------------------------------------------------------------
@@ -287,10 +289,14 @@ def _arrow_read_slice(
         col = tbl.column(i)
         if not col.type.equals(f.type):
             if pa.types.is_timestamp(f.type) and f.type.tz is not None:
-                # Writer stores session-local wall-clock text (no offset):
-                # parse naive, pin the session zone, then convert.
-                naive = col.cast(pa.timestamp(f.type.unit))
-                col = pc.assume_timezone(naive, timezone=session_tz).cast(f.type)
+                try:
+                    # offset-carrying text (JVM to_json) casts directly
+                    col = col.cast(f.type)
+                except pa.ArrowInvalid:
+                    # session-local wall-clock text (Python json.dumps):
+                    # parse naive, pin the session zone, then convert
+                    naive = col.cast(pa.timestamp(f.type.unit))
+                    col = pc.assume_timezone(naive, timezone=session_tz).cast(f.type)
             else:
                 col = col.cast(f.type)  # ISO text -> ntz-timestamp/date/decimal
         cols.append(col)
@@ -419,6 +425,13 @@ class FakeBigQueryReader(DataSourceReader):
         except _ArrowFastPathUnsupported:
             yield from self._read_rows(data_path, partition)
             return
+        except Exception as e:  # unparseable text for the target type etc.
+            import pyarrow as pa
+
+            if not isinstance(e, pa.ArrowInvalid):
+                raise
+            yield from self._read_rows(data_path, partition)
+            return
         for f in self.filters:
             mask = _arrow_mask(f, tbl)
             tbl = tbl.filter(mask)  # null mask entries drop (SQL 3VL)
@@ -529,20 +542,24 @@ class FakeBigQueryBatchWriter(DataSourceWriter):
         self.batch_rows = int(options.get("batch_rows", _DEFAULT_BATCH_ROWS))
         self.max_bytes = int(options.get("max_append_bytes", 0)) or None
 
-    def _chunks(self, iterator) -> Iterator[list[dict]]:
+    def _chunks(self, iterator) -> Iterator[list[str]]:
         """Count- and byte-bounded chunking: stay under the AppendRows limit
-        proactively instead of splitting reactively."""
+        proactively instead of splitting reactively.  Rows are serialized
+        exactly once here; the backend appends the strings verbatim."""
         bq_limit = self.max_bytes or FakeBigQuery(self.root).max_append_bytes
         budget = bq_limit // 2  # headroom: JSON size estimate is pre-framing
-        buf: list[dict] = []
+        names = [f.name for f in self.schema.fields]
+        buf: list[str] = []
         size = 0
         for row in iterator:
-            d = row.asDict(recursive=True)
-            sz = len(json.dumps(d, sort_keys=True, default=_json_default)) + 1
+            s = json.dumps(
+                dict(zip(names, row)), separators=(",", ":"), default=_json_default
+            )
+            sz = len(s) + 1
             if buf and (len(buf) >= self.batch_rows or size + sz > budget):
                 yield buf
                 buf, size = [], 0
-            buf.append(d)
+            buf.append(s)
             size += sz
         if buf:
             yield buf

@@ -209,7 +209,11 @@ class FakeBigQuery:
         if scripted is not None:
             self._raise_scripted(scripted, stream)
 
-        payload = [json.dumps(r, sort_keys=True, default=str) for r in rows]
+        # str entries arrive pre-serialized (JVM-side to_json, A17)
+        payload = [
+            r if isinstance(r, str) else json.dumps(r, sort_keys=True, default=str)
+            for r in rows
+        ]
         size = sum(len(p) + 1 for p in payload)
         if size > self.max_append_bytes:
             raise MessageTooLargeError(size, self.max_append_bytes)

@@ -35,9 +35,12 @@ from pyspark.sql.window import Window
 from .config import BatchTriggerSettings
 
 
-def json_size_of(row: dict) -> int:
+def json_size_of(row) -> int:
     """Byte size of a row as serialized (the ``BigQueryRecord.getSize()``
-    analogue; newline included to match the backend's accounting)."""
+    analogue; newline included to match the backend's accounting).  A str
+    row is already serialized (JVM-side ``to_json``, A17)."""
+    if isinstance(row, str):
+        return len(row) + 1
     return len(json.dumps(row, sort_keys=True, default=str)) + 1
 
 

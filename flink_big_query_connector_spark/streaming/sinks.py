@@ -56,6 +56,15 @@ RETRYABLE = {StatusCode.UNAVAILABLE, StatusCode.ABORTED}
 RECREATE_AND_RETRY = {StatusCode.UNKNOWN}
 
 
+def _serialized_json(df: DataFrame) -> DataFrame:
+    """One JSON string per row, produced JVM-side (codegen ``to_json`` —
+    the A17 serializer).  Python writer tasks then append raw lines: no
+    Row materialization, no per-row ``json.dumps``."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+
+
 class WriterPool:
     """Per-task writer cache with round-robin across ``streams_per_table``
     connections (reference A9: ``sink/BigQuerySinkWriter.java:65-68`` index
@@ -221,13 +230,15 @@ class DefaultStreamSink:
                 lambda: FakeBigQuery(root), settings.streams_per_table
             )
             stream = DEFAULT_STREAM
-            for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
+            for chunk in chunk_rows((r[0] for r in rows_iter), trigger):
                 write_with_retry(
                     pool.writer(stream), table, stream, chunk, -1, settings,
                     metrics=metrics,
                 )
 
-        df.foreachPartition(write_partition)
+        # Serialize JVM-side (codegen to_json, A17): Python tasks see one
+        # pre-serialized string per row instead of Row->dict->json.dumps.
+        _serialized_json(df).foreachPartition(write_partition)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
         return _start_foreach_batch(
@@ -307,7 +318,7 @@ class BufferedStreamSink:
         metrics = self.metrics
 
         def write_partition(pid: int, rows_iter):
-            rows = [r.asDict() for r in rows_iter]
+            rows = [r[0] for r in rows_iter]
             if not rows:
                 return iter(())
             client = FakeBigQuery(root)
@@ -324,7 +335,7 @@ class BufferedStreamSink:
             return iter([(stream, end)])
 
         committables = (
-            df.rdd.mapPartitionsWithIndex(write_partition).collect()
+            _serialized_json(df).rdd.mapPartitionsWithIndex(write_partition).collect()
         )
         # Commit phase (driver = the committer operator): flush each stream
         # to its end offset, then record the batch atomically.
@@ -382,7 +393,7 @@ class AsyncSink:
             sem = BoundedSemaphore(max_inflight)
             futures = []
             with ThreadPoolExecutor(max_workers=max(threads, max_inflight)) as pool:
-                for chunk in chunk_rows((r.asDict() for r in rows_iter), trigger):
+                for chunk in chunk_rows((r[0] for r in rows_iter), trigger):
                     sem.acquire()
 
                     def task(c=chunk):
@@ -405,7 +416,7 @@ class AsyncSink:
                             metrics.callback_timeouts += 1
                         raise
 
-        df.foreachPartition(write_partition)
+        _serialized_json(df).foreachPartition(write_partition)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
         return _start_foreach_batch(
