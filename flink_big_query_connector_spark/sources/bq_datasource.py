@@ -481,7 +481,61 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
         self.root = options["root"]
         self.table = options["table"]
         self.rows_per_partition = int(options.get("stream_rows_per_partition", 10_000))
+        # Admission control (maxOffsetsPerTrigger analogue / read-side
+        # BatchTrigger): cap how many newly visible rows one micro-batch
+        # admits, so a backlog drains in bounded batches instead of one
+        # giant epoch.  0 = unbounded.
+        self.max_rows_per_trigger = int(options.get("max_rows_per_trigger", 0))
         self.session_tz = _session_timezone()
+
+    # -- admission cursor ---------------------------------------------------
+    # Spark materializes SEVERAL reader instances for one query (stream
+    # analysis + the execution runner), so admission state cannot live on
+    # the instance: a fresh instance would hand back an offset BELOW what
+    # Spark already committed, and offsets moving backward make the engine
+    # re-read ranges (observed: duplicates).  The cursor is therefore a
+    # monotonic per-table file in the backend, advanced under a file lock.
+
+    def _cursor_path(self) -> str:
+        return os.path.join(
+            self.root, "tables", self.table.replace("/", "__"), "read_cursor.json"
+        )
+
+    def _advance_cursor(self, floor: dict, cap: int, latest: dict) -> dict:
+        """max(stored, floor) advanced by at most ``cap`` rows toward
+        ``latest``; stores and returns the new cursor (never decreasing)."""
+        import fcntl
+
+        path = self._cursor_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                cur: dict = {}
+                if os.path.exists(path):
+                    with open(path) as f:
+                        cur = json.load(f)
+                for s, v in floor.items():
+                    cur[s] = max(int(cur.get(s, 0)), int(v))
+                budget = cap if cap > 0 else None
+                for s, hi in sorted(latest.items()):
+                    lo = int(cur.get(s, 0))
+                    take = int(hi) - lo
+                    if budget is not None:
+                        take = min(take, budget)
+                    if take > 0:
+                        cur[s] = lo + take
+                        if budget is not None:
+                            budget -= take
+                    if budget == 0:
+                        break
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(cur, f)
+                os.replace(tmp, path)
+                return cur
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _snapshot(self) -> dict:
         bq = FakeBigQuery(self.root)
@@ -496,9 +550,16 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
         return {}
 
     def latestOffset(self) -> dict:
-        return self._snapshot()
+        latest = self._snapshot()
+        if self.max_rows_per_trigger <= 0:
+            return latest
+        return self._advance_cursor({}, self.max_rows_per_trigger, latest)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self.max_rows_per_trigger > 0 and end:
+            # absorb Spark's authoritative position (checkpoint restarts
+            # with a stale/absent cursor file)
+            self._advance_cursor(end, 0, {})
         splits: list[_RangeSplit] = []
         for stream, hi in end.items():
             lo = int(start.get(stream, 0))

@@ -166,6 +166,37 @@ def test_schema_persisted_and_loaded(spark, root):
     assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
 
 
+def test_stream_read_rate_limited(spark, root, tmp_path):
+    """max_rows_per_trigger bounds each micro-batch's admitted rows (the
+    maxOffsetsPerTrigger analogue): a 100-row backlog drains in >= 4
+    batches of <= 30 rows, with nothing lost or duplicated."""
+    _write(_sample_df(spark, 100), root, "p/d/t")
+    stream = (
+        spark.readStream.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "p/d/t")
+        .option("max_rows_per_trigger", "30")
+        .load()
+    )
+    name = "dsv2_rate_limited_test"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 100
+        batch_rows = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(batch_rows) >= 4
+        assert max(batch_rows) <= 30
+    finally:
+        q.stop()
+
+
 def test_typed_roundtrip_arrow_fast_path(spark, root):
     """date/timestamp/decimal/array columns survive the C++ JSON parse +
     Arrow cast read path bit-exactly."""
