@@ -107,6 +107,26 @@ def _save_schema(root: str, table: str, schema: StructType) -> None:
     os.replace(tmp, path)
 
 
+def _merge_schema(root: str, table: str, schema: StructType) -> None:
+    """Additive evolution on write-commit, mirroring the reference's
+    ``SchemaTools.updateTable`` add-new-fields diff
+    (`schema/SchemaTools.java:87-100`): existing columns keep their
+    position and type; columns new in this write are appended.  Rows
+    written before a column existed read back as NULL for it."""
+    path = _schema_path(root, table)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = StructType.fromJson(json.load(f))
+        have = {fld.name for fld in existing.fields}
+        merged = StructType(
+            existing.fields
+            + [fld for fld in schema.fields if fld.name not in have]
+        )
+    else:
+        merged = schema
+    _save_schema(root, table, merged)
+
+
 def _load_schema(root: str, table: str) -> StructType:
     path = _schema_path(root, table)
     if not os.path.exists(path):
@@ -636,7 +656,7 @@ class FakeBigQueryBatchWriter(DataSourceWriter):
         return _AppendResult(rows=rows, appends=appends)
 
     def commit(self, messages) -> None:
-        _save_schema(self.root, self.table, self.schema)
+        _merge_schema(self.root, self.table, self.schema)
 
     def abort(self, messages) -> None:
         # Default-stream appends are immediately visible: at-least-once, a
@@ -689,7 +709,7 @@ class FakeBigQueryStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and m.rows > 0:
                 bq.flush_rows(self.table, m.stream, m.rows - 1)
-        _save_schema(self.root, self.table, self.schema)
+        _merge_schema(self.root, self.table, self.schema)
 
     def abort(self, messages, batchId: int) -> None:
         """Finalize (never flush) the epoch's streams: buffered rows stay

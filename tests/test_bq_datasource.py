@@ -166,6 +166,27 @@ def test_schema_persisted_and_loaded(spark, root):
     assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
 
 
+def test_append_with_new_column_evolves_schema(spark, root):
+    """Additive schema evolution on append (the SchemaTools.updateTable
+    add-only diff): a later write with an extra column widens the table;
+    earlier rows read back NULL for it; a narrower later write never drops
+    columns."""
+    _write(_sample_df(spark, 10), root, "p/d/t")
+    wider = _sample_df(spark, 5).withColumn("extra", F.col("id") * 2)
+    _write(wider, root, "p/d/t", mode="append")
+    back = _read(spark, root, "p/d/t")
+    assert [f.name for f in back.schema.fields] == ["id", "name", "score", "extra"]
+    assert back.count() == 15
+    assert back.filter(F.col("extra").isNull()).count() == 10
+    assert back.filter(F.col("extra") == F.col("id") * 2).count() == 5
+    narrower = _sample_df(spark, 3).select("id")
+    _write(narrower, root, "p/d/t", mode="append")
+    back2 = _read(spark, root, "p/d/t")
+    assert [f.name for f in back2.schema.fields] == ["id", "name", "score", "extra"]
+    assert back2.count() == 18
+    assert back2.filter(F.col("name").isNull()).count() == 3
+
+
 def test_stream_read_rate_limited(spark, root, tmp_path):
     """max_rows_per_trigger bounds each micro-batch's admitted rows (the
     maxOffsetsPerTrigger analogue): a 100-row backlog drains in >= 4
