@@ -66,9 +66,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (codegen compiler, parquet footer cache, shuffle service)
-    # with an untimed pass so timings measure the engine, not JIT startup.
+    # and the Python DataSource worker pool with an untimed pass so timings
+    # measure the engine, not JIT/worker startup.
     run_query(spark, "b01_scan_count", sf_dir)
     run_query(spark, "b08_q1_pricing_summary", sf_dir)
+    run_query(spark, "b26_dsv2_roundtrip", sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

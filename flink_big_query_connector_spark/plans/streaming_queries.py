@@ -142,7 +142,7 @@ def _events_stream(spark: SparkSession, sf_dir: str, scheme: str = "ordered"):
     )
 
 
-STREAM_SHUFFLE_PARTITIONS = "8"
+STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 class _stream_partitions:
