@@ -277,6 +277,69 @@ def b21_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, "complete")
 
 
+@register(
+    "b21_stream_interval_join",
+    oracle="""
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def b21_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: each click pairs with the same
+    user's purchases in the following 30 minutes.
+
+    Both sides carry a 1-hour watermark; Spark retains join state only
+    while a row can still match (event time >= watermark - interval) and
+    emits inner matches eagerly.  Replay is fully in-order (`ordered`
+    chunking), so a left row is never evicted before its last possible
+    match arrives — proof: a purchase in batch j has ptime > bound(j-1),
+    so any click it matches has ctime > bound(j-1) - 30min, while eviction
+    at batch j requires ctime < bound(j-1) - delay - 30min — impossible
+    for delay >= 0.  The streamed result therefore equals the batch
+    interval join bit-for-bit, which is the DuckDB oracle.
+
+    At 100 TB: state is bounded by (watermark delay + interval) × ingest
+    rate per key partition; the join shuffles both sides on user_id once.
+    """
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("etime").alias("ctime"),
+        )
+        .withWatermark("ctime", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("etime").alias("ptime"),
+        )
+        .withWatermark("ptime", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            ptime >= ctime AND
+            ptime <= ctime + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+    return _run_to_table(joined, "append")
+
+
 # ---------------------------------------------------------------------------
 # B22 — session windows
 # ---------------------------------------------------------------------------
