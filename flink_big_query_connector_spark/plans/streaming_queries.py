@@ -340,6 +340,79 @@ def b21_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "append")
 
 
+@register(
+    "b21_stream_outer_interval_join",
+    oracle="""
+        WITH pairs AS (
+          SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ),
+        -- Two watermarked inputs: the global watermark is the MIN of the
+        -- per-side maxima (multipleWatermarkPolicy=min), ms-truncated
+        -- (Spark's event-time stats are millisecond precision).
+        final_wm AS (
+          SELECT make_timestamp(
+                   (LEAST(
+                      (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+                      (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+                    ) // 1000) * 1000)
+                 - INTERVAL 1 HOUR AS wm
+        )
+        SELECT user_id, click_id, purchase_id FROM pairs
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id, NULL AS purchase_id
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL 30 MINUTE < (SELECT wm FROM final_wm)
+          AND NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.click_id = c.event_id)
+    """,
+    tags=("streaming", "join"),
+)
+def b21_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: matched pairs emit eagerly
+    (same as the inner join); a click with NO purchase inside its 30-minute
+    window emits a null-padded row only once the watermark proves the
+    window closed (state eviction).  Clicks whose window is still open at
+    end-of-stream — ``ctime + 30min >= max(ts) - 1h`` — never emit, and the
+    oracle reproduces exactly that boundary.  Requires the no-data final
+    micro-batch (Spark default) to advance the terminal watermark."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("etime").alias("ctime"),
+        )
+        .withWatermark("ctime", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("etime").alias("ptime"),
+        )
+        .withWatermark("ptime", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            ptime >= ctime AND
+            ptime <= ctime + INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    return _run_to_table(joined, "append")
+
+
 # ---------------------------------------------------------------------------
 # B22 — session windows
 # ---------------------------------------------------------------------------
