@@ -413,6 +413,80 @@ def b21_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_table(joined, "append")
 
 
+@register(
+    "b21_stream_join_then_window",
+    oracle="""
+        WITH pairs AS (
+          SELECT c.ts AS cts
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ),
+        final_wm AS (
+          SELECT make_timestamp(
+                   (LEAST(
+                      (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+                      (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+                    ) // 1000) * 1000)
+                 - INTERVAL 1 HOUR AS wm
+        )
+        SELECT make_timestamp((epoch_us(cts) // 86400000000) * 86400000000)
+                 AS window_start,
+               make_timestamp((epoch_us(cts) // 86400000000) * 86400000000)
+                 + INTERVAL 1 DAY AS window_end,
+               COUNT(*) AS conversions
+        FROM pairs
+        GROUP BY 1, 2
+        HAVING window_end <= (SELECT wm FROM final_wm)
+    """,
+    tags=("streaming", "join", "chained-stateful"),
+)
+def b21_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators: stream-stream interval join feeding a
+    downstream tumbling-window aggregation in one query (daily conversion
+    counts).  Spark >= 3.5 propagates the watermark through the join, so
+    the window operator evicts on the same min-of-inputs watermark; with
+    in-order replay the join output is exact (see b21_stream_interval_join)
+    and the emitted windows are exactly those closed by the final
+    watermark."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("etime").alias("ctime"))
+        .withWatermark("ctime", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("etime").alias("ptime"),
+        )
+        .withWatermark("ptime", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            ptime >= ctime AND
+            ptime <= ctime + INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    out = (
+        pairs.groupBy(F.window("ctime", "1 day"))
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "conversions",
+        )
+    )
+    return _run_to_table(out, "append")
+
+
 # ---------------------------------------------------------------------------
 # B22 — session windows
 # ---------------------------------------------------------------------------
