@@ -19,5 +19,9 @@ try:
     from . import connector_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import tpch_full  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
