@@ -69,6 +69,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_q6_predicates_reach_parquet_scan(spark):
+    """TPC-H Q6: all four predicates appear as PushedFilters; only the
+    four referenced columns are read (ReadSchema)."""
+    from flink_big_query_connector_spark.plans.tpch_full import (
+        b20_q6_forecast_revenue,
+    )
+
+    plan = _plan(b20_q6_forecast_revenue(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read  # column pruning
+
+
+def test_q9_small_dims_broadcast(spark):
+    """TPC-H Q9: part and nation join as broadcasts, not shuffles."""
+    from flink_big_query_connector_spark.plans.tpch_full import (
+        b20_q9_product_profit,
+    )
+
+    plan = _plan(b20_q9_product_profit(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q21_single_pass_over_lineitem(spark):
+    """TPC-H Q21's double-EXISTS rewrite: the plan contains NO correlated
+    re-scans — lineitem feeds one aggregate plus the main pass (<= 3 scans
+    total), versus 3 correlated subquery scans in the naive form."""
+    from flink_big_query_connector_spark.plans.tpch_full import (
+        b20_q21_waiting_supplier,
+    )
+
+    plan = _plan(b20_q21_waiting_supplier(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") <= 3
+
+
 def test_filter_and_projection_reach_the_scan(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
