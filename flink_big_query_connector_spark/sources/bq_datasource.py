@@ -81,6 +81,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..streaming.config import WriterSettings
+from ..streaming.sinks import write_with_retry
 from .fake_bigquery import DEFAULT_STREAM, FakeBigQuery, default_stream_name
 
 SOURCE_NAME = "fakebigquery"
@@ -646,12 +648,15 @@ class FakeBigQueryBatchWriter(DataSourceWriter):
             yield buf
 
     def write(self, iterator) -> _AppendResult:
+        """Chunked appends through the full retry state machine (A12-A14:
+        status-code branching, pause-retry, recursive oversized split) —
+        the same writer core the foreachBatch sinks use."""
         bq = FakeBigQuery(self.root)
         stream = default_stream_name(self.table)
+        settings = WriterSettings()
         rows = appends = 0
         for chunk in self._chunks(iterator):
-            bq.append(self.table, stream, chunk, offset=-1)
-            rows += len(chunk)
+            rows += write_with_retry(bq, self.table, stream, chunk, -1, settings)
             appends += 1
         return _AppendResult(rows=rows, appends=appends)
 
@@ -696,9 +701,12 @@ class FakeBigQueryStreamWriter(DataSourceStreamWriter):
         writer = FakeBigQueryBatchWriter.__new__(FakeBigQueryBatchWriter)
         writer.schema, writer.root, writer.table = self.schema, self.root, self.table
         writer.batch_rows, writer.max_bytes = self.batch_rows, None
+        settings = WriterSettings()
         offset = 0
         for chunk in writer._chunks(iterator):
-            offset = bq.append(self.table, stream, chunk, offset=offset)
+            offset += write_with_retry(
+                bq, self.table, stream, chunk, offset, settings
+            )
         return _BufferedResult(stream=stream, rows=offset)
 
     def commit(self, messages, batchId: int) -> None:
@@ -786,10 +794,16 @@ def register(spark) -> None:
     from pyspark import cloudpickle
 
     from .. import session as _session
+    from ..streaming import batching as _batching
+    from ..streaming import config as _config
     from ..streaming import errors as _errors
+    from ..streaming import sinks as _sinks
     from . import fake_bigquery as _fbq
 
     _session.ensure_package_on_executors(spark)
-    for mod in (_errors, _fbq, sys.modules[__name__]):
+    # One consistent pickle graph: every module whose classes cross the
+    # worker boundary is by-value, so e.g. the BigQueryError raised by the
+    # unpickled FakeBigQuery IS the class write_with_retry catches.
+    for mod in (_errors, _batching, _config, _sinks, _fbq, sys.modules[__name__]):
         cloudpickle.register_pickle_by_value(mod)
     spark.dataSource.register(FakeBigQueryDataSource)

@@ -166,6 +166,27 @@ def test_schema_persisted_and_loaded(spark, root):
     assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
 
 
+def test_write_retries_transient_failures(spark, root):
+    """The connector write path runs the A12 retry machine: scripted
+    UNAVAILABLE failures are absorbed and every row lands exactly once
+    per attempted append."""
+    bq = FakeBigQuery(root)
+    bq.script_append_failures(["UNAVAILABLE", "UNAVAILABLE"])
+    _write(_sample_df(spark, 40).repartition(1), root, "p/d/t")
+    assert _read(spark, root, "p/d/t").count() == 40
+
+
+def test_write_splits_oversized_batch(spark, root):
+    """A scripted 'MessageSize is too large' makes the writer split the
+    chunk recursively (A14) — no rows lost, no duplicates."""
+    bq = FakeBigQuery(root)
+    bq.script_append_failures(
+        ["INVALID_ARGUMENT"], message="MessageSize is too large"
+    )
+    _write(_sample_df(spark, 50).repartition(1), root, "p/d/t")
+    assert _read(spark, root, "p/d/t").count() == 50
+
+
 def test_append_with_new_column_evolves_schema(spark, root):
     """Additive schema evolution on append (the SchemaTools.updateTable
     add-only diff): a later write with an extra column widens the table;
