@@ -147,6 +147,59 @@ def test_streaming_write_exactly_once_visibility(spark, root, tmp_path):
     assert _read(spark, root, "p/d/st").count() == 60
 
 
+def test_streaming_write_restart_no_duplicates(spark, root, tmp_path):
+    """Kill the 2PC streaming write mid-run and restart from the same
+    checkpoint: the visible row set equals the input exactly — replayed
+    epochs re-write into fresh buffered streams, orphans stay unflushed,
+    and committed batches are not re-committed."""
+    src_dir = str(tmp_path / "src")
+    df = _sample_df(spark, 90)
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        df.filter((F.col("id") % 3) == i).coalesce(1).write.parquet(
+            f"{src_dir}/part{i}"
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/part*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream.writeStream.format(dsrc.SOURCE_NAME)
+            .option("root", root)
+            .option("table", "p/d/rst")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    # wait for at least one committed batch, then kill mid-stream
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q2 = (
+        stream.writeStream.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "p/d/rst")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    back = _read(spark, root, "p/d/rst")
+    assert back.count() == 90
+    assert back.select("id").distinct().count() == 90
+
+
 def test_unflushed_buffered_rows_invisible(spark, root):
     """Rows appended to a buffered stream without FlushRows stay invisible
     to the reader (the crash-before-commit case)."""
