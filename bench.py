@@ -71,6 +71,8 @@ def main() -> None:
     run_query(spark, "b01_scan_count", sf_dir)
     run_query(spark, "b08_q1_pricing_summary", sf_dir)
     run_query(spark, "b26_dsv2_roundtrip", sf_dir)
+    # materializes the replay chunk files + streaming state machinery once
+    run_query(spark, "b21_stream_sliding_window", sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
