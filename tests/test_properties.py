@@ -153,3 +153,103 @@ def test_bq_schema_round_trip_preserves_structure(fields):
         return out
 
     assert [norm_back(f) for f in back["fields"]] == [norm(f) for f in fields]
+
+
+# ---------------------------------------------------------------------------
+# connector serialization round-trip (Arrow fast path + row fallback)
+# ---------------------------------------------------------------------------
+
+import json
+import math
+import shutil
+import tempfile
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_RT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _roundtrip_rows(rows):
+    """Serialize like FakeBigQueryBatchWriter._chunks, append to the
+    backend, read back through FakeBigQueryReader.read (Arrow fast path
+    with automatic row fallback for NaN/Inf tokens)."""
+    from flink_big_query_connector_spark.sources import bq_datasource as dsrc
+    from flink_big_query_connector_spark.sources.fake_bigquery import (
+        FakeBigQuery,
+        default_stream_name,
+    )
+
+    root = tempfile.mkdtemp(prefix="rt_prop_")
+    try:
+        bq = FakeBigQuery(root)
+        table = "p/d/t"
+        payload = [
+            json.dumps(r, separators=(",", ":"), default=dsrc._json_default)
+            for r in rows
+        ]
+        bq.append(table, default_stream_name(table), payload, offset=-1)
+        reader = dsrc.FakeBigQueryReader.__new__(dsrc.FakeBigQueryReader)
+        reader.out_schema = _RT_SCHEMA
+        reader.root, reader.table = root, table
+        reader.only_visible, reader.filters = True, []
+        reader.session_tz = "UTC"
+        out = []
+        for item in reader.read(dsrc._RangeSplit(default_stream_name(table), 0, len(rows))):
+            if hasattr(item, "to_pylist"):
+                out.extend(
+                    (d["id"], d["name"], d["score"]) for d in item.to_pylist()
+                )
+            else:
+                out.append(item)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _same_value(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.one_of(
+                    st.none(), st.integers(-(2**63), 2**63 - 1)
+                ),
+                "name": st.one_of(st.none(), st.text(max_size=60)),
+                "score": st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=True, allow_infinity=True),
+                ),
+            }
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connector_roundtrip_preserves_values(rows):
+    """Every (int64, unicode text, double incl. NaN/±Inf, NULL) row
+    survives the JSON-lines write -> Arrow/row read bit-exactly.  NaN/Inf
+    exercise the automatic fallback from the C++ JSON parser (which
+    rejects bare NaN tokens) to the row path."""
+    got = _roundtrip_rows(rows)
+    assert len(got) == len(rows)
+    for g, r in zip(got, rows):
+        for v_got, v_want in zip(g, (r["id"], r["name"], r["score"])):
+            assert _same_value(v_got, v_want), (g, r)
