@@ -62,7 +62,10 @@ def _ns(iso_day: str) -> int:
 
 
 # events span 2024-01-01 .. 2024-01-31 at every sf.
-CHUNK_BOUNDS = [_ns(d) for d in ("2024-01-08", "2024-01-16", "2024-01-24")]
+# Three ordered chunks (not four): every ordered-scheme oracle depends only
+# on the FINAL watermark, and one fewer micro-batch saves a state-store
+# commit cycle per streaming query.
+CHUNK_BOUNDS = [_ns(d) for d in ("2024-01-11", "2024-01-21")]
 LATE_SPLIT_NS = _ns("2024-01-20")
 MID_SPLIT_NS = _ns("2024-01-26")
 LATE_MOD = 13  # event_id % 13 == 0 rows older than the split arrive late
@@ -74,7 +77,7 @@ _name_counter = itertools.count()
 def _write_chunks(sf_dir: str, scheme: str) -> str:
     """Materialize the events table as ordered chunk files for replay.
 
-    ``ordered``: 4 files split at fixed date boundaries — pure in-order
+    ``ordered``: 3 files split at fixed date boundaries — pure in-order
     arrival, nothing is ever late.  ``late``: 2 files split at
     2024-01-20, except rows with ``event_id % 13 == 0`` older than the
     split travel in file 1 — deterministic late arrivals.
@@ -604,7 +607,7 @@ def b23_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ``dropDuplicates`` on (user_id, event_type) across four
+    """Streaming ``dropDuplicates`` on (user_id, event_type) across the
     micro-batches — dedup state carries across batches, so the emitted set
     equals batch DISTINCT.  Only the key columns are projected (the 'first'
     row per key is partition-order-dependent; the key set is not)."""
@@ -628,7 +631,7 @@ def b24_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     delay window, not keys ever seen).  With a delay exceeding the replayed
     event-time span nothing is evicted mid-run, so the emitted key set
     equals batch DISTINCT exactly; the state-store semantics still run for
-    real across the four micro-batches."""
+    real across the ordered micro-batches."""
     load_tables(spark, sf_dir)
     ev = _events_stream(spark, sf_dir)
     out = (
@@ -753,7 +756,7 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink",),
 )
 def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once pipeline: events replayed over four micro-batches into
+    """Exactly-once pipeline: events replayed over ordered micro-batches into
     the BufferedStreamSink (deterministic per-(batchId, partition) BUFFERED
     streams, offset-checked appends, two-phase commit keyed by batchId) —
     only rows flushed visible by the commit phase are read back, and they
@@ -798,7 +801,7 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed write-stream/offset assignment (reference A4,
     ``process/StreamStateHandler.java:53-145``): every micro-batch acquires
     (stream, base_offset) per user key and appends at that offset; after
-    four batches each key's stored offset equals its total row count —
+    the replay each key's stored offset equals its total row count —
     proving per-key monotonic offsets across batches with no gaps."""
     import json as _json
 
@@ -853,7 +856,7 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b25_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-trigger batching as a custom stateful streaming operator
-    (applyInPandasWithState): the per-key row counter carries across four
+    (applyInPandasWithState): the per-key row counter carries across the
     micro-batches, so batches span micro-batch boundaries exactly like the
     reference's keyed window trigger.  Deterministic because chunk arrival
     is time-ordered and event_id is monotone in event time."""
@@ -870,10 +873,9 @@ def b25_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH per_chunk AS (
           SELECT user_id,
-                 CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
-                      WHEN ts < TIMESTAMP '2024-01-16' THEN 1
-                      WHEN ts < TIMESTAMP '2024-01-24' THEN 2
-                      ELSE 3 END AS chunk,
+                 CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                      ELSE 2 END AS chunk,
                  COUNT(*) AS n
           FROM events GROUP BY 1, 2
         )
@@ -890,8 +892,8 @@ def b26_stream_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (applyInPandasWithState, Spark state store — the idiomatic A4
     port; see keyed_offset_assignment_tws for why not the newer TWS API).
     Each (key, micro-batch) emits its (base_offset, n) envelope;
-    offsets are gapless and monotonic per key across the four chunks, and
-    the oracle reproduces them from the chunk boundaries."""
+    offsets are gapless and monotonic per key across the ordered chunks,
+    and the oracle reproduces them from the chunk boundaries."""
     from ..streaming.stream_state import keyed_offset_assignment_tws
 
     load_tables(spark, sf_dir)

@@ -22,7 +22,7 @@ def test_ordered_chunks_partition_events():
 
     d = sq._write_chunks(SF_DIR, "ordered")
     files = sorted(os.listdir(d))
-    assert len(files) == 4
+    assert len(files) == len(sq.CHUNK_BOUNDS) + 1
     total = sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files)
     assert total == pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
     # arrival order = mtime order = name order
