@@ -710,3 +710,64 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["documents"].filter(bucket < rate).select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# B27+ — benchmark decontamination (asymmetric n-gram containment)
+# ---------------------------------------------------------------------------
+
+_SQL_DECON_CTES = f"""
+    toks AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+                ELSE []::VARCHAR[] END AS shingles
+           FROM toks),
+    ex AS (SELECT DISTINCT doc_id, source, s
+           FROM (SELECT doc_id, source, unnest(shingles) AS s FROM sh)),
+    bench AS (SELECT DISTINCT s FROM ex WHERE source IN ('src0', 'src1'))
+"""
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+        WITH {_SQL_DECON_CTES}
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex e JOIN bench b ON e.s = b.s
+        WHERE e.source NOT IN ('src0', 'src1')
+        GROUP BY e.doc_id
+        ORDER BY n_shared DESC, e.doc_id
+    """,
+    tags=("dedup", "decontamination"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    word-3gram with a benchmark/eval set (here: sources src0+src1),
+    reporting the distinct shared-gram count per document.
+
+    Unlike pairwise near-dup dedup this is ASYMMETRIC: the benchmark side
+    is tiny and fixed, so its distinct gram set broadcasts and the corpus
+    side never shuffles — at 100 TB the scan streams once through a
+    broadcast-hash semi join, no pair explosion.  (The canonical
+    decontamination recipe — e.g. GPT-3 appendix C — uses 8-13-gram
+    collision against eval sets; gram size is a constant here.)"""
+    t = load_tables(spark, sf_dir)
+    is_bench = F.col("source").isin("src0", "src1")
+    tok = dedup.spread(t["documents"]).select(
+        "doc_id", "source", dedup.tokens_expr(F.col("text")).alias("toks")
+    )
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles_expr(F.col("toks"))).alias("s"),
+    ).distinct()
+    bench = grams.filter(is_bench).select("s").distinct()
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+    )
