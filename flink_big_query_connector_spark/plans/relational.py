@@ -1026,3 +1026,40 @@ def b11_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B17 — VariantType JSON (Spark 4 native binary JSON)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b17_variant_json",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               COUNT(*) AS n_high
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def b17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON via Spark 4 VARIANT: ``parse_json`` decodes each payload ONCE
+    into the binary variant encoding; ``variant_get`` then does typed path
+    access without re-parsing — at 100 TB this beats string-path functions
+    (`get_json_object`) that re-tokenize the JSON text per extraction
+    (SURVEY §1.2: BigQuery JSON -> VariantType on Spark 4.x)."""
+    t = load_tables(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n_high"))
+        .orderBy("event_type")
+    )
