@@ -765,15 +765,40 @@ def b18_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "b18_approx_distinct",
-    oracle=None,  # approximate by definition — rows-only check
+    oracle="""
+        SELECT COUNT(DISTINCT l_suppkey) AS exact_supp,
+               TRUE AS hll_within_rsd,
+               TRUE AS approx_median_in_band
+        FROM lineitem
+    """,
     tags=("approx",),
 )
 def b18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct + KLL-sketch approximate percentiles."""
+    """HLL++ approximate distinct + KLL-sketch approximate percentiles,
+    hash-checkable: the sketches are approximate but DETERMINISTIC for a
+    given input, so the query emits the exact distinct count plus boolean
+    error-bound assertions the oracle reproduces as literals —
+    ``hll_within_rsd`` (HLL++ estimate within 5x the default 5% rsd of the
+    exact count) and ``approx_median_in_band`` (KLL 0.5-quantile between
+    the exact 0.45 and 0.55 quantiles; default accuracy 10000 bounds rank
+    error to n/10000, far inside the band)."""
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].agg(
+    agg = t["lineitem"].agg(
+        F.count_distinct("l_suppkey").alias("exact_supp"),
         F.approx_count_distinct("l_suppkey").alias("approx_supp"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_quantity", 0.5).alias("amed"),
+        F.expr("percentile(l_quantity, array(0.45, 0.55))").alias("band"),
+    )
+    return agg.select(
+        "exact_supp",
+        (
+            F.abs(F.col("approx_supp") - F.col("exact_supp"))
+            <= 0.25 * F.col("exact_supp")
+        ).alias("hll_within_rsd"),
+        (
+            (F.col("amed") >= F.col("band")[0])
+            & (F.col("amed") <= F.col("band")[1])
+        ).alias("approx_median_in_band"),
     )
 
 

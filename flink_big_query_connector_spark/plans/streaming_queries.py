@@ -42,14 +42,22 @@ from .registry import register
 # event-time plumbing
 # ---------------------------------------------------------------------------
 
-def event_time():
-    """ts (int64 nanoseconds, from nanosAsLong parquet reads) -> timestamp.
+def event_time(ts_dtype=None):
+    """The ``ts`` column as an event-time timestamp, whatever the on-disk
+    physical type.
 
-    Integer `div` keeps full precision (a double division would lose bits
-    above 2^53) and truncation toward zero matches DuckDB's nanos->micros
-    read of the same file.  Built lazily: column expressions need an active
-    SparkContext.
+    The driver testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (read
+    as int64 under ``nanosAsLong``) and as TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ directly); this adapts to the actual read type instead of
+    assuming one.  For the int64-nanos case integer ``div`` keeps full
+    precision (a double division would lose bits above 2^53) and truncation
+    toward zero matches DuckDB's nanos->micros read of the same file.
+    Built lazily: column expressions need an active SparkContext.
     """
+    from pyspark.sql.types import LongType
+
+    if ts_dtype is None or not isinstance(ts_dtype, LongType):
+        return F.col("ts")  # already a (NTZ) timestamp at micros
     return F.timestamp_micros(F.expr("ts div 1000"))
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -89,11 +97,18 @@ def _write_chunks(sf_dir: str, scheme: str) -> str:
     key = (sf_dir, scheme)
     if key in _chunk_cache and os.path.isdir(_chunk_cache[key]):
         return _chunk_cache[key]
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
-    ts = pc.cast(tbl["ts"], "int64")
+    # normalize ts to int64 NANOS regardless of the on-disk unit (the
+    # chunk-boundary constants are nanos)
+    ts_col = tbl["ts"]
+    if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit == "us":
+        ts = pc.multiply(pc.cast(ts_col, "int64"), 1000)
+    else:
+        ts = pc.cast(ts_col, "int64")
     out_dir = tempfile.mkdtemp(prefix=f"events_{scheme}_")
     if scheme == "ordered":
         bounds = [None, *CHUNK_BOUNDS, None]
@@ -802,29 +817,50 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``process/StreamStateHandler.java:53-145``): every micro-batch acquires
     (stream, base_offset) per user key and appends at that offset; after
     the replay each key's stored offset equals its total row count —
-    proving per-key monotonic offsets across batches with no gaps."""
+    proving per-key monotonic offsets across batches with no gaps.
+
+    The acquire/append protocol runs DISTRIBUTED: each micro-batch shuffles
+    by key once and every key's partition executes acquire -> offset-checked
+    append inside ``applyInPandas`` on the executors (the keyed-operator
+    placement of the reference); nothing but the tiny per-key envelope ever
+    reaches the driver.  State is the handler's durable per-key store, as in
+    a per-subtask keyed operator."""
     import json as _json
 
-    from ..sources.fake_bigquery import FakeBigQuery
-    from ..streaming.stream_state import StreamStateHandler
+    from ..session import ensure_package_on_executors
 
     load_tables(spark, sf_dir)
+    ensure_package_on_executors(spark)
     backend_root = tempfile.mkdtemp(prefix="fbq_ss_")
     state_dir = os.path.join(backend_root, "state")
     table = "proj.ds.events_keyed"
 
     def handle_batch(df: DataFrame, batch_id: int) -> None:
-        rows_by_key: dict[int, list] = {}
-        # per-key grouping on the driver is fine here: the acquire/append
-        # protocol itself is the unit under test; the distributed variant
-        # is the same calls inside applyInPandas (see tests/test_sinks.py)
-        for r in df.collect():
-            rows_by_key.setdefault(r.user_id, []).append(r.asDict())
-        client = FakeBigQuery(backend_root)
-        handler = StreamStateHandler(client, state_dir)
-        for key, rows in rows_by_key.items():
+        import pandas as pd
+
+        def per_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            from ..sources.fake_bigquery import FakeBigQuery
+            from ..streaming.config import WriterSettings
+            from ..streaming.sinks import write_with_retry
+            from ..streaming.stream_state import StreamStateHandler
+
+            client = FakeBigQuery(backend_root)
+            handler = StreamStateHandler(client, state_dir)
+            key = int(pdf["user_id"].iloc[0])
+            rows = pdf.sort_values("event_id").to_dict("records")
             stream, offset = handler.acquire(str(key), table, len(rows))
-            client.append(table, stream, rows, offset)
+            write_with_retry(
+                client, table, stream, rows, offset, WriterSettings()
+            )
+            return pd.DataFrame({"user_id": [key], "n": [len(rows)]})
+
+        (
+            df.groupBy("user_id")
+            .applyInPandas(per_key, "user_id long, n long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
     q = (

@@ -163,6 +163,8 @@ def keyed_offset_assignment_tws(
 
     def assign(key, pdfs, state):
         from ..sources.fake_bigquery import FakeBigQuery
+        from ..streaming.config import WriterSettings
+        from ..streaming.sinks import write_with_retry
 
         client = FakeBigQuery(backend_root)
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -171,7 +173,15 @@ def keyed_offset_assignment_tws(
         else:
             stream, base = client.create_write_stream(table, "BUFFERED"), 0
         payload = batch.sort_values("event_id").to_dict("records")
-        client.append(table, stream, payload, base)
+        # Replay-safe append: after a crash with rows durable in the backend
+        # but state not yet checkpointed, the state-store offset lags the
+        # stream's real end; write_with_retry absorbs the resulting
+        # ALREADY_EXISTS by trimming the already-stored prefix (reference
+        # StreamStateHandler recovery + BigQueryBufferedSinkWriter.java
+        # :118-148), instead of permanently failing the query.
+        write_with_retry(
+            client, table, stream, payload, base, WriterSettings()
+        )
         state.update((stream, base + len(payload)))
         yield pd.DataFrame(
             {key_col: [key[0]], "base_offset": [base], "n": [len(payload)]}
