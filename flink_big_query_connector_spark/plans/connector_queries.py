@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dbl, dec
 from ..sources import bq_datasource as dsrc
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, ts_micros
 from .registry import register
 
 
@@ -38,7 +38,7 @@ def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.expr("ts div 1000").alias("mts"),
+        ts_micros(t["events"]).alias("mts"),
     )
 
 
@@ -123,7 +123,7 @@ def b26_dsv2_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.expr("ts div 1000").alias("mts"),
+        ts_micros(stream_df).alias("mts"),
     )
     ckpt = os.path.join(root, "_ckpt")
     with _stream_partitions(spark):

@@ -35,30 +35,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dbl, dec
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, ts_event_time
 from .registry import register
 
 # ---------------------------------------------------------------------------
 # event-time plumbing
 # ---------------------------------------------------------------------------
 
-def event_time(ts_dtype=None):
-    """The ``ts`` column as an event-time timestamp, whatever the on-disk
-    physical type.
-
-    The driver testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (read
-    as int64 under ``nanosAsLong``) and as TIMESTAMP(MICROS) (read as
-    TIMESTAMP_NTZ directly); this adapts to the actual read type instead of
-    assuming one.  For the int64-nanos case integer ``div`` keeps full
-    precision (a double division would lose bits above 2^53) and truncation
-    toward zero matches DuckDB's nanos->micros read of the same file.
-    Built lazily: column expressions need an active SparkContext.
-    """
-    from pyspark.sql.types import LongType
-
-    if ts_dtype is None or not isinstance(ts_dtype, LongType):
-        return F.col("ts")  # already a (NTZ) timestamp at micros
-    return F.timestamp_micros(F.expr("ts div 1000"))
+# event-time extraction lives in sources.tables.ts_event_time: it inspects
+# the actual read schema (int64-nanos vs timestamp-micros) and ALWAYS yields
+# a plain TIMESTAMP — withWatermark rejects TIMESTAMP_NTZ
+# (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the raw column is never legal
+# event time on the NTZ read.
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
@@ -103,12 +91,13 @@ def _write_chunks(sf_dir: str, scheme: str) -> str:
 
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     # normalize ts to int64 NANOS regardless of the on-disk unit (the
-    # chunk-boundary constants are nanos)
+    # chunk-boundary constants are nanos); cast through timestamp[ns] so
+    # s/ms/us units all land at the right magnitude instead of only us.
     ts_col = tbl["ts"]
-    if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit == "us":
-        ts = pc.multiply(pc.cast(ts_col, "int64"), 1000)
+    if pa.types.is_timestamp(ts_col.type):
+        ts = pc.cast(pc.cast(ts_col, pa.timestamp("ns")), "int64")
     else:
-        ts = pc.cast(ts_col, "int64")
+        ts = pc.cast(ts_col, "int64")  # already integer nanos
     out_dir = tempfile.mkdtemp(prefix=f"events_{scheme}_")
     if scheme == "ordered":
         bounds = [None, *CHUNK_BOUNDS, None]
@@ -152,12 +141,12 @@ def _events_stream(spark: SparkSession, sf_dir: str, scheme: str = "ordered"):
     """events as a file-source stream, one chunk file per micro-batch."""
     chunk_dir = _write_chunks(sf_dir, scheme)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(chunk_dir)
-        .withColumn("etime", event_time())
     )
+    return stream.withColumn("etime", ts_event_time(stream))
 
 
 STREAM_SHUFFLE_PARTITIONS = "4"

@@ -25,7 +25,7 @@ from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
 from ..functions.numeric import dbl, dec
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, ts_micros
 from .registry import register
 
 # Shared decimal discount-price fragments (identical text in both engines so
@@ -505,10 +505,11 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts before the click (is_click tiebreak), matching ASOF's inclusive
     ``v.ts <= c.ts`` bound."""
     t = load_tables(spark, sf_dir)
-    # events.ts is TIMESTAMP(NANOS) parquet, read as long nanos
-    # (nanosAsLong); all as-of logic runs on integer MICROS so ordering and
-    # tie-breaking match DuckDB's nanos->micros truncation bit-for-bit.
-    ev = t["events"].withColumn("mts", F.expr("ts div 1000"))
+    # All as-of logic runs on integer MICROS so ordering and tie-breaking
+    # match DuckDB's read of the same file bit-for-bit; ts_micros adapts to
+    # whichever physical type (int64-nanos or timestamp-micros) the testdata
+    # shipped with.
+    ev = t["events"].withColumn("mts", ts_micros(t["events"]))
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", "mts")

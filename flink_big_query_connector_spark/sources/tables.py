@@ -8,7 +8,9 @@ for the bytes it touches — the property that matters at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..session import tune_session
 
@@ -34,6 +36,39 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table as a lazy DataFrame keyed by name."""
     tune_session(spark)
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """``col`` as integer MICROS since epoch, whatever the physical type.
+
+    The driver testdata has shipped ``events.ts`` both as TIMESTAMP(NANOS)
+    parquet (read as int64 under ``nanosAsLong``) and as TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ).  Every plan that needs integer event-time
+    arithmetic MUST go through this helper instead of touching the physical
+    type — a raw ``ts div 1000`` crashes with DATATYPE_MISMATCH on the
+    timestamp read, and ``unix_micros`` crashes on the long read.
+
+    For int64-nanos, integer ``div`` keeps full precision (double division
+    loses bits above 2^53) and truncation toward zero matches DuckDB's
+    nanos->micros read of the same file.  For timestamp reads the session
+    timezone is pinned UTC (``session.py``), so NTZ wall-clock == instant
+    and ``unix_micros(cast(ts as timestamp))`` equals DuckDB ``epoch_us``.
+    """
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def ts_event_time(df: DataFrame, col: str = "ts") -> Column:
+    """``col`` as a watermark-legal TIMESTAMP, whatever the physical type.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    _TYPE), so the NTZ read must be cast; with the session timezone pinned
+    UTC the cast is a pure retag, not a wall-clock shift.
+    """
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")
 
 
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
