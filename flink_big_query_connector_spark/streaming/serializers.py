@@ -38,23 +38,33 @@ def noop_rows(df: DataFrame, payload_col: str) -> Column:
     return F.col(payload_col)
 
 
-def proto_rows(df: DataFrame, descriptor_path: str, message_name: str) -> Column:
-    """Protobuf bytes per row (A18) via Spark's native ``to_protobuf``.
+def proto_rows(
+    df: DataFrame,
+    descriptor_path: str | None = None,
+    message_name: str | None = None,
+) -> Column:
+    """Protobuf bytes per row (A18).
 
-    Requires the spark-protobuf artifact and a compiled descriptor set
-    (the descriptor-from-table-schema fetch of the reference maps to
-    compiling the sink table's schema to a ``.desc`` ahead of time).
-    Raises NotImplementedError when the runtime lacks the protobuf stack —
-    callers fall back to :func:`json_rows`, exactly like the reference's
-    JSON writer path.
+    Two tiers, mirroring the reference's descriptor-from-table-schema
+    derivation (``client/BigQueryProtoClientProvider.java:45-46``):
+
+    1. With a compiled descriptor set available AND the spark-protobuf jar
+       on the classpath, Spark's native ``to_protobuf`` (JVM-side, codegen).
+    2. Otherwise the pure-Python wire-format encoder
+       (:func:`..streaming.proto.proto_rows_py`): the descriptor is derived
+       from ``df.schema`` exactly like the reference derives it from the
+       table schema, and rows are encoded by an Arrow-batched pandas UDF.
+       Slower per row but dependency-free and byte-compatible.
     """
-    try:
-        from pyspark.sql.protobuf.functions import to_protobuf
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(f"spark protobuf functions unavailable: {e}")
-    try:
-        return to_protobuf(
-            F.struct(*df.columns), message_name, descFilePath=descriptor_path
-        )
-    except Exception as e:  # pragma: no cover - jar not on classpath
-        raise NotImplementedError(f"to_protobuf unavailable: {e}")
+    if descriptor_path is not None and message_name is not None:
+        try:
+            from pyspark.sql.protobuf.functions import to_protobuf
+
+            return to_protobuf(
+                F.struct(*df.columns), message_name, descFilePath=descriptor_path
+            )
+        except Exception:  # jar not on classpath -> pure-Python tier
+            pass
+    from .proto import proto_rows_py
+
+    return proto_rows_py(df)
