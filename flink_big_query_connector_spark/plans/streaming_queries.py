@@ -837,7 +837,12 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             handler = StreamStateHandler(client, state_dir)
             key = int(pdf["user_id"].iloc[0])
             rows = pdf.sort_values("event_id").to_dict("records")
-            stream, offset = handler.acquire(str(key), table, len(rows))
+            # batch_id makes the acquire idempotent under task retry /
+            # speculation: a re-run of this (key, batch) gets the same base
+            # and the offset-checked append trims what's already durable.
+            stream, offset = handler.acquire(
+                str(key), table, len(rows), batch_id=batch_id
+            )
             write_with_retry(
                 client, table, stream, rows, offset, WriterSettings()
             )

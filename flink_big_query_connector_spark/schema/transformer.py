@@ -8,9 +8,12 @@ schemas are represented as plain dicts (the REST/JSON shape):
     {"fields": [{"name": ..., "type": "INT64", "mode": "NULLABLE",
                  "fields": [...]}, ...]}
 
-Type-fidelity notes (SURVEY §1.2): BIGNUMERIC's 76-digit precision exceeds
-Spark's DecimalType(38) — values outside DECIMAL(38,38-capped) need a
-StringType carrier; TIME and GEOGRAPHY have no Spark type and map to
+Type-fidelity notes (SURVEY §1.2): BIGNUMERIC's 76-digit precision
+(NUMERIC(76.76, 38)) exceeds Spark's DecimalType(38) — we carry it as
+DECIMAL(38,19), splitting the 38 available digits evenly between integer
+and fractional parts so both |x|>=1 and fine fractions survive (a (38,38)
+mapping has ZERO integer digits and overflows on any |x|>=1); exact
+full-range fidelity needs a StringType carrier; TIME and GEOGRAPHY have no Spark type and map to
 STRING; JSON maps to STRING (VariantType exists on Spark 4 but string keeps
 the oracle comparable).
 """
@@ -46,7 +49,7 @@ _BQ_TO_SPARK: dict[str, DataType] = {
     "INT64": LongType(),
     "INTEGER": LongType(),
     "NUMERIC": DecimalType(38, 9),
-    "BIGNUMERIC": DecimalType(38, 38),  # capped; full range -> STRING
+    "BIGNUMERIC": DecimalType(38, 19),  # balanced cap; full range -> STRING
     "JSON": StringType(),
     "STRING": StringType(),
     "TIME": StringType(),  # no Spark TimeType; micros-as-string
@@ -98,8 +101,11 @@ def _spark_to_field(field: StructField) -> dict:
         out["type"] = "STRUCT"
         out["fields"] = [_spark_to_field(f) for f in dtype.fields]
     elif isinstance(dtype, DecimalType):
-        # NUMERIC covers (38,9); anything wider-scaled -> BIGNUMERIC.
-        out["type"] = "NUMERIC" if dtype.scale <= 9 else "BIGNUMERIC"
+        # NUMERIC is (38,9); anything needing more scale OR more
+        # integer digits than NUMERIC holds maps to BIGNUMERIC.
+        p_, s_ = dtype.precision, dtype.scale
+        fits_numeric = s_ <= 9 and (p_ - s_) <= 29
+        out["type"] = "NUMERIC" if fits_numeric else "BIGNUMERIC"
     else:
         for spark_cls, bq in _SPARK_TO_BQ.items():
             if isinstance(dtype, spark_cls):

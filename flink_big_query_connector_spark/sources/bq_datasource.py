@@ -508,6 +508,13 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
         # admits, so a backlog drains in bounded batches instead of one
         # giant epoch.  0 = unbounded.
         self.max_rows_per_trigger = int(options.get("max_rows_per_trigger", 0))
+        # Scope the admission cursor per QUERY, not per table: two
+        # concurrent throttled readers of the same table each need the
+        # full stream (a shared cursor would split it between them).  The
+        # reader has no access to the sink's checkpoint path, so the query
+        # identity is an explicit read option; the default (empty) keeps
+        # one shared cursor per table for single-reader pipelines.
+        self.cursor_id = str(options.get("cursor_id", ""))
         self.session_tz = _session_timezone()
 
     # -- admission cursor ---------------------------------------------------
@@ -519,8 +526,14 @@ class FakeBigQueryStreamReader(DataSourceStreamReader):
     # monotonic per-table file in the backend, advanced under a file lock.
 
     def _cursor_path(self) -> str:
+        name = "read_cursor.json"
+        if self.cursor_id:
+            import hashlib
+
+            h = hashlib.sha1(self.cursor_id.encode()).hexdigest()[:12]
+            name = f"read_cursor_{h}.json"
         return os.path.join(
-            self.root, "tables", self.table.replace("/", "__"), "read_cursor.json"
+            self.root, "tables", self.table.replace("/", "__"), name
         )
 
     def _advance_cursor(self, floor: dict, cap: int, latest: dict) -> dict:

@@ -229,6 +229,14 @@ class FakeBigQuery:
             if m["finalized"]:
                 raise StreamFinalizedError(stream)
             current = m["offset"]
+            if offset >= 0 and m["type"] == "DEFAULT":
+                # Storage API semantics: the default stream is append-only
+                # with no offset coordination; an explicit offset is
+                # INVALID_ARGUMENT, not silently ignored.
+                raise BigQueryError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"explicit offset {offset} not allowed on default stream",
+                )
             if offset >= 0 and m["type"] == "BUFFERED":
                 if offset < current:
                     raise OffsetAlreadyExistsError(offset, current)

@@ -308,6 +308,39 @@ class BufferedStreamSink:
             json.dump({"batch_id": batch_id, "committables": committables}, f)
         os.replace(tmp, self._commit_path(batch_id))
 
+    def _check_partitioning(self, batch_id: int, num_partitions: int) -> None:
+        """Pin the batch's partition layout across replays.
+
+        The per-partition streams are named ``b{batchId}-p{pid}`` and the
+        ALREADY_EXISTS trim assumes a replayed partition carries the SAME
+        row prefix as the first attempt.  If the partition count changes
+        between attempts (e.g. ``spark.sql.shuffle.partitions`` was edited
+        before restart), rows redistribute across streams and the trim
+        would silently drop or duplicate — so the first attempt records
+        the layout in a manifest and any replay with a different count
+        fails loudly instead (mirrors the offset-integrity guarantees of
+        ``sink/buffered/BigQueryBufferedSinkWriter.java:118-148``).
+        """
+        import json
+        import os
+
+        path = self._commit_path(batch_id) + ".manifest"
+        if os.path.exists(path):
+            with open(path) as f:
+                recorded = json.load(f)["num_partitions"]
+            if recorded != num_partitions:
+                raise RuntimeError(
+                    f"batch {batch_id} replayed with {num_partitions} "
+                    f"partitions but was first attempted with {recorded}; "
+                    "refusing to trim against mismatched streams "
+                    "(restore the original partitioning to recover)"
+                )
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "num_partitions": num_partitions}, f)
+        os.replace(tmp, path)
+
     # -- write path --------------------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -334,9 +367,9 @@ class BufferedStreamSink:
             end = client.get_write_stream(table, stream).offset
             return iter([(stream, end)])
 
-        committables = (
-            _serialized_json(df).rdd.mapPartitionsWithIndex(write_partition).collect()
-        )
+        serialized = _serialized_json(df)
+        self._check_partitioning(batch_id, serialized.rdd.getNumPartitions())
+        committables = serialized.rdd.mapPartitionsWithIndex(write_partition).collect()
         # Commit phase (driver = the committer operator): flush each stream
         # to its end offset, then record the batch atomically.
         for stream, end in committables:

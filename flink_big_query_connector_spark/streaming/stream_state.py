@@ -31,12 +31,21 @@ class StreamState:
     name: str
     offset: int
     last_update_ms: int
+    # idempotent-replay bookkeeping: the batch id that last advanced the
+    # offset and the base it was handed.  A task retry (failure or
+    # speculative duplicate) re-acquires with the SAME batch id and gets
+    # the same base back instead of double-advancing.
+    last_batch_id: int | None = None
+    last_base: int = 0
 
     def expired(self, ttl_days: int, now_ms: int) -> bool:
         return now_ms - self.last_update_ms >= ttl_days * 86_400_000
 
     def update(self, batch_size: int, now_ms: int) -> "StreamState":
-        return StreamState(self.name, self.offset + batch_size, now_ms)
+        return StreamState(
+            self.name, self.offset + batch_size, now_ms,
+            self.last_batch_id, self.last_base,
+        )
 
 
 class StreamStateHandler:
@@ -68,7 +77,10 @@ class StreamStateHandler:
         try:
             with open(self._path(key)) as f:
                 d = json.load(f)
-            return StreamState(d["name"], d["offset"], d["last_update_ms"])
+            return StreamState(
+                d["name"], d["offset"], d["last_update_ms"],
+                d.get("last_batch_id"), d.get("last_base", 0),
+            )
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
@@ -77,14 +89,26 @@ class StreamStateHandler:
         with open(tmp, "w") as f:
             json.dump(
                 {"name": st.name, "offset": st.offset,
-                 "last_update_ms": st.last_update_ms},
+                 "last_update_ms": st.last_update_ms,
+                 "last_batch_id": st.last_batch_id,
+                 "last_base": st.last_base},
                 f,
             )
         os.replace(tmp, self._path(key))
 
-    def acquire(self, key: str, table: str, batch_size: int) -> tuple[str, int]:
+    def acquire(
+        self, key: str, table: str, batch_size: int,
+        batch_id: int | None = None,
+    ) -> tuple[str, int]:
         """Resolve the write stream + append offset for a batch of
-        ``batch_size`` rows keyed by ``key``; advances the stored offset."""
+        ``batch_size`` rows keyed by ``key``; advances the stored offset.
+
+        Pass the micro-batch's ``batch_id`` to make acquisition idempotent
+        under Spark task retry/speculation: a re-execution for the same
+        (key, batch_id) returns the SAME base offset instead of advancing
+        again (the subsequent offset-checked append then trims any rows the
+        first attempt already stored, so replays produce no duplicates).
+        """
         with _locked(self._path(key) + ".lock"):
             now = self.clock()
             st = self._load(key)
@@ -94,10 +118,21 @@ class StreamStateHandler:
                 st = self._create(table, now)
             elif key not in self._cached:  # NOT_CACHED -> verify on recovery
                 st = self._verify_or_recreate(st, table, now)
-            offset = st.offset
-            self._store(key, st.update(batch_size, now))
+            # Task-retry replay (checked AFTER verify: a retried task runs
+            # in a fresh handler, so the key is never in _cached there):
+            # same (key, batch_id) -> hand back the prior base; the offset
+            # is recomputed from it because the retried batch is the same
+            # deterministic row set.
+            if batch_id is not None and st.last_batch_id == batch_id:
+                base = st.last_base
+            else:
+                base = st.offset
+            self._store(
+                key,
+                StreamState(st.name, base + batch_size, now, batch_id, base),
+            )
             self._cached.add(key)
-            return st.name, offset
+            return st.name, base
 
     def _create(self, table: str, now_ms: int) -> StreamState:
         name = self.client.create_write_stream(table, "BUFFERED")

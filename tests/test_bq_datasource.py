@@ -292,6 +292,39 @@ def test_stream_read_rate_limited(spark, root, tmp_path):
         q.stop()
 
 
+def test_two_throttled_readers_each_see_full_table(spark, root, tmp_path):
+    """Concurrent throttled queries over one table must not split the
+    stream: the admission cursor is scoped per query via cursor_id."""
+    _write(_sample_df(spark, 60), root, "p/d/shared")
+
+    def run(qid: str) -> int:
+        stream = (
+            spark.readStream.format(dsrc.SOURCE_NAME)
+            .option("root", root)
+            .option("table", "p/d/shared")
+            .option("max_rows_per_trigger", "25")
+            .option("cursor_id", qid)
+            .load()
+        )
+        name = f"dsv2_cursor_{qid}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qid}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.table(name).count()
+        finally:
+            q.stop()
+
+    # sequential start, but both cursors live in the same backend dir —
+    # a shared cursor would leave reader B seeing 0 new rows
+    assert run("qa") == 60
+    assert run("qb") == 60
+
+
 def test_typed_roundtrip_arrow_fast_path(spark, root):
     """date/timestamp/decimal/array columns survive the C++ JSON parse +
     Arrow cast read path bit-exactly."""

@@ -27,6 +27,24 @@ def test_default_stream_append_visible(bq):
     assert bq.read_rows("t1") == rows(3)
 
 
+def test_default_stream_rejects_explicit_offset(bq):
+    """Storage API semantics: offsets are only meaningful on BUFFERED
+    (and PENDING/COMMITTED) streams; the default stream rejects them with
+    INVALID_ARGUMENT instead of silently ignoring the offset."""
+    import pytest
+
+    from flink_big_query_connector_spark.streaming.errors import (
+        BigQueryError,
+        StatusCode,
+    )
+
+    bq.append("t1", DEFAULT_STREAM, rows(2))  # offset -1: fine
+    with pytest.raises(BigQueryError) as e:
+        bq.append("t1", DEFAULT_STREAM, rows(2), 2)
+    assert e.value.code == StatusCode.INVALID_ARGUMENT
+    assert bq.table_count("t1") == 2  # rejected append stored nothing
+
+
 def test_buffered_stream_offsets(bq):
     s = bq.create_write_stream("t1", "BUFFERED")
     assert bq.append("t1", s, rows(2), 0) == 2

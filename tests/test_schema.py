@@ -62,6 +62,32 @@ def test_unsupported_type_raises():
         bq_schema_to_struct_type({"fields": [{"name": "x", "type": "WAT"}]})
 
 
+def test_bignumeric_carries_values_at_or_above_one(spark):
+    """BIGNUMERIC must hold |x| >= 1: a (38,38) mapping has zero integer
+    digits and nulls/overflows any such value; (38,19) keeps 19 on each
+    side of the point."""
+    import decimal
+
+    st = bq_schema_to_struct_type(
+        {"fields": [{"name": "big", "type": "BIGNUMERIC"}]}
+    )
+    assert st["big"].dataType.simpleString() == "decimal(38,19)"
+    v = decimal.Decimal("1234567890123456789.0123456789012345678")
+    df = spark.createDataFrame([(v,)], st)
+    [row] = df.collect()
+    assert row["big"] == v  # no overflow-to-null, no precision loss
+    # round-trip: a wide decimal maps back to BIGNUMERIC, narrow to NUMERIC
+    back = struct_type_to_bq_schema(st)
+    assert back["fields"][0]["type"] == "BIGNUMERIC"
+    from pyspark.sql.types import DecimalType
+
+    narrow = StructType([StructField("n", DecimalType(38, 9))])
+    assert struct_type_to_bq_schema(narrow)["fields"][0]["type"] == "NUMERIC"
+    wide_int = StructType([StructField("n", DecimalType(38, 0))])
+    # 38 integer digits exceed NUMERIC's 29 -> BIGNUMERIC
+    assert struct_type_to_bq_schema(wide_int)["fields"][0]["type"] == "BIGNUMERIC"
+
+
 def test_schema_tools_update_table(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS st_test")
     tools = SchemaTools(spark)

@@ -177,6 +177,31 @@ def test_buffered_sink_replay_after_partial_write(spark, sf_dir, tmp_path):
     assert sink.is_committed(3)
 
 
+def test_buffered_sink_replay_rejects_changed_partitioning(spark, sf_dir, tmp_path):
+    """Replay with a different partition count must fail loudly, not trim
+    against mismatched ``b{batch}-p{pid}`` streams (which would silently
+    drop or duplicate rows)."""
+    import pytest
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    sink = BufferedStreamSink(root, "events_repart", FAST)
+
+    four = events.repartition(4)
+    # First attempt records the 4-partition layout but crashes pre-commit.
+    sink._check_partitioning(11, four.rdd.getNumPartitions())
+    assert not sink.is_committed(11)
+
+    with pytest.raises(RuntimeError, match="partitions"):
+        sink.write_batch(events.repartition(2), 11)
+    # Restoring the original partitioning recovers.
+    sink.write_batch(four, 11)
+    assert FakeBigQuery(root).table_count("events_repart") == events.count()
+    assert sink.is_committed(11)
+
+
 def test_async_sink_bounded_inflight(spark, sf_dir, tmp_path):
     root = str(tmp_path / "bq")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(

@@ -32,6 +32,27 @@ def test_offsets_advance_per_key(bq, tmp_path):
     assert s3 != s1 and o3 == 0
 
 
+def test_acquire_idempotent_per_batch_id(bq, tmp_path):
+    """A Spark task retry (failure or speculative duplicate) re-acquires
+    with the same (key, batch_id) — it must get the SAME base offset, not
+    advance again, so the offset-checked append trims instead of duping."""
+    state_dir = str(tmp_path / "state")
+    h1 = StreamStateHandler(bq, state_dir)
+    s1, o1 = h1.acquire("k1", "t", 10, batch_id=0)
+    assert o1 == 0
+
+    # retry runs in a FRESH handler instance (new python worker)
+    h2 = StreamStateHandler(bq, state_dir)
+    s2, o2 = h2.acquire("k1", "t", 10, batch_id=0)
+    assert (s2, o2) == (s1, 0)
+    assert h2.peek("k1").offset == 10  # not double-advanced to 20
+
+    # the next micro-batch advances normally
+    s3, o3 = h2.acquire("k1", "t", 5, batch_id=1)
+    assert (s3, o3) == (s1, 10)
+    assert h2.peek("k1").offset == 15
+
+
 def test_ttl_expiry_recreates_stream(bq, tmp_path):
     day = 86_400_000
     clock = MockClock([0, 20 * day])  # jump past the 7-day TTL
