@@ -16,11 +16,13 @@ Two forms:
   may overshoot ``max_bytes`` by at most one row, same as the reference's
   "fires when accumulated size crosses the bound" behavior.
 
-The time bound of the reference trigger (``ProcessingTimeoutTrigger``) maps
-to Structured Streaming's ``trigger(processingTime=...)`` — micro-batches
-are already time-bounded, so there is no row-level timer here.  Deviation
-(documented): the reference resets its timeout timer on each new record;
-Spark's fixed-interval micro-batch does not.
+The time bound of the reference trigger (``ProcessingTimeoutTrigger``) has
+two realizations: plain ``trigger(processingTime=...)`` (micro-batches are
+already time-bounded) for the fixed-interval idiom, and
+:func:`timeout_batch_flush` — a ``ProcessingTimeTimeout`` stateful operator
+reproducing the reference's per-record timer reset
+(``resetTimerOnNewRecord=true``): a pending partial batch flushes only
+after the key has gone quiet for the timeout, not on a fixed cadence.
 """
 
 from __future__ import annotations
@@ -143,4 +145,107 @@ def stateful_batch_assign(
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def timeout_batch_flush(
+    stream_df: DataFrame,
+    key_col: str,
+    order_col: str,
+    max_count: int,
+    timeout_ms: int,
+    size_col: str | None = None,
+    max_bytes: int | None = None,
+    reset_timer_on_new_record: bool = True,
+):
+    """A2 with full timer semantics: count/size bounds PLUS a
+    processing-time timeout that flushes a pending partial batch, with the
+    reference's ``resetTimerOnNewRecord`` option
+    (``process/BatchTrigger.java:117-126`` — ``ProcessingTimeoutTrigger.of(
+    inner, timeout, resetTimerOnNewRecord, true)`` wrapped in a
+    ``PurgingTrigger``).
+
+    Emits one envelope row per FLUSHED batch: ``(key, batch_seq, n, bytes,
+    fired_by)`` with ``fired_by in ('count','size','timeout')`` — the
+    ``Rows``-envelope analogue; the actual rows carry ``(key, batch_seq)``
+    via :func:`stateful_batch_assign`-style arithmetic downstream, so the
+    state holds three longs per key, never buffered rows (at 100 TB the
+    state store scales with |keys|, not data).
+
+    Timer mapping: ``GroupStateTimeout.ProcessingTimeTimeout``.  With
+    ``reset_timer_on_new_record`` the timeout duration is re-armed on every
+    data delivery for the key (each new record pushes the deadline out —
+    the reference's reset=true); without it the state stores the absolute
+    deadline armed by the FIRST pending record and re-arms with the
+    remaining time (reset=false).  A key whose deadline lapses is invoked
+    with ``hasTimedOut`` on the next micro-batch and its partial batch
+    flushes with ``fired_by='timeout'``, matching the
+    ``shouldClearOnTimeout=true`` purge.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(stream_df.sparkSession)
+    out_schema = (
+        f"{key_col} long, batch_seq long, n long, bytes long, fired_by string"
+    )
+    state_schema = "seq long, pending long, pending_bytes long, deadline_ms long"
+
+    def flush(key, pdfs, state):
+        import time as _time
+
+        if state.exists:
+            seq, pending, pending_bytes, deadline = state.get
+        else:
+            seq, pending, pending_bytes, deadline = 0, 0, 0, 0
+
+        if state.hasTimedOut:
+            if pending > 0:
+                yield pd.DataFrame(
+                    {key_col: [key[0]], "batch_seq": [seq], "n": [pending],
+                     "bytes": [pending_bytes], "fired_by": ["timeout"]}
+                )
+                seq, pending, pending_bytes = seq + 1, 0, 0
+            state.update((seq, pending, pending_bytes, 0))
+            return
+
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            sizes = (
+                pdf[size_col].to_numpy()
+                if size_col is not None
+                else [0] * len(pdf)
+            )
+            for sz in sizes:
+                pending += 1
+                pending_bytes += int(sz)
+                fired = None
+                if pending >= max_count:
+                    fired = "count"
+                elif max_bytes is not None and pending_bytes >= max_bytes:
+                    fired = "size"
+                if fired:
+                    out.append((key[0], seq, pending, pending_bytes, fired))
+                    seq, pending, pending_bytes = seq + 1, 0, 0
+
+        now_ms = int(_time.time() * 1000)
+        if pending > 0:
+            if reset_timer_on_new_record or deadline <= 0:
+                deadline = now_ms + timeout_ms
+            state.update((seq, pending, pending_bytes, deadline))
+            state.setTimeoutDuration(max(1, deadline - now_ms))
+        else:
+            state.update((seq, 0, 0, 0))
+        if out:
+            k, s, n, b, f = zip(*out)
+            yield pd.DataFrame(
+                {key_col: k, "batch_seq": s, "n": n, "bytes": b, "fired_by": f}
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        flush, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

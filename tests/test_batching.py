@@ -75,3 +75,78 @@ def test_dataframe_batch_assignment(spark):
         df.withColumn("sz", row_size_col(df)), "key", ["seq"], 200, "sz"
     )
     assert sized.filter(F.col("batch_index") < 0).count() == 0
+
+
+def test_timeout_batch_flush_per_record_timer_reset(spark, tmp_path):
+    """A2 timer semantics (BatchTrigger.java:117-126,
+    resetTimerOnNewRecord=true): a key that goes quiet flushes its partial
+    batch by TIMEOUT; a key that keeps receiving rows fires by COUNT/SIZE;
+    nothing flushes while data keeps the bounds unmet and the key active."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_big_query_connector_spark.streaming.batching import (
+        timeout_batch_flush,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    os.makedirs(chunk_dir)
+
+    def write_chunk(i, rows):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "seqno": pa.array([r[1] for r in rows], pa.int64()),
+                "sz": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        path = os.path.join(chunk_dir, f"c{i}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # key 1: 3 rows in chunk 0 only -> quiet afterwards -> timeout flush
+    # key 2: 5 rows in chunk 0 -> count fire; 2 more in chunk 1 -> pending
+    # key 3: two 600-byte rows in chunk 0 -> size fire at 1200 >= 1000
+    write_chunk(0, [(1, i, 10) for i in range(3)]
+                 + [(2, i, 10) for i in range(5)]
+                 + [(3, i, 600) for i in range(2)])
+    write_chunk(1, [(2, i, 10) for i in range(5, 7)])
+
+    stream = (
+        spark.readStream.schema("k long, seqno long, sz long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    out = timeout_batch_flush(
+        stream, "k", "seqno", max_count=5, timeout_ms=1,
+        size_col="sz", max_bytes=1000,
+    )
+    name = "timeout_flush_test"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # AvailableNow cannot terminate while processing-time timers may still
+    # fire, so run the continuous trigger and poll for the 3 expected
+    # envelopes (count fire, size fire, timeout flush), then stop.
+    import time
+
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline and spark.table(name).count() < 3:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        (r["k"], r["batch_seq"]): (r["n"], r["fired_by"])
+        for r in spark.table(name).collect()
+    }
+    assert got[(2, 0)] == (5, "count")
+    assert got[(3, 0)] == (2, "size")
+    assert got[(1, 0)] == (3, "timeout")  # quiet key flushed by timer
+    # key 2's chunk-1 remainder (2 rows < bounds, stream ended) stays pending
+    assert (2, 1) not in got
