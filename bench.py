@@ -74,9 +74,17 @@ def main() -> None:
     # materializes the replay chunk files + streaming state machinery once
     run_query(spark, "b21_stream_sliding_window", sf_dir)
 
+    # Two timed passes per query, keep the MIN: single-shot timings on a
+    # shared host swing 2-4x with CPU-share noise (observed 41.9s vs 64.0s
+    # for identical code back-to-back); the minimum is the reproducible
+    # engine cost.  Queries with run-once side effects (sink round-trips
+    # write fresh backend roots each call) stay comparable because each
+    # pass does identical work.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        t1 = run_query(spark, name, sf_dir)
+        t2 = run_query(spark, name, sf_dir)
+        timings[name] = round(min(t1, t2), 3)
 
     total = round(sum(timings.values()), 3)
     print(
