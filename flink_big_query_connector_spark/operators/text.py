@@ -147,3 +147,115 @@ def sql_bpe_token_count(text_expr: str) -> str:
         f"CAST(len(regexp_extract_all({text_expr}, "
         f"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
     )
+
+
+# -- Repetition features (corpus boilerplate detection) ----------------------
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals used by corpus quality filters
+    (duplicate-content heuristics over words and word 2-grams):
+
+    - ``distinct_ratio``     distinct tokens / tokens (low = repetitive)
+    - ``top_word_frac``      occurrences of the most frequent token / tokens
+    - ``top_bigram_frac``    occurrences of the most frequent 2-gram / 2-grams
+
+    Scale shape: explode -> two-level aggregation.  The shuffle carries
+    (doc_id, token) pairs — corpus-linear — and both aggregation levels
+    have map-side partial combine; no per-document state exceeds a few
+    counters.  A single-pass array-lambda version would avoid the shuffle
+    but does O(n^2) comparisons per row; explode+groupBy is the form that
+    survives books-sized documents.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
+    words = base.select(id_col, F.explode("toks").alias("w"))
+    word_stats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_word_c"),
+        )
+    )
+    # size >= 2 guard matters: sequence(0, -1) would count DOWN and index 0
+    # into the array (1-token docs crash without it)
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.element_at(F.col("toks"), i + 1),
+                                      F.element_at(F.col("toks"), i + 2)),
+            )
+        ).alias("bg"),
+    )
+    bigram_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c"))
+    )
+    return (
+        word_stats.join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("distinct_ratio"),
+            (F.col("top_word_c").cast("double") / F.col("n_tokens"))
+            .alias("top_word_frac"),
+            F.when(
+                F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), 0.0
+            )
+            .otherwise(
+                F.col("top_bigram_c").cast("double") / F.col("n_bigrams")
+            )
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# Engine-portable patterns (Java regex and RE2 agree on this subset).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # email addresses
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # long digit runs (ids, account / phone numbers)
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def pii_scrub_expr(col: Column) -> Column:
+    """Chained redaction of the PII patterns — pure regexp_replace
+    pipeline, whole-stage codegen, no Python in the data path."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hits_expr(col: Column) -> Column:
+    """Total number of redacted spans across all patterns."""
+    total = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+    return total.cast("long")
+
+
+def sql_pii_scrub(col_expr: str) -> str:
+    out = col_expr
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def sql_pii_hits(col_expr: str) -> str:
+    parts = [
+        f"len(regexp_extract_all({col_expr}, '{pat}'))" for pat, _ in PII_PATTERNS
+    ]
+    return f"CAST({' + '.join(parts)} AS BIGINT)"

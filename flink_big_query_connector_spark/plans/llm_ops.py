@@ -771,3 +771,83 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "doc_id")
     )
+
+
+@register(
+    "llm_text_repetition",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE len({_SQL_TOKS}) > 0
+        ),
+        words AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+        ws AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct, MAX(c) AS top_word_c
+          FROM wc GROUP BY doc_id
+        ),
+        bgl AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM d WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY doc_id, bg),
+        bs AS (
+          SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_c
+          FROM bc GROUP BY doc_id
+        )
+        SELECT ws.doc_id, ws.n_tokens,
+               CAST(ws.n_distinct AS DOUBLE) / ws.n_tokens AS distinct_ratio,
+               CAST(ws.top_word_c AS DOUBLE) / ws.n_tokens AS top_word_frac,
+               CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0.0
+                    ELSE CAST(bs.top_bigram_c AS DOUBLE) / bs.n_bigrams
+               END AS top_bigram_frac
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+    tags=("text",),
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate features (distinct ratio, top-word and
+    top-2-gram fractions) — the duplicate-content signals corpus quality
+    filters gate on."""
+    t = load_tables(spark, sf_dir)
+    return text.repetition_features(t["documents"])
+
+
+@register(
+    "llm_text_pii_scrub",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM({text.sql_pii_hits('c_name')}) AS BIGINT)
+                   AS total_redactions,
+               MIN({text.sql_pii_scrub('c_name')}) AS sample_scrubbed
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("text", "pii"),
+)
+def llm_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + long digit runs) as a pure regexp pipeline,
+    summarized per market segment.  The scrub itself is row-local
+    (codegen'd regexp_replace, no shuffle); the aggregate exists so the
+    oracle checks both the redacted text and the hit counts."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return (
+        c.select(
+            "c_mktsegment",
+            text.pii_hits_expr(F.col("c_name")).alias("hits"),
+            text.pii_scrub_expr(F.col("c_name")).alias("scrubbed"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("hits").cast("long").alias("total_redactions"),
+            F.min("scrubbed").alias("sample_scrubbed"),
+        )
+        .orderBy("c_mktsegment")
+    )

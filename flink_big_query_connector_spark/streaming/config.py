@@ -50,6 +50,9 @@ class WriterSettings:
     # logic honors (split-in-half on "MessageSize is too large").
     max_append_bytes: int = 10_000_000
     retry: WriterRetrySettings = field(default_factory=WriterRetrySettings)
+    # A24: how the writer authenticates (None = DefaultCredentials
+    # semantics — resolution delegated to the client environment).
+    credentials: "Credentials | None" = None
 
 
 @dataclass(frozen=True)
@@ -62,3 +65,65 @@ class BatchTriggerSettings:
     max_bytes: int = 1 * 1024 * 1024
     timeout_s: float = 1.0
     reset_timer_on_new_record: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Credentials (reference A24: model/config/Credentials.java + the three
+# shipped providers DefaultCredentials / FileCredentialsProvider /
+# JsonCredentialsProvider.java:24-28)
+# ---------------------------------------------------------------------------
+
+
+class Credentials:
+    """Serializable credential source resolved lazily per writer.
+
+    Spark-first mapping: in a real deployment these feed the BigQuery
+    client library's auth (the same library the reference calls via
+    ``Credentials.toProvider``); against the file-backed fake backend the
+    resolved material is carried but unused.  The three shipped flavors
+    mirror the reference exactly: application-default, key-file path, and
+    inline service-account JSON.
+    """
+
+    def resolve(self) -> dict:
+        """Return the credential material as a dict (the
+        ``toProvider().getCredentials()`` analogue)."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class DefaultCredentials(Credentials):
+    """Application-default credentials (``DefaultCredentials.java``):
+    resolution is delegated to the client environment (metadata server /
+    env var), so there is no material to carry."""
+
+    def resolve(self) -> dict:
+        return {"type": "application_default"}
+
+
+@dataclass(frozen=True)
+class FileCredentials(Credentials):
+    """Service-account key file (``FileCredentialsProvider.java``): the
+    PATH is what ships to executors; the key is read lazily where the
+    writer runs, never serialized into the job graph."""
+
+    path: str = ""
+
+    def resolve(self) -> dict:
+        import json as _json
+
+        with open(self.path) as f:
+            return _json.load(f)
+
+
+@dataclass(frozen=True)
+class JsonCredentials(Credentials):
+    """Inline service-account JSON (``JsonCredentialsProvider.java``):
+    the key travels with the (serialized) settings, as in the reference."""
+
+    service_account_key: str = ""
+
+    def resolve(self) -> dict:
+        import json as _json
+
+        return _json.loads(self.service_account_key)

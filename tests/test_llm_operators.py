@@ -167,3 +167,60 @@ def test_multimodal_payload_and_features(docs):
 def test_decode_image_is_stubbed(docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(docs)
+
+
+def test_repetition_features_values(spark):
+    from flink_big_query_connector_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct / 4; top bigram 'a a' = 3/3
+            (2, "w x y z"),          # all distinct; every bigram unique
+            (3, "solo"),             # 1 token: no bigrams, must not crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 0.25
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    r2 = out[2]
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["top_word_frac"] == 0.25
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 3)
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_patterns(spark):
+    from flink_big_query_connector_spark.operators.text import (
+        pii_hits_expr,
+        pii_scrub_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or call 555123456"),
+            (2, "ids 1234 and 99 stay partial"),  # 99 is < 4 digits
+            (3, "clean text"),
+        ],
+        "id long, s string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_scrub_expr(F.col("s")).alias("scrubbed"),
+            pii_hits_expr(F.col("s")).alias("hits"),
+        ).collect()
+    }
+    assert rows[1]["scrubbed"] == "contact <EMAIL> or call <NUM>"
+    assert rows[1]["hits"] == 2
+    assert rows[2]["scrubbed"] == "ids <NUM> and 99 stay partial"
+    assert rows[2]["hits"] == 1
+    assert rows[3]["scrubbed"] == "clean text" and rows[3]["hits"] == 0

@@ -317,3 +317,33 @@ def test_buffered_sink_restart_from_checkpoint(spark, tmp_path):
     )
     n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert got == list(range(n))  # every row exactly once, none duplicated
+
+
+def test_credentials_providers_resolve(tmp_path):
+    """A24 (model/config/JsonCredentialsProvider.java:24-28 and siblings):
+    the three credential flavors resolve their material and survive
+    serialization into executor closures."""
+    import json
+    import pickle
+
+    from flink_big_query_connector_spark.streaming.config import (
+        Credentials,
+        DefaultCredentials,
+        FileCredentials,
+        JsonCredentials,
+        WriterSettings,
+    )
+
+    assert DefaultCredentials().resolve() == {"type": "application_default"}
+
+    key = {"type": "service_account", "project_id": "p1"}
+    keyfile = tmp_path / "key.json"
+    keyfile.write_text(json.dumps(key))
+    assert FileCredentials(str(keyfile)).resolve() == key
+    assert JsonCredentials(json.dumps(key)).resolve() == key
+
+    # settings carry the provider through pickling (executor shipping)
+    s = WriterSettings(credentials=FileCredentials(str(keyfile)))
+    s2 = pickle.loads(pickle.dumps(s))
+    assert isinstance(s2.credentials, Credentials)
+    assert s2.credentials.resolve() == key
