@@ -259,3 +259,120 @@ def sql_pii_hits(col_expr: str) -> str:
         f"len(regexp_extract_all({col_expr}, '{pat}'))" for pat, _ in PII_PATTERNS
     ]
     return f"CAST({' + '.join(parts)} AS BIGINT)"
+
+
+# -- Training-sequence preparation -------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with optional
+    overlap (context-window preparation for LLM training / RAG indexing).
+
+    Pure Catalyst: tokens -> ``sequence`` of chunk starts -> ``transform``
+    + ``slice`` -> ``explode``.  Row-local (no shuffle at all — the plan
+    is scan -> project -> generate), so it scales with input splits and
+    the only cost is the output fan-out.  Emits ``(id, chunk_index,
+    chunk_text, n_chunk_tokens)``; a document shorter than one chunk
+    yields itself whole.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (ensures the
+    # final partial chunk is emitted; a start inside the last overlap
+    # window would duplicate a full suffix, hence the ceil on (n - overlap))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("toks"), i * stride + 1, chunk_tokens),
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_index", "chunk_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def sql_chunk_documents(chunk_tokens: int, overlap: int) -> str:
+    """DuckDB twin of :func:`chunk_documents` over ``documents``."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+          FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0
+        ),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                     GREATEST(1, CAST(CEIL((len(toks) - {overlap})
+                         / CAST({stride} AS DOUBLE)) AS INT)) - 1)) AS chunk_index
+          FROM d
+        )
+        SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+               array_to_string(toks[chunk_index * {stride} + 1 :
+                               chunk_index * {stride} + {chunk_tokens}], ' ')
+                   AS chunk_text,
+               CAST(len(toks[chunk_index * {stride} + 1 :
+                    chunk_index * {stride} + {chunk_tokens}]) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM idx
+    """
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit packing of documents into fixed token-budget
+    training sequences (per ``source`` stream, ordered by id): each doc
+    joins the current sequence until the budget would overflow, then a new
+    sequence starts.
+
+    Same running-sum bucketing shape as the size batch trigger — one
+    shuffle on the stream key, window cumsum, integer division.  Exact
+    greedy next-fit (not bin-packing-optimal; optimal is NP-hard and
+    order-destroying).  Documents longer than the budget get a sequence of
+    their own (standard practice: they are truncated downstream).
+    """
+    from pyspark.sql.window import Window
+
+    n_toks = token_count_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col("source"),
+        F.least(n_toks, F.lit(budget_tokens)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # next-fit via exclusive prefix sum over CLAMPED sizes: a doc starts a
+    # new sequence when its inclusion crosses the budget boundary
+    cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("n_tokens"),
+        F.floor(cum / F.lit(budget_tokens)).cast("long").alias("seq_index"),
+    )

@@ -851,3 +851,41 @@ def llm_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "llm_doc_chunking",
+    oracle=text.sql_chunk_documents(chunk_tokens=64, overlap=16),
+    tags=("text", "chunking"),
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks with 16-token overlap.
+    Row-local (scan -> project -> generate, zero shuffles); output size is
+    the only cost, exactly as a 100 TB chunking pass should behave."""
+    t = load_tables(spark, sf_dir)
+    return text.chunk_documents(t["documents"], chunk_tokens=64, overlap=16)
+
+
+@register(
+    "llm_pack_sequences",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id, source,
+                 LEAST(len(regexp_extract_all(text, '\\S+')), 2048) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(FLOOR(
+                 (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) / 2048.0) AS BIGINT) AS seq_index
+        FROM d
+    """,
+    tags=("text", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing of documents into 2048-token training
+    sequences per source stream — running-sum bucketing, one shuffle on
+    the stream key."""
+    t = load_tables(spark, sf_dir)
+    return text.pack_sequences(t["documents"], budget_tokens=2048)

@@ -933,3 +933,41 @@ def b26_stream_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", backend_root, "proj.ds.events_tws"
     )
     return _run_to_table(out, "append")
+
+
+@register(
+    "b21_stream_static_enrich",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def b21_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joins a static
+    dimension (customer) per micro-batch.  The static side is broadcast —
+    stateless, no watermark, no join state store; at 100 TB/day of events
+    the dimension re-broadcasts per batch and the stream side never
+    shuffles.  The final appended row set equals the batch join exactly,
+    so the aggregate over the sink table has an exact SQL oracle."""
+    t = load_tables(spark, sf_dir)
+    customers = F.broadcast(
+        t["customer"].select("c_custkey", "c_mktsegment")
+    )
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    joined = ev.join(
+        customers, ev.user_id == customers.c_custkey, "inner"
+    ).select("event_id", "c_mktsegment", "value")
+    sunk = _run_to_table(joined, "append")
+    return (
+        sunk.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -224,3 +224,43 @@ def test_pii_scrub_patterns(spark):
     assert rows[2]["scrubbed"] == "ids <NUM> and 99 stay partial"
     assert rows[2]["hits"] == 1
     assert rows[3]["scrubbed"] == "clean text" and rows[3]["hits"] == 0
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from flink_big_query_connector_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1: stride 3, ceil((10-1)/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t3 t4 t5 t6"),
+        (1, 2, "t6 t7 t8 t9"),
+    ]
+    # short doc: one whole chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b")]
+    # overlap tokens appear in consecutive chunks; no token is lost
+    assert chunk_documents(df, 4, 0).filter("doc_id = 1").count() == 3  # 10/4
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from flink_big_query_connector_spark.operators.text import pack_sequences
+
+    docs = [
+        (1, "w1", "s"),                      # 1 token  -> seq 0 (cum 0)
+        (2, " ".join(["w"] * 6), "s"),       # 6 tokens -> seq 0 (cum 1)
+        (3, " ".join(["w"] * 5), "s"),       # 5 tokens -> seq 0 (cum 7 < 8)
+        (4, " ".join(["w"] * 20), "s"),      # clamped to 8 -> seq 1 (cum 12)
+        (5, "x", "other"),                   # separate stream restarts at 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget_tokens=8).collect()}
+    assert [out[i]["seq_index"] for i in (1, 2, 3)] == [0, 0, 0]
+    assert out[4]["seq_index"] == 1 and out[4]["n_tokens"] == 8  # clamped
+    assert out[5]["seq_index"] == 0
