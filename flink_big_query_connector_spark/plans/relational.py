@@ -1088,3 +1088,46 @@ def b17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n_high"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "b17_map_functions",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("maps",),
+)
+def b17_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element access (the B17 map surface):
+    per user, build ``map<event_type, count>`` with ``map_from_entries``
+    over a collected (type, count) struct array, then read it back with
+    ``element_at`` and ``map_keys``.  The map is built AFTER the
+    aggregation (one shuffle on user_id; the collected array is
+    #event_types long, bounded), never carrying per-event data.
+    """
+    t = load_tables(spark, sf_dir)
+    per_type = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mapped = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))
+            ).alias("m")
+        )
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "view"), F.lit(0)).alias("views"),
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+    ).orderBy("user_id")

@@ -116,3 +116,42 @@ def test_filter_and_projection_reach_the_scan(spark):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_doc_chunking_plan_has_no_exchange(spark):
+    """Chunking is row-local: scan -> project -> generate, zero shuffles —
+    the property that makes a 100 TB chunking pass embarrassingly
+    parallel."""
+    from flink_big_query_connector_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_documents(docs, 64, 16))
+    assert "Exchange" not in plan
+
+
+def test_repetition_has_partial_aggregation(spark):
+    """The exploded (doc_id, token) aggregation must partial-combine
+    map-side so the shuffle carries per-(doc,token) counts, not raw
+    tokens."""
+    from flink_big_query_connector_spark.operators.text import (
+        repetition_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repetition_features(docs))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Exchange" in plan  # the per-doc rollup does shuffle (expected)
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark):
+    """The static dimension side of the stream-static join must broadcast:
+    the event stream never shuffles for the enrichment."""
+    from flink_big_query_connector_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    customers = F.broadcast(t["customer"].select("c_custkey", "c_mktsegment"))
+    ev = t["events"].select("event_id", "user_id", "value")
+    j = ev.join(customers, ev.user_id == customers.c_custkey, "inner")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
