@@ -104,3 +104,39 @@ def test_late_rows_actually_dropped(spark):
         if p["stateOperators"]
     )
     assert dropped > 0
+
+
+def test_ts_helpers_adapt_to_both_physical_types(spark, tmp_path):
+    """The driver testdata has shipped events.ts as int64 nanos AND as
+    timestamp[us]; both helpers must yield identical micros / event-time
+    for the same instant under either physical type (the round-2 breakage
+    was exactly a half-adapted dtype flip)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_big_query_connector_spark.sources.tables import (
+        ts_event_time,
+        ts_micros,
+    )
+
+    micros = [1_704_067_200_000_000, 1_706_745_599_999_999]
+    p_long = str(tmp_path / "long")
+    p_us = str(tmp_path / "us")
+    pq.write_table(
+        pa.table({"ts": pa.array([m * 1000 for m in micros], pa.int64())}), 
+        p_long + ".parquet",
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(micros, pa.timestamp("us"))}),
+        p_us + ".parquet",
+    )
+    out = {}
+    for name, path in (("long", p_long), ("us", p_us)):
+        df = spark.read.parquet(path + ".parquet")
+        got = df.select(
+            ts_micros(df).alias("m"),
+            ts_event_time(df).cast("long").alias("et_secs"),
+        ).orderBy("m").collect()
+        out[name] = [(r["m"], r["et_secs"]) for r in got]
+    assert out["long"] == out["us"]
+    assert [m for m, _ in out["long"]] == micros
