@@ -1131,3 +1131,122 @@ def b17_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "view"), F.lit(0)).alias("views"),
         F.size(F.map_keys("m")).cast("long").alias("n_types"),
     ).orderBy("user_id")
+
+
+@register(
+    "b15_time_bucket_rollup",
+    oracle="""
+        WITH e AS (
+          SELECT date_trunc('day', ts) AS day_b,
+                 date_trunc('hour', ts) AS hour_b,
+                 event_type, value
+          FROM events
+        )
+        SELECT CAST(day_b AS TIMESTAMP) AS day_bucket,
+               CAST(hour_b AS TIMESTAMP) AS hour_bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM e
+        GROUP BY GROUPING SETS ((day_b, event_type), (day_b, hour_b, event_type))
+        ORDER BY day_bucket, hour_bucket NULLS FIRST, event_type
+    """,
+    tags=("datetime", "rollup"),
+)
+def b15_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    buckets computed in ONE pass with grouping sets over derived
+    time-bucket columns (the multi-granularity rollup a time-series store
+    materializes).  Catalyst expands the sets with a single shuffle and
+    partial aggregation on each grouping — at 100 TB the scan happens
+    once, not once per granularity."""
+    t = load_tables(spark, sf_dir)
+    ts_ts = F.col("ts").cast("timestamp")
+    e = t["events"].select(
+        F.date_trunc("day", ts_ts).alias("day_b"),
+        F.date_trunc("hour", ts_ts).alias("hour_b"),
+        "event_type",
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["day_b", "event_type"], ["day_b", "hour_b", "event_type"]],
+            "day_b", "hour_b", "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+        )
+        .select(
+            F.col("day_b").alias("day_bucket"),
+            F.col("hour_b").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("day_bucket", F.col("hour_bucket").asc_nulls_first(), "event_type")
+    )
+
+
+@register(
+    "b22_batch_sessionize",
+    oracle="""
+        WITH marks AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 6 HOUR
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+          FROM marks
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("sessionization", "window"),
+)
+def b22_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap = 6h) via the lag-mark-cumsum idiom: one
+    shuffle on user_id that both window passes AND the (user_id,
+    session_id) aggregate reuse (partitioning on a key subset satisfies
+    the clustering requirement); the only other exchange is the global
+    output sort.  The streaming twin is b22_stream_session_window."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ts_ts = F.col("ts").cast("timestamp")
+    e = t["events"].select("user_id", ts_ts.alias("ts"), "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lit(6 * 3600 * 1_000_000).cast("long")
+    marks = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            <= gap_us,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marks.withColumn("session_id", F.sum("new_session").over(cum))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
