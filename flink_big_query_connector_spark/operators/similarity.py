@@ -212,3 +212,61 @@ def ivf_probe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def kmeans_centroids(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = N_CENTROIDS,
+    max_iter: int = 5,
+    seed: int = 7,
+) -> list[tuple[int, list]]:
+    """Train IVF centroids with distributed Lloyd iterations (MLlib
+    KMeans): the Spark-first realization of the "swap in k-means
+    centroids" upgrade path documented on :func:`ivf_cells`.
+
+    MLlib runs each iteration as a distributed aggregation (assignment is
+    map-side against broadcast centroids; the update is a per-cluster
+    partial-sum treeAggregate), so training scales with executors.  The
+    returned model is k x dim floats — exactly the literal-inline shape
+    :func:`ivf_cells_with` ships in the plan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb_df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def ivf_cells_with(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list]],
+) -> DataFrame:
+    """:func:`ivf_cells` with an explicit (trained) centroid set."""
+    v = F.col(vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity_expr(
+                        v, F.array(*[F.lit(float(x)) for x in cvec])
+                    ),
+                    6,
+                ).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(pairs)
+    return spread(emb_df).select(
+        F.col(id_col),
+        v.alias("v"),
+        (-best["nid"]).cast("long").alias("cell"),
+    )

@@ -889,3 +889,68 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream key."""
     t = load_tables(spark, sf_dir)
     return text.pack_sequences(t["documents"], budget_tokens=2048)
+
+
+@register("llm_ann_ivf_kmeans", oracle=None, tags=("similarity", "iterative"))
+def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids: distributed Lloyd iterations (MLlib)
+    produce the coarse quantizer, then every vector is assigned by the
+    same literal-inline argmax as the fixed-centroid IVF.  Rows-only by
+    nature (k-means is iterative/seed-dependent; no SQL oracle), asserted
+    structurally in pytest: cells partition the corpus and within-cell
+    cohesion beats the untrained first-N-vectors quantizer."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding")
+    cells = similarity.ivf_cells_with(emb, "vec_id", "embedding", cents)
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@register(
+    "llm_corpus_audit",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE text IS NULL) AS n_null_text,
+               COUNT(*) FILTER (WHERE text IS NOT NULL
+                                AND trim(text) = '') AS n_blank_text,
+               COUNT(*) - COUNT(DISTINCT doc_id) AS n_dupe_ids,
+               COUNT(*) FILTER (WHERE lang NOT IN ('en','es','de','fr'))
+                   AS n_unexpected_lang,
+               COUNT(*) FILTER (WHERE n_chars != length(text))
+                   AS n_bad_char_counts,
+               CAST(MIN(length(text)) AS BIGINT) AS min_len,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len
+        FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def llm_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style corpus audit in ONE aggregation pass: null /
+    blank text, duplicate ids, unexpected language codes, metadata drift
+    (stored n_chars vs actual), and length bounds.  Conditional aggregates
+    partial-combine map-side, so the audit costs one scan regardless of
+    corpus size — the pre-flight check every training-data refresh runs."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_null_text"),
+        F.count(
+            F.when(
+                F.col("text").isNotNull() & (F.trim("text") == ""), 1
+            )
+        ).alias("n_blank_text"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("n_dupe_ids"),
+        F.count(
+            F.when(~F.col("lang").isin("en", "es", "de", "fr"), 1)
+        ).alias("n_unexpected_lang"),
+        F.count(
+            F.when(F.col("n_chars") != F.length("text"), 1)
+        ).alias("n_bad_char_counts"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )

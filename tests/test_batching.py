@@ -131,22 +131,30 @@ def test_timeout_batch_flush_per_record_timer_reset(spark, tmp_path):
         .start()
     )
     # AvailableNow cannot terminate while processing-time timers may still
-    # fire, so run the continuous trigger and poll for the 3 expected
-    # envelopes (count fire, size fire, timeout flush), then stop.
+    # fire, so run the continuous trigger and poll until the three
+    # must-happen envelopes (count fire, size fire, quiet-key timeout
+    # flush) are all present, then stop.
     import time
 
+    def table():
+        return {
+            (r["k"], r["batch_seq"]): (r["n"], r["fired_by"])
+            for r in spark.table(name).collect()
+        }
+
+    expected = {(2, 0), (3, 0), (1, 0)}
     deadline = time.time() + 120
     try:
-        while time.time() < deadline and spark.table(name).count() < 3:
+        while time.time() < deadline and not expected <= set(table()):
             time.sleep(0.5)
     finally:
         q.stop()
-    got = {
-        (r["k"], r["batch_seq"]): (r["n"], r["fired_by"])
-        for r in spark.table(name).collect()
-    }
+    got = table()
     assert got[(2, 0)] == (5, "count")
     assert got[(3, 0)] == (2, "size")
     assert got[(1, 0)] == (3, "timeout")  # quiet key flushed by timer
-    # key 2's chunk-1 remainder (2 rows < bounds, stream ended) stays pending
-    assert (2, 1) not in got
+    # key 2's chunk-1 remainder may ALSO timeout-flush once the stream goes
+    # idle (that is correct trigger behavior); if it did, it must be the
+    # 2-row timeout batch, never a count/size fire.
+    if (2, 1) in got:
+        assert got[(2, 1)] == (2, "timeout")

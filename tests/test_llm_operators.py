@@ -264,3 +264,46 @@ def test_pack_sequences_budget_boundaries(spark):
     assert [out[i]["seq_index"] for i in (1, 2, 3)] == [0, 0, 0]
     assert out[4]["seq_index"] == 1 and out[4]["n_tokens"] == 8  # clamped
     assert out[5]["seq_index"] == 0
+
+
+def test_kmeans_ivf_improves_cohesion_over_fixed_centroids(spark, sf_dir):
+    """Trained coarse quantizer must (a) partition the corpus and
+    (b) not lose to the first-N-vectors quantizer on mean within-cell
+    cosine to the centroid-assigned cell."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def mean_best_cos(cells_df, cents):
+        """Mean cosine of each vector to its assigned centroid (numpy
+        recompute — test-side oracle, not the operator path)."""
+        by_id = {cid: cvec for cid, cvec in cents}
+        rows = cells_df.select("cell", "v").collect()
+        import numpy as np
+
+        tot = 0.0
+        for r in rows:
+            cv = np.array(by_id[r["cell"]])
+            v = np.array(r["v"], dtype=float)
+            tot += float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+        return tot / len(rows)
+
+    fixed_cents = sorted(
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") < similarity.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    fixed_cells = similarity.ivf_cells(emb, "vec_id", "embedding")
+    trained_cents = similarity.kmeans_centroids(emb, "vec_id", "embedding")
+    trained_cells = similarity.ivf_cells_with(
+        emb, "vec_id", "embedding", trained_cents
+    )
+    assert trained_cells.count() == n  # partition, nothing dropped
+    assert trained_cells.select("cell").distinct().count() > 1
+    co_fixed = mean_best_cos(fixed_cells, fixed_cents)
+    co_trained = mean_best_cos(trained_cells, trained_cents)
+    assert co_trained >= co_fixed - 1e-6
