@@ -158,3 +158,100 @@ def test_dataframe_proto_rows_matches_row_serializer(spark):
     assert out[2] == expect2
     assert b"\x96" not in out[1][:1]  # sanity: first byte is the id tag 0x08
     assert out[1][:2] == b"\x08\x01"
+
+
+# -- property-based roundtrip ------------------------------------------------
+#
+# A minimal wire-format decoder lives HERE (test-side oracle only): if the
+# encoder drifts from the protobuf spec in tag layout, varint termination,
+# or length prefixes, random rows will fail to parse back.
+
+def _decode_varint(b: bytes, i: int):
+    shift, out = 0, 0
+    while True:
+        x = b[i]
+        i += 1
+        out |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return out, i
+        shift += 7
+
+
+def _decode_message(b: bytes):
+    """-> dict field_number -> list of (wire_type, raw_value)."""
+    out: dict = {}
+    i = 0
+    while i < len(b):
+        tag, i = _decode_varint(b, i)
+        fn, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _decode_varint(b, i)
+        elif wt == 1:
+            v, i = b[i:i + 8], i + 8
+        elif wt == 2:
+            ln, i = _decode_varint(b, i)
+            v, i = b[i:i + ln], i + ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+        out.setdefault(fn, []).append((wt, v))
+    return out
+
+
+def _u64_to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row_strategy = st.fixed_dictionaries(
+        {
+            "a": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            "b": st.one_of(st.none(), st.text(max_size=40)),
+            "c": st.one_of(st.none(), st.floats(allow_nan=True)),
+            "d": st.one_of(st.none(), st.booleans()),
+            "e": st.lists(st.integers(-(2**31), 2**31 - 1), max_size=5),
+            "f": st.one_of(st.none(), st.binary(max_size=20)),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(row_strategy)
+    def test_random_rows_roundtrip_through_wire_format(row):
+        import math
+        import struct as _struct
+
+        s = ser([
+            {"name": "a", "type": "INT64"},
+            {"name": "b", "type": "STRING"},
+            {"name": "c", "type": "FLOAT64"},
+            {"name": "d", "type": "BOOL"},
+            {"name": "e", "type": "INT64", "mode": "REPEATED"},
+            {"name": "f", "type": "BYTES"},
+        ])
+        decoded = _decode_message(s.serialize(row))
+        if row["a"] is None:
+            assert 1 not in decoded
+        else:
+            assert _u64_to_i64(decoded[1][0][1]) == row["a"]
+        if row["b"] is None:
+            assert 2 not in decoded
+        else:
+            assert decoded[2][0][1].decode("utf-8") == row["b"]
+        if row["c"] is None:
+            assert 3 not in decoded
+        else:
+            got = _struct.unpack("<d", decoded[3][0][1])[0]
+            assert got == row["c"] or (math.isnan(got) and math.isnan(row["c"]))
+        if row["d"] is None:
+            assert 4 not in decoded
+        else:
+            assert decoded[4][0][1] == (1 if row["d"] else 0)
+        assert [_u64_to_i64(v) for _, v in decoded.get(5, [])] == row["e"]
+        if row["f"] is None:
+            assert 6 not in decoded
+        else:
+            assert decoded[6][0][1] == row["f"]
+except ImportError:  # pragma: no cover - hypothesis always in this container
+    pass
