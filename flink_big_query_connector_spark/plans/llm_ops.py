@@ -954,3 +954,58 @@ def llm_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).cast("long").alias("min_len"),
         F.max(F.length("text")).cast("long").alias("max_len"),
     )
+
+
+@register(
+    "llm_dedup_survivors",
+    oracle=f"""
+        WITH comps AS ({_cluster_oracle()}),
+        toks AS (
+          SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+        ),
+        labeled AS (
+          SELECT t.doc_id, COALESCE(c.cluster_id, t.doc_id) AS cluster_id,
+                 t.n_tokens
+          FROM toks t LEFT JOIN comps c ON t.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, cluster_id, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM labeled
+        )
+        SELECT doc_id, cluster_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster_id
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup SELECTION: near-dup pairs -> connected components
+    -> keep ONE canonical document per cluster (longest by token count,
+    ties to the lower id); unclustered docs survive as their own cluster.
+    This is the step that actually shrinks the corpus — detect, cluster,
+    then select.  One extra shuffle on cluster_id over the clustering
+    cost; the survivor window carries (doc_id, cluster_id, n_tokens)
+    triples only, never text."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(t["documents"], "doc_id", "text", 0.8)
+    comps = dedup.connected_components(pairs)
+    toks = t["documents"].select(
+        "doc_id", text.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    labeled = (
+        toks.join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .orderBy("cluster_id")
+    )
