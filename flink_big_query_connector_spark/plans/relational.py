@@ -1250,3 +1250,42 @@ def b22_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "b01_partitioned_layout",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scan", "layout"),
+)
+def b01_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round trip: write events hive-partitioned by
+    event_type, read back TWO partitions via partition pruning, aggregate.
+    The read plan's PartitionFilters carry the event_type predicate, so
+    the scan touches 2 directories regardless of table size — the layout
+    discipline that turns a 100 TB scan into a 2-partition read.  (The
+    write is a per-query temp dir; at production scale the layout already
+    exists and only the pruned read runs.)"""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="events_by_type_")
+    t["events"].write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("event_type").isin("click", "purchase"))
+    # the pruning actually happening is asserted in tests/test_scale_patterns
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -155,3 +155,18 @@ def test_stream_static_enrich_broadcasts_dimension(spark):
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_layout_prunes_event_type(spark, tmp_path):
+    """b01_partitioned_layout's read must carry the event_type predicate
+    as a PartitionFilter on the scan (2 directories read, not the table)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "by_type")
+    events.write.partitionBy("event_type").parquet(out)
+    pruned = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "event_type" in pf
