@@ -971,3 +971,39 @@ def b21_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "b21_stream_update_mode",
+    oracle=f"""
+        SELECT {_sql_bucket('ts', 86400)} AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def b21_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: every trigger re-emits the rows whose aggregate
+    changed; the memory sink therefore accumulates intermediate versions.
+    Counts are MONOTONE per key, so MAX(n) per (window, type) over the
+    sink equals the final state — giving the non-final-emitting mode an
+    exact batch oracle.  (Append emits once-at-close, complete re-emits
+    everything; update is the third mode and the one a key-value upsert
+    sink consumes.)"""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(
+            F.window("etime", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    sunk = _run_to_table(out, "update")
+    return (
+        sunk.groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
