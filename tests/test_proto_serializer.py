@@ -255,3 +255,30 @@ try:
             assert decoded[6][0][1] == row["f"]
 except ImportError:  # pragma: no cover - hypothesis always in this container
     pass
+
+
+def test_dataframe_proto_rows_nested_and_repeated(spark):
+    """Arrow hands nested structs to pandas as dicts and arrays as numpy
+    arrays; the encoder must serialize both identically to the plain-dict
+    row path."""
+    from flink_big_query_connector_spark.schema.transformer import (
+        struct_type_to_bq_schema,
+    )
+    from flink_big_query_connector_spark.streaming.serializers import proto_rows
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"city": "x", "zips": [10, 20]})],
+        "id long, tags array<string>, "
+        "address struct<city: string, zips: array<long>>",
+    )
+    [r] = df.withColumn("p", proto_rows(df)).select("p").collect()
+    ref = ProtoRowSerializer(struct_type_to_bq_schema(df.schema))
+    expected = ref.serialize(
+        {"id": 1, "tags": ["a", "b"], "address": {"city": "x", "zips": [10, 20]}}
+    )
+    assert bytes(r["p"]) == expected
+    # and the nested bytes parse back to the right field tree
+    decoded = _decode_message(bytes(r["p"]))
+    addr = _decode_message(decoded[3][0][1])
+    assert addr[1][0][1] == b"x"
+    assert [_u64_to_i64(v) for _, v in addr[2]] == [10, 20]
