@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dbl, dec
 from ..operators import dedup, multimodal, similarity, text
 from ..operators.hashing import (
     MINHASH_SEEDS,
@@ -1008,4 +1009,128 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", F.col("n_tokens").cast("long").alias("n_tokens"))
         .orderBy("cluster_id")
+    )
+
+
+_TS_DAYS = 31  # events span 2024-01-01 .. 2024-01-31
+
+
+@register(
+    "b28_timeseries_similarity",
+    oracle=f"""
+        WITH days AS (SELECT unnest(generate_series(0, {_TS_DAYS - 1})) AS d),
+        daily AS (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+          SELECT u.user_id, dy.d, COALESCE(da.v, 0.0) AS v
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN days dy
+          LEFT JOIN daily da ON da.user_id = u.user_id AND da.d = dy.d
+        ),
+        vec AS (
+          SELECT user_id, list(v ORDER BY d) AS arr FROM dense GROUP BY user_id
+        ),
+        stat AS (
+          SELECT user_id, arr, list_sum(arr) / {_TS_DAYS}.0 AS mu FROM vec
+        ),
+        norm AS (
+          SELECT user_id,
+                 list_transform(arr, x -> (x - mu) /
+                   sqrt(list_sum(list_transform(arr,
+                        y -> (y - mu) * (y - mu))) / {_TS_DAYS}.0)) AS z
+          FROM stat
+        ),
+        scored AS (
+          SELECT q.user_id AS query_user, c.user_id AS cand_user,
+                 ROUND(sqrt(list_sum(list_transform(
+                     generate_series(1, {_TS_DAYS}),
+                     i -> (q.z[i] - c.z[i]) * (q.z[i] - c.z[i])))), 6) AS dist
+          FROM norm q JOIN norm c ON q.user_id < 5 AND c.user_id != q.user_id
+        )
+        SELECT query_user, cand_user, dist,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_user
+                      ORDER BY dist, cand_user) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+        ORDER BY query_user, rank
+    """,
+    tags=("similarity", "timeseries"),
+)
+def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (z-normalized euclidean over per-user
+    daily activity vectors; cf. the streaming time-series similarity line
+    of work, EDBT 2019): build each user's dense 31-day value series, z-
+    normalize, broadcast the query users, rank candidates per query.
+
+    Scale shape: the series build is one shuffle on user_id carrying
+    (user, day, decimal-sum) triples; vectors are |days| doubles per user;
+    the query side is broadcast so the candidate corpus never reshuffles;
+    the ranking exchange carries (query, cand, dist) only.  All arithmetic
+    is sequential same-order folds in both engines, so the oracle matches
+    bitwise before the 6dp round."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    day = F.datediff(
+        F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        ev.select("user_id", day.alias("d"), "value")
+        .groupBy("user_id", "d")
+        .agg(dbl(F.sum(dec("value", 14, 4))).alias("v"))
+    )
+    vec = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("m")
+    ).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_TS_DAYS - 1)),
+            lambda d: F.coalesce(F.element_at("m", d), F.lit(0.0)),
+        ).alias("arr"),
+    )
+    zero = F.lit(0.0)
+    mu = F.aggregate("arr", zero, lambda a, x: a + x) / F.lit(float(_TS_DAYS))
+    stat = vec.select("user_id", "arr", mu.alias("mu"))
+    var = F.aggregate(
+        "arr", zero, lambda a, y: a + (y - F.col("mu")) * (y - F.col("mu"))
+    ) / F.lit(float(_TS_DAYS))
+    norm = stat.select(
+        "user_id",
+        F.transform(
+            "arr", lambda x: (x - F.col("mu")) / F.sqrt(var)
+        ).alias("z"),
+    )
+    q = F.broadcast(
+        norm.filter(F.col("user_id") < 5)
+        .select(F.col("user_id").alias("query_user"), F.col("z").alias("qz"))
+    )
+    c = norm.select(F.col("user_id").alias("cand_user"), F.col("z").alias("cz"))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("qz", "cz", lambda x, y: (x - y) * (x - y)),
+                zero,
+                lambda a, x: a + x,
+            )
+        ),
+        6,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("cand_user") != F.col("query_user"))
+        .select("query_user", "cand_user", dist.alias("dist"))
+    )
+    w = Window.partitionBy("query_user").orderBy("dist", "cand_user")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_user", "cand_user", "dist", "rank")
+        .orderBy("query_user", "rank")
     )
