@@ -147,3 +147,66 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB boundary for image resize (PIL/opencv absent by design):
+    raises like :func:`decode_image`; :func:`fake_resize` carries the real
+    Spark-side plumbing with a deterministic stand-in transform."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; use fake_resize for "
+        "pipeline plumbing tests"
+    )
+
+
+def fake_resize(
+    df: DataFrame,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic stand-in for a resize stage: emits a pseudo-payload of
+    exactly ``target_w * target_h`` bytes derived from the source bytes by
+    repeating/truncating (byte-deterministic, so tests can assert sizes
+    and content stability), plus the output metadata struct a real resizer
+    would produce.  Swapping in a real codec changes ONLY the inner
+    function — schema, Arrow batching, and partitioning are the product
+    shape.
+    """
+    ensure_package_on_executors(df.sparkSession)
+    n_out = target_w * target_h
+    out_schema = (
+        f"{id_col} bigint, resized binary, out_w int, out_h int, "
+        "out_bytes bigint, src_sha256 string"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, shas = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                # empty AND null payloads both fall back (len 0 would
+                # divide by zero below)
+                buf = bytes(raw) if raw else b"\x00"
+                reps = (n_out + len(buf) - 1) // len(buf)
+                payloads.append((buf * reps)[:n_out])
+                shas.append(hashlib.sha256(buf).hexdigest())
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": payloads,
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "out_bytes": [len(p) for p in payloads],
+                    "src_sha256": shas,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, out_schema)

@@ -1134,3 +1134,34 @@ def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_user", "cand_user", "dist", "rank")
         .orderBy("query_user", "rank")
     )
+
+
+@register(
+    "llm_multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST(substr(repeat(text,
+                        CAST(CEIL(32.0 / length(text)) AS INT)), 1, 32)
+                    AS BLOB) AS resized,
+               4 AS out_w, 8 AS out_h,
+               CAST(32 AS BIGINT) AS out_bytes,
+               sha256(text) AS src_sha256
+        FROM documents
+        WHERE length(text) > 0
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage plumbing with an EXACT oracle: the deterministic
+    stand-in transform (repeat/truncate to target byte count + source
+    sha256) is byte-reproducible in SQL, so unlike the feature extractor
+    this mapInPandas stage gets a full hash check — schema, Arrow
+    batching, and row alignment all verified."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.length("text") > 0)
+    with_payload = multimodal.attach_binary_payload(docs, "text", "image/png")
+    return (
+        multimodal.fake_resize(with_payload, "doc_id", 4, 8)
+        .orderBy("doc_id")
+    )

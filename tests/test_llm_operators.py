@@ -307,3 +307,25 @@ def test_kmeans_ivf_improves_cohesion_over_fixed_centroids(spark, sf_dir):
     co_fixed = mean_best_cos(fixed_cells, fixed_cents)
     co_trained = mean_best_cos(trained_cells, trained_cents)
     assert co_trained >= co_fixed - 1e-6
+
+
+def test_fake_resize_plumbing(docs):
+    """Resize stage: exact target byte count, deterministic content, stub
+    raises for the real-codec path."""
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.operators import multimodal
+
+    with_payload = multimodal.attach_binary_payload(docs, "text", "image/png")
+    out = multimodal.fake_resize(with_payload, "doc_id", 8, 4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r["out_bytes"] == 32 and len(bytes(r["resized"])) == 32
+        assert (r["out_w"], r["out_h"]) == (8, 4)
+    # determinism: same input -> same resized bytes
+    again = multimodal.fake_resize(with_payload, "doc_id", 8, 4).collect()
+    assert {r["doc_id"]: bytes(r["resized"]) for r in out} == {
+        r["doc_id"]: bytes(r["resized"]) for r in again
+    }
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image(with_payload, "doc_id", 8, 4)
