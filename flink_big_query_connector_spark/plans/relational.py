@@ -1289,3 +1289,104 @@ def b01_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "b04_salted_join",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def b04_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join (the manual skew-mitigation pattern, proven
+    result-identical to the plain join by the oracle): the probe side
+    gets a random-free deterministic salt (orderkey % N appended to the
+    key), the build side replicates each row across all N salts, and the
+    join key becomes (key, salt) — a hot key's rows now spread over N
+    reducer partitions instead of one.  AQE's skew-join split does this
+    adaptively; the explicit form is for engines/pipelines that pin
+    shuffle layouts (e.g. to reuse partitioning downstream).  Cost: build
+    side inflates N×, probe side is untouched.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "salt", (F.col("l_orderkey") % _SALT_N).cast("int")
+    )
+    orders_rep = t["orders"].withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
+    )
+    return (
+        li.join(
+            orders_rep,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li.salt == orders_rep.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "b05_merge_upsert",
+    oracle="""
+        WITH changes AS (
+          SELECT o_orderkey,
+                 CAST(o_totalprice * 1.1 AS DOUBLE) AS new_price,
+                 (o_orderkey % 10 = 3) AS is_delete
+          FROM orders WHERE o_orderkey % 5 IN (0, 3)
+        )
+        SELECT o.o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.new_price
+                    ELSE CAST(o.o_totalprice AS DOUBLE) END AS o_totalprice,
+               (c.o_orderkey IS NOT NULL) AS was_updated
+        FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE c.is_delete IS DISTINCT FROM TRUE
+        ORDER BY o.o_orderkey
+    """,
+    tags=("merge", "upsert"),
+)
+def b05_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics without a table format: apply a change set
+    (updates + deletes) to a base table in one left join —
+    WHEN MATCHED AND is_delete THEN DELETE / WHEN MATCHED THEN UPDATE /
+    ELSE keep.  One shuffle on the merge key; a lakehouse MERGE compiles
+    to this same join under the hood, plus file rewrite planning."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    changes = (
+        o.filter((F.col("o_orderkey") % 5).isin(0, 3))
+        .select(
+            F.col("o_orderkey").alias("c_orderkey"),
+            (F.col("o_totalprice") * 1.1).cast("double").alias("new_price"),
+            ((F.col("o_orderkey") % 10) == 3).alias("is_delete"),
+        )
+    )
+    merged = o.join(
+        changes, F.col("o_orderkey") == F.col("c_orderkey"), "left"
+    )
+    return (
+        merged.filter(
+            F.col("is_delete").isNull() | (F.col("is_delete") == False)  # noqa: E712
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("c_orderkey").isNotNull(), F.col("new_price"))
+            .otherwise(F.col("o_totalprice").cast("double"))
+            .alias("o_totalprice"),
+            F.col("c_orderkey").isNotNull().alias("was_updated"),
+        )
+        .orderBy("o_orderkey")
+    )
