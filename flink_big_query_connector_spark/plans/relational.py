@@ -1390,3 +1390,124 @@ def b05_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "b18_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    tags=("profiling",),
+)
+def b18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (50k buckets over order totals) — the data
+    profiling primitive; integer bucket arithmetic keeps it exact and the
+    aggregation map-side combinable."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "b16_stats_corr",
+    oracle="""
+        WITH s AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS sy,
+                 SUM(CAST(l_quantity AS DECIMAL(20,4))
+                     * CAST(l_extendedprice AS DECIMAL(20,4))) AS sxy,
+                 SUM(CAST(l_quantity AS DECIMAL(20,4))
+                     * CAST(l_quantity AS DECIMAL(20,4))) AS sxx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+                     * CAST(l_extendedprice AS DECIMAL(20,4))) AS syy
+          FROM lineitem
+        )
+        SELECT ROUND(
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+               AS corr_qty_price
+        FROM s
+    """,
+    tags=("stats",),
+)
+def b16_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation computed from DECIMAL-domain moment sums, then
+    combined in one double expression: the built-in ``corr`` streams
+    doubles and its result depends on partitioning (non-deterministic
+    hash), while decimal partial sums are exact and order-free — the same
+    discipline the money aggregates use, extended to second moments."""
+    t = load_tables(spark, sf_dir)
+    x = dec("l_quantity", 20, 4)
+    y = dec("l_extendedprice", 20, 4)
+    s = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return s.select(
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr_qty_price")
+    )
+
+
+@register(
+    "b14_levenshtein",
+    oracle="""
+        SELECT levenshtein(c_name, replace(c_name, '0', 'O')) AS dist,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY 1
+        ORDER BY dist
+    """,
+    tags=("string",),
+)
+def b14_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (both engines implement classic Levenshtein) — the
+    fuzzy-matching primitive; distribution of distances between each name
+    and its zero->O homoglyph variant."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy(
+            F.levenshtein(
+                F.col("c_name"), F.regexp_replace("c_name", "0", "O")
+            ).alias("dist")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dist")
+    )
