@@ -1511,3 +1511,112 @@ def b14_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("dist")
     )
+
+
+@register(
+    "b22_session_funnel",
+    oracle="""
+        WITH marks AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 6 HOUR
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, event_type,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+          FROM marks
+        ),
+        s1 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                     OVER (PARTITION BY user_id, session_id) AS tv
+          FROM sess
+        ),
+        s2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= tv
+                             THEN ts END)
+                     OVER (PARTITION BY user_id, session_id) AS tc
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= tc
+                             THEN ts END)
+                     OVER (PARTITION BY user_id, session_id) AS tp
+          FROM s2
+        ),
+        per_session AS (
+          SELECT user_id, session_id,
+                 MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp
+          FROM s3 GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS n_sessions,
+               COUNT(tv) AS reached_view,
+               COUNT(tc) AS reached_click,
+               COUNT(tp) AS reached_purchase
+        FROM per_session
+    """,
+    tags=("sessionization", "funnel"),
+)
+def b22_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) within 6h
+    sessions: three layered window passes pin each stage's first
+    timestamp AFTER the previous stage, then one aggregate counts how
+    many sessions reached each stage.  All four window/aggregate steps
+    reuse the single user_id shuffle (each key set only narrows), so the
+    funnel costs one exchange over the sessionization itself."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ts_ts = F.col("ts").cast("timestamp")
+    e = t["events"].select(
+        "user_id", ts_ts.alias("ts"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lit(6 * 3600 * 1_000_000).cast("long")
+    marks = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            <= gap_us,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marks.withColumn("session_id", F.sum("new_session").over(cum))
+    ws = Window.partitionBy("user_id", "session_id")
+    s1 = sess.withColumn(
+        "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    )
+    s2 = s1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    s3 = s2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("tc")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per_session = s3.groupBy("user_id", "session_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("tv").alias("reached_view"),
+        F.count("tc").alias("reached_click"),
+        F.count("tp").alias("reached_purchase"),
+    )

@@ -1007,3 +1007,73 @@ def b21_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sunk.groupBy("window_start", "event_type")
         .agg(F.max("n").alias("n"))
     )
+
+
+@register(
+    "b26_incremental_matview",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("sink", "streaming", "matview"),
+)
+def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained aggregate table (materialized-view
+    maintenance): each micro-batch computes its per-type partial
+    aggregate and MERGEs it into a keyed state table via foreachBatch —
+    the incremental-refresh pattern behind every streaming dashboard.
+    Decimal partial sums make the merge order-free, so after AvailableNow
+    replay the maintained table equals the batch aggregate exactly.
+
+    Scale shape: per batch, the shuffle carries one row per event_type
+    (the partial aggregate), and the MERGE touches |event_types| keys —
+    maintenance cost is independent of history size."""
+    import json as _json
+
+    load_tables(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="matview_")
+    path = os.path.join(state_dir, "agg.json")
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        partial = (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value", 14, 4)).alias("tv"),
+            )
+            .collect()  # |event_types| rows — the partial aggregate IS tiny
+        )
+        cur: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = _json.load(f)
+        for r in partial:
+            k = r["event_type"]
+            n0, tv0 = cur.get(k, (0, "0"))
+            cur[k] = (n0 + r["n"], str((__import__("decimal").Decimal(tv0) + r["tv"])))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, path)
+
+    ev = _events_stream(spark, sf_dir).select("event_type", "value")
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mv_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    with open(path) as f:
+        final = _json.load(f)
+    rows = [
+        (k, int(n), float(__import__("decimal").Decimal(tv)))
+        for k, (n, tv) in sorted(final.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n long, total_value double"
+    ).orderBy("event_type")
