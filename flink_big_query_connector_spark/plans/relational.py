@@ -1620,3 +1620,86 @@ def b22_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tc").alias("reached_click"),
         F.count("tp").alias("reached_purchase"),
     )
+
+
+@register(
+    "b15_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, day_offset, COUNT(*) AS active_users
+        FROM activity
+        WHERE day_offset IN (0, 1, 7, 14)
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    tags=("datetime", "cohort"),
+)
+def b15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted when
+    active again at day offsets 0/1/7/14.  Two aggregations on the same
+    user_id shuffle (first-day then distinct-activity); the retention
+    matrix itself is |cohorts| x |offsets| — tiny at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "b11_window_ntile",
+    oracle="""
+        SELECT o_orderkey,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+               ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey),
+                     9) AS pr,
+               ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey),
+                     9) AS cd
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def b11_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    with a fully-deterministic ordering (price, then key).  Global-order
+    windows single-partition by construction — at scale this shape is
+    used per-group (partitionBy) or replaced by approx quantiles; the
+    canonical form here checks semantics."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
