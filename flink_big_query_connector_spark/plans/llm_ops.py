@@ -1165,3 +1165,79 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.fake_resize(with_payload, "doc_id", 4, 8)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_text_tfidf",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE len({_SQL_TOKS}) > 0
+        ),
+        n_docs AS (SELECT COUNT(*) AS n FROM d),
+        tf AS (
+          SELECT doc_id, unnest(toks) AS term FROM d
+        ),
+        tfc AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+        ),
+        scored AS (
+          SELECT t.doc_id, t.term,
+                 ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d2.df), 9) AS tfidf
+          FROM tfc t JOIN df d2 ON t.term = d2.term CROSS JOIN n_docs n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+        ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf"),
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency via explode +
+    groupBy (map-side combinable), document frequency as a second
+    aggregate over the SAME (doc, term) relation, idf joined back
+    broadcast (|vocabulary| rows).  The shuffles carry (doc, term, count)
+    triples — corpus-linear; ln() is IEEE-identical in both engines so
+    the oracle matches bitwise before the 9dp round."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    n_docs = base.count()  # one scalar — the |corpus| constant
+    tfc = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfc.join(F.broadcast(df_counts), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
