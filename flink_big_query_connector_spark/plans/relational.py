@@ -1703,3 +1703,45 @@ def b11_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "b16_user_entropy",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+          SELECT user_id, SUM(n) AS total FROM c GROUP BY user_id
+        )
+        SELECT c.user_id,
+               ROUND(-SUM((CAST(c.n AS DOUBLE) / tot.total)
+                          * ln(CAST(c.n AS DOUBLE) / tot.total)), 9)
+                   AS behavior_entropy
+        FROM c JOIN tot ON c.user_id = tot.user_id
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    tags=("stats", "entropy"),
+)
+def b16_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature.  Two-level aggregation on one user_id
+    shuffle; per-term p*ln(p) sums over at most |event_types| terms per
+    user, and DuckDB's SUM over the same grouped terms adds them in the
+    same per-group order, so the 9dp round absorbs nothing but noise."""
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 9).alias("behavior_entropy"))
+        .orderBy("user_id")
+    )

@@ -546,3 +546,80 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "b07_asof_join_forward",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, ts, MAX(value) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        ),
+        c AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ),
+        tagged AS (
+          SELECT user_id, ts, 0 AS is_click, NULL::BIGINT AS event_id,
+                 view_value FROM v
+          UNION ALL
+          SELECT user_id, ts, 1, event_id, NULL FROM c
+        ),
+        filled AS (
+          SELECT *, MIN(CASE WHEN is_click = 0 THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, is_click DESC
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS next_view_ts
+          FROM tagged
+        )
+        SELECT f.event_id, f.user_id, v.view_value AS asof_value
+        FROM filled f LEFT JOIN v
+          ON f.user_id = v.user_id AND f.next_view_ts = v.ts
+        WHERE f.is_click = 1
+        ORDER BY f.event_id
+    """,
+    tags=("join", "asof"),
+)
+def b07_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the value of the same user's
+    NEXT view at-or-after the click (b07_asof_join is the backward
+    direction; both directions = full as-of surface).  Same single
+    window pass over a tagged union — the forward direction just flips
+    the frame to CURRENT ROW .. UNBOUNDED FOLLOWING with first_value; at
+    equal timestamps the view sorts after the click via the is_click
+    DESC tiebreak, making the bound inclusive."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("mts", ts_micros(t["events"]))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "mts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "mts",
+            F.lit(0).alias("is_click"),
+            "view_value",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "mts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("mts"), F.col("is_click").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn(
+            "asof_value", F.first("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_click") == 1)
+        .select("event_id", "user_id", "asof_value")
+        .orderBy("event_id")
+    )
