@@ -1241,3 +1241,121 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "llm_text_bigram_lm",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE len({_SQL_TOKS}) >= 2
+        ),
+        bg AS (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> [toks[i], toks[i + 1]])) AS pair
+          FROM d
+        ),
+        counts AS (
+          SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n
+          FROM bg GROUP BY 1, 2
+        ),
+        tot AS (SELECT w1, SUM(n) AS total FROM counts GROUP BY w1)
+        SELECT c.w1, c.w2,
+               ROUND(CAST(c.n AS DOUBLE) / tot.total, 9) AS p,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                      ORDER BY n DESC, w2) AS rnk
+          FROM counts
+        ) c JOIN tot ON c.w1 = tot.w1
+        WHERE rnk <= 3
+        ORDER BY c.w1, rank
+    """,
+    tags=("text", "lm"),
+)
+def llm_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: P(w2|w1) for the top-3
+    continuations of every token.  Transition counts explode to
+    (w1, w2) pairs with map-side combine; the conditional normalizer is
+    a second aggregate over the SAME pair relation — two corpus-linear
+    shuffles, nothing quadratic.  This is the n-gram-LM table a
+    perplexity-based quality filter scores against."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        t["documents"].select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("pair")
+    ).select("pair.w1", "pair.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .join(F.broadcast(tot), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 9)
+            .alias("p"),
+            "rank",
+        )
+        .orderBy("w1", "rank")
+    )
+
+
+@register(
+    "llm_text_inverted_index",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        post AS (
+          SELECT DISTINCT unnest(toks) AS term, doc_id FROM d
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               list(doc_id ORDER BY doc_id) FILTER (WHERE TRUE) AS postings
+        FROM post
+        GROUP BY term
+        HAVING COUNT(*) >= 100
+        ORDER BY term
+    """,
+    tags=("text", "index"),
+)
+def llm_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (term -> sorted posting list) for the
+    common-term slice (df >= 100): distinct (term, doc) postings shuffle
+    once on term; posting lists build with collect_list + array_sort so
+    the result is partition-order-independent.  At 100 TB the HAVING
+    keeps hot terms' lists bounded for the oracle; real indexes shard
+    postings by (term, block)."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    post = (
+        t["documents"]
+        .select("doc_id", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    return (
+        post.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 100)
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+        .orderBy("term")
+    )
