@@ -1745,3 +1745,84 @@ def b16_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(p * F.log(p)), 9).alias("behavior_entropy"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "b22_event_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY from_type, to_type
+    """,
+    tags=("sessionization", "markov"),
+)
+def b22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (the Markov-chain view of user behavior):
+    LEAD over each user's time-ordered stream, then count (from, to)
+    pairs.  One shuffle on user_id for the sequence window; the
+    transition aggregate is |event_types|^2 rows."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = t["events"].select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "b17_array_setops",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 list_sort(list_distinct(list(event_type))) AS types
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               types,
+               list_sort(list_intersect(types,
+                   ['click', 'purchase', 'refund'])) AS monetary,
+               CAST(len(list_filter(types,
+                   t -> NOT list_contains(['click', 'purchase', 'refund'], t)))
+                   AS BIGINT) AS n_other
+        FROM u
+        ORDER BY user_id
+    """,
+    tags=("arrays",),
+)
+def b17_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except via filter / distinct+sort):
+    each user's distinct event-type set intersected with a monetary
+    reference set.  Arrays are sorted before comparison so results are
+    partition-order-independent — the invariant every array-typed oracle
+    needs."""
+    t = load_tables(spark, sf_dir)
+    ref = F.array(F.lit("click"), F.lit("purchase"), F.lit("refund"))
+    u = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types"))
+    )
+    return u.select(
+        "user_id",
+        "types",
+        F.array_sort(F.array_intersect("types", ref)).alias("monetary"),
+        F.size(F.array_except("types", ref)).cast("long").alias("n_other"),
+    ).orderBy("user_id")
