@@ -1826,3 +1826,45 @@ def b17_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_intersect("types", ref)).alias("monetary"),
         F.size(F.array_except("types", ref)).cast("long").alias("n_other"),
     ).orderBy("user_id")
+
+
+@register(
+    "b11_window_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing_30d
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def b11_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the trailing-30-day order
+    total — the frame is bounded by VALUE distance on the ordering
+    column, not row count, so bursty customers aggregate a varying number
+    of rows.  Decimal sums keep the running aggregate order-free.  One
+    shuffle on o_custkey."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        dec("o_totalprice", 18, 2).alias("p"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("dday"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dday")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("p").over(w).cast("double").alias("trailing_30d"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
