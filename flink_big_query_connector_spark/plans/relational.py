@@ -1868,3 +1868,43 @@ def b11_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.sum("p").over(w).cast("double").alias("trailing_30d"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "b10_dedup_keep_latest",
+    oracle="""
+        SELECT user_id, event_id AS latest_event, ts AS latest_ts, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("dedup", "cdc"),
+)
+def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (the CDC changelog-compaction primitive: the
+    newest record wins, ties broken by the higher event id).  Plain
+    ``dropDuplicates`` keeps an ARBITRARY row per key; ordered survival
+    needs the row_number formulation, which is one shuffle + one in-
+    partition sort.  This is also how a snapshot view materializes from
+    an append-only changelog."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("ts").alias("latest_ts"),
+            "value",
+        )
+        .orderBy("user_id")
+    )
