@@ -170,3 +170,22 @@ def test_partitioned_layout_prunes_event_type(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:120]
     assert "event_type" in pf
+
+
+def test_tfidf_broadcasts_idf_side(spark):
+    """llm_text_tfidf's idf join must broadcast the vocabulary-sized side
+    so the (doc, term, tf) relation never reshuffles for the join."""
+    from flink_big_query_connector_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["llm_text_tfidf"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_and_inverted_index_partial_aggregate(spark):
+    """Exploded text aggregations must partial-combine before their
+    exchange (the shuffle carries counts, not raw tokens)."""
+    from flink_big_query_connector_spark.plans.registry import REGISTRY
+
+    plan = _plan(REGISTRY["llm_text_bigram_lm"].fn(spark, SF_DIR))
+    assert "partial" in plan.lower()
