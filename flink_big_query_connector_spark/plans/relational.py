@@ -1796,9 +1796,10 @@ def b22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events GROUP BY user_id
         )
         SELECT user_id,
-               types,
-               list_sort(list_intersect(types,
-                   ['click', 'purchase', 'refund'])) AS monetary,
+               COALESCE(list_aggr(types, 'string_agg', ','), '') AS types,
+               COALESCE(list_aggr(list_sort(list_intersect(types,
+                   ['click', 'purchase', 'refund'])),
+                   'string_agg', ','), '') AS monetary,
                CAST(len(list_filter(types,
                    t -> NOT list_contains(['click', 'purchase', 'refund'], t)))
                    AS BIGINT) AS n_other
@@ -1811,20 +1812,22 @@ def b17_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (intersect / except via filter / distinct+sort):
     each user's distinct event-type set intersected with a monetary
     reference set.  Arrays are sorted before comparison so results are
-    partition-order-independent — the invariant every array-typed oracle
-    needs."""
+    partition-order-independent, then joined to comma-strings so every
+    output column is a driver-sortable scalar (pandas canonicalizers
+    cannot sort ndarray cells) — semantics unchanged, the string IS the
+    sorted set."""
     t = load_tables(spark, sf_dir)
     ref = F.array(F.lit("click"), F.lit("purchase"), F.lit("refund"))
     u = (
         t["events"]
         .groupBy("user_id")
-        .agg(F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types"))
+        .agg(F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types_arr"))
     )
     return u.select(
         "user_id",
-        "types",
-        F.array_sort(F.array_intersect("types", ref)).alias("monetary"),
-        F.size(F.array_except("types", ref)).cast("long").alias("n_other"),
+        F.array_join("types_arr", ",").alias("types"),
+        F.array_join(F.array_sort(F.array_intersect("types_arr", ref)), ",").alias("monetary"),
+        F.size(F.array_except("types_arr", ref)).cast("long").alias("n_other"),
     ).orderBy("user_id")
 
 
