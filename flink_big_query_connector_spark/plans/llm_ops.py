@@ -21,7 +21,7 @@ from ..operators.hashing import (
     sql_band_key,
     sql_minhash_value,
 )
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, ts_event_time
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1079,7 +1079,7 @@ def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     day = F.datediff(
-        F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01").cast("date")
+        ts_event_time(ev).cast("date"), F.lit("2024-01-01").cast("date")
     )
     daily = (
         ev.select("user_id", day.alias("d"), "value")

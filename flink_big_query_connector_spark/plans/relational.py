@@ -20,7 +20,7 @@ from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
 from ..functions.numeric import dbl, dec
-from ..sources.tables import load_tables, register_views
+from ..sources.tables import load_tables, register_views, ts_event_time, ts_micros
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1161,7 +1161,7 @@ def b15_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation on each grouping — at 100 TB the scan happens
     once, not once per granularity."""
     t = load_tables(spark, sf_dir)
-    ts_ts = F.col("ts").cast("timestamp")
+    ts_ts = ts_event_time(t["events"])
     e = t["events"].select(
         F.date_trunc("day", ts_ts).alias("day_b"),
         F.date_trunc("hour", ts_ts).alias("hour_b"),
@@ -1224,16 +1224,19 @@ def b22_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    ts_ts = F.col("ts").cast("timestamp")
-    e = t["events"].select("user_id", ts_ts.alias("ts"), "event_id", "value")
+    e = t["events"].select(
+        "user_id",
+        ts_event_time(t["events"]).alias("ts"),
+        ts_micros(t["events"]).alias("ts_us"),
+        "event_id",
+        "value",
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.lit(6 * 3600 * 1_000_000).cast("long")
     marks = e.withColumn(
         "new_session",
         F.when(
-            F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(w))
-            <= gap_us,
+            F.col("ts_us") - F.lag("ts_us").over(w) <= gap_us,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
@@ -1570,17 +1573,19 @@ def b22_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    ts_ts = F.col("ts").cast("timestamp")
     e = t["events"].select(
-        "user_id", ts_ts.alias("ts"), "event_id", "event_type"
+        "user_id",
+        ts_event_time(t["events"]).alias("ts"),
+        ts_micros(t["events"]).alias("ts_us"),
+        "event_id",
+        "event_type",
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.lit(6 * 3600 * 1_000_000).cast("long")
     marks = e.withColumn(
         "new_session",
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-            <= gap_us,
+            F.col("ts_us") - F.lag("ts_us").over(w) <= gap_us,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
@@ -1649,7 +1654,7 @@ def b15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix itself is |cohorts| x |offsets| — tiny at any corpus size."""
     t = load_tables(spark, sf_dir)
     ev = t["events"].select(
-        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+        "user_id", ts_event_time(t["events"]).cast("date").alias("day")
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
@@ -1773,7 +1778,7 @@ def b22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("timestamp"), "event_id"
+        ts_event_time(t["events"]), "event_id"
     )
     seq = t["events"].select(
         F.col("event_type").alias("from_type"),
@@ -1876,7 +1881,8 @@ def b11_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b10_dedup_keep_latest",
     oracle="""
-        SELECT user_id, event_id AS latest_event, ts AS latest_ts, value
+        SELECT user_id, event_id AS latest_event,
+               CAST(ts AS TIMESTAMP) AS latest_ts, value
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                       ORDER BY ts DESC, event_id DESC) AS rn
@@ -1906,7 +1912,7 @@ def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("latest_event"),
-            F.col("ts").alias("latest_ts"),
+            ts_event_time(t["events"]).alias("latest_ts"),
             "value",
         )
         .orderBy("user_id")
