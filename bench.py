@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_big_query_connector_spark import plans  # noqa: E402
+from flink_big_query_connector_spark.cache import release_caches  # noqa: E402
 from flink_big_query_connector_spark.session import get_spark  # noqa: E402
 
 # Representative of every operator family: scan/filter/agg/join/window/
@@ -85,6 +86,15 @@ def main() -> None:
         t1 = run_query(spark, name, sf_dir)
         t2 = run_query(spark, name, sf_dir)
         timings[name] = round(min(t1, t2), 3)
+        # Cache hygiene BETWEEN queries: operators that persist a multi-
+        # consumer intermediate (minhash md5 pass, IVF cells) register it
+        # with scoped_persist; release before the next query starts so no
+        # query is timed against another's leaked storage — round 3 saw
+        # llm_dedup_simhash at 2.8x its real cost purely from the caches
+        # the two minhash passes before it left behind.  (Within a query,
+        # pass 2 may legitimately hit pass 1's cache via the CacheManager's
+        # logical-plan match — that's warm-engine timing, kept.)
+        release_caches(spark)
 
     total = round(sum(timings.values()), 3)
     print(

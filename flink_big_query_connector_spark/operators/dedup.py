@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
 from ..functions.vectors import cosine_similarity_expr
 from .hashing import (
     MINHASH_SEEDS,
@@ -224,13 +225,12 @@ def exact_jaccard_pairs(
     bucket-mates; without, it is the full explode-join (oracle / small
     scale only).
     """
-    exploded = (
+    exploded = scoped_persist(
         spread(df)
         .select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
         .distinct()
         # three consumers below (both join sides + counts): evaluate the
-        # shingle explode + distinct once
-        .persist()
+        # shingle explode + distinct once; released via release_caches()
     )
     counts = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = exploded.alias("a")
@@ -308,7 +308,7 @@ def minhash_neardup_pairs(
     bucket join -> candidate-restricted exact Jaccard verification.  The
     only quadratic work happens inside buckets."""
     tok = with_token_boundary(df, id_col, text_col)
-    docs = (
+    docs = scoped_persist(
         tok.filter(F.size("toks") >= SHINGLE_K)
         .select(
             F.col(id_col),
@@ -322,7 +322,7 @@ def minhash_neardup_pairs(
         # are three consumers of the same md5 pass; without the persist,
         # CollapseProject re-inlines the whole shingle+hash pipeline into
         # every branch.  (doc_id, sh60) is a fraction of the corpus size.
-        .persist()
+        # Tracked via scoped_persist so harnesses release it per query.
     )
     sig = with_minhash_signature(docs, shingle_col="sh60")
     cands = lsh_candidate_pairs(sig, id_col)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import scoped_persist
 from ..functions.vectors import cosine_similarity_expr
 from .dedup import spread
 
@@ -189,7 +190,9 @@ def ivf_probe_topk(
     shuffle carries (query_id, cand_id, cos) triples only.  Approximate at
     cell boundaries by construction (like any single-probe IVF).
     """
-    cells = ivf_cells(emb_df, id_col, vec_col).persist()
+    # Two consumers (candidate side + probe side); released per query by
+    # the harness via cache.release_caches.
+    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
     c = cells.select(
         F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), "cell"
     )

@@ -329,3 +329,28 @@ def test_fake_resize_plumbing(docs):
     }
     with _pytest.raises(NotImplementedError):
         multimodal.resize_image(with_payload, "doc_id", 8, 4)
+
+
+def test_scoped_persist_released_after_harness_release(spark, docs):
+    """Operators registering multi-consumer intermediates via
+    scoped_persist must leave ZERO cached storage behind once the harness
+    calls release_caches — the round-3 bench regression was exactly this
+    leak compounding across timed queries."""
+    from flink_big_query_connector_spark import cache
+
+    dedup.minhash_neardup_pairs(docs, "doc_id", "text", 0.5).collect()
+    similarity.ivf_probe_topk(
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)], ["doc_id", "embedding"]
+        ),
+        "doc_id",
+        "embedding",
+        spark.createDataFrame([(0,)], ["doc_id"]),
+        k=3,
+    ).collect()
+    assert len(cache._SCOPED) >= 2  # both operators registered their persist
+    released = cache.release_caches(spark)
+    assert released >= 2
+    assert not cache._SCOPED
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

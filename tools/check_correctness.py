@@ -21,6 +21,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from flink_big_query_connector_spark import plans  # noqa: E402
+from flink_big_query_connector_spark.cache import release_caches  # noqa: E402
 from flink_big_query_connector_spark.session import get_spark  # noqa: E402
 from flink_big_query_connector_spark.sources.tables import TABLES  # noqa: E402
 
@@ -79,6 +80,7 @@ def main():
             sdf = qd.fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_caches(spark)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
