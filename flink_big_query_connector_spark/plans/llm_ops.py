@@ -1140,9 +1140,9 @@ def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_resize",
     oracle="""
         SELECT doc_id,
-               CAST(substr(repeat(text,
-                        CAST(CEIL(32.0 / length(text)) AS INT)), 1, 32)
-                    AS BLOB) AS resized,
+               unhex(substring(hex(repeat(encode(text),
+                   CAST(CEIL(32.0 / octet_length(encode(text))) AS INT))),
+                   1, 64)) AS resized,
                4 AS out_w, 8 AS out_h,
                CAST(32 AS BIGINT) AS out_bytes,
                sha256(text) AS src_sha256
@@ -1157,7 +1157,10 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in transform (repeat/truncate to target byte count + source
     sha256) is byte-reproducible in SQL, so unlike the feature extractor
     this mapInPandas stage gets a full hash check — schema, Arrow
-    batching, and row alignment all verified."""
+    batching, and row alignment all verified.  The oracle operates on
+    UTF-8 bytes (encode/octet_length, truncation via the hex domain since
+    DuckDB has no BLOB substring), matching the operator for non-ASCII
+    text where char count != byte count."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.length("text") > 0)
     with_payload = multimodal.attach_binary_payload(docs, "text", "image/png")

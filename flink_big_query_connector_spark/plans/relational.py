@@ -1192,15 +1192,16 @@ def b15_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b22_batch_sessionize",
     oracle="""
         WITH marks AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 6 HOUR
                       THEN 0 ELSE 1 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
-          SELECT user_id, ts, value,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          SELECT user_id, ts, event_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS session_id
           FROM marks
@@ -1520,15 +1521,16 @@ def b14_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b22_session_funnel",
     oracle="""
         WITH marks AS (
-          SELECT user_id, ts, event_type,
+          SELECT user_id, ts, event_id, event_type,
                  CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 6 HOUR
                       THEN 0 ELSE 1 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
-          SELECT user_id, ts, event_type,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS session_id
           FROM marks

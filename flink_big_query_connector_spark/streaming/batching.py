@@ -182,7 +182,6 @@ def timeout_batch_flush(
     flushes with ``fired_by='timeout'``, matching the
     ``shouldClearOnTimeout=true`` purge.
     """
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..session import ensure_package_on_executors
@@ -192,6 +191,32 @@ def timeout_batch_flush(
         f"{key_col} long, batch_seq long, n long, bytes long, fired_by string"
     )
     state_schema = "seq long, pending long, pending_bytes long, deadline_ms long"
+
+    flush = make_timeout_flush_fn(
+        key_col, order_col, max_count, timeout_ms, size_col, max_bytes,
+        reset_timer_on_new_record,
+    )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        flush, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def make_timeout_flush_fn(
+    key_col: str,
+    order_col: str,
+    max_count: int,
+    timeout_ms: int,
+    size_col: str | None = None,
+    max_bytes: int | None = None,
+    reset_timer_on_new_record: bool = True,
+):
+    """The per-group state-transition function behind
+    :func:`timeout_batch_flush`, exposed at module level so the timer
+    arithmetic (deadline arming / stale-deadline reset) is unit-testable
+    against a fake GroupState without running a streaming query."""
+    import pandas as pd
 
     def flush(key, pdfs, state):
         import time as _time
@@ -230,6 +255,12 @@ def timeout_batch_flush(
                 if fired:
                     out.append((key[0], seq, pending, pending_bytes, fired))
                     seq, pending, pending_bytes = seq + 1, 0, 0
+                    # The flushed batch's timer dies with it: the next
+                    # pending record must arm a FRESH deadline (reference
+                    # arms at each batch's first element) — without this,
+                    # reset=false batches inherit the previous batch's
+                    # stale deadline and time out early.
+                    deadline = 0
 
         now_ms = int(_time.time() * 1000)
         if pending > 0:
@@ -245,7 +276,4 @@ def timeout_batch_flush(
                 {key_col: k, "batch_seq": s, "n": n, "bytes": b, "fired_by": f}
             )
 
-    return stream_df.groupBy(key_col).applyInPandasWithState(
-        flush, out_schema, state_schema, "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
-    )
+    return flush

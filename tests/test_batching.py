@@ -158,3 +158,87 @@ def test_timeout_batch_flush_per_record_timer_reset(spark, tmp_path):
     # 2-row timeout batch, never a count/size fire.
     if (2, 1) in got:
         assert got[(2, 1)] == (2, "timeout")
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the flush transition."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.updated = None
+        self.timeout_duration = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_duration = ms
+
+
+def test_timeout_flush_resets_stale_deadline_after_count_fire():
+    """reset_timer_on_new_record=False (BatchTrigger.java reset=false arms
+    the timer at each batch's FIRST element): when a count fire empties the
+    pending batch mid-invocation, rows starting the next partial batch must
+    arm a FRESH deadline, not inherit the flushed batch's stale one."""
+    import time
+
+    import pandas as pd
+
+    from flink_big_query_connector_spark.streaming.batching import (
+        make_timeout_flush_fn,
+    )
+
+    flush = make_timeout_flush_fn(
+        "k", "seqno", max_count=5, timeout_ms=60_000,
+        reset_timer_on_new_record=False,
+    )
+    now_ms = int(time.time() * 1000)
+    stale = now_ms - 5_000  # armed long ago by the previous batch's head
+    # 2 pending rows under a nearly-lapsed deadline; this invocation
+    # delivers 5 more: rows 3..5 complete the count fire, rows 6..7 start
+    # the next partial batch.
+    state = _FakeGroupState(value=(0, 2, 0, stale))
+    pdf = pd.DataFrame({"k": [1] * 5, "seqno": list(range(2, 7))})
+    out = list(flush((1,), iter([pdf]), state))
+    assert len(out) == 1 and out[0]["fired_by"].tolist() == ["count"]
+    seq, pending, pending_bytes, deadline = state.updated
+    assert (seq, pending) == (1, 2)
+    # The fresh partial batch's deadline is re-armed from NOW, not stale.
+    assert deadline >= now_ms + 60_000
+    assert state.timeout_duration > 55_000
+
+
+def test_timeout_flush_keeps_deadline_for_unflushed_partial():
+    """reset=false with NO flush in the invocation: the original deadline
+    must be preserved (re-armed with remaining time), not pushed out."""
+    import time
+
+    import pandas as pd
+
+    from flink_big_query_connector_spark.streaming.batching import (
+        make_timeout_flush_fn,
+    )
+
+    flush = make_timeout_flush_fn(
+        "k", "seqno", max_count=100, timeout_ms=60_000,
+        reset_timer_on_new_record=False,
+    )
+    now_ms = int(time.time() * 1000)
+    armed = now_ms + 10_000
+    state = _FakeGroupState(value=(0, 2, 0, armed))
+    pdf = pd.DataFrame({"k": [1] * 3, "seqno": [2, 3, 4]})
+    out = list(flush((1,), iter([pdf]), state))
+    assert out == []
+    seq, pending, _, deadline = state.updated
+    assert (seq, pending) == (0, 5)
+    assert deadline == armed  # unchanged: first pending record owns it
+    assert state.timeout_duration <= 10_000
