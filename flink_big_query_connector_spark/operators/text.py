@@ -343,16 +343,23 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Greedy first-fit packing of documents into fixed token-budget
-    training sequences (per ``source`` stream, ordered by id): each doc
-    joins the current sequence until the budget would overflow, then a new
-    sequence starts.
+    """Offset-striped packing of documents into token-budget training
+    sequences (per ``source`` stream, ordered by id): each doc's sequence
+    is ``floor(exclusive_token_offset / budget)`` — the concatenated
+    stream cut into fixed strides.
 
     Same running-sum bucketing shape as the size batch trigger — one
-    shuffle on the stream key, window cumsum, integer division.  Exact
-    greedy next-fit (not bin-packing-optimal; optimal is NP-hard and
-    order-destroying).  Documents longer than the budget get a sequence of
-    their own (standard practice: they are truncated downstream).
+    shuffle on the stream key, window cumsum, integer division; fully
+    parallel and stateless, which is why it's the default at 100 TB.
+    NOT strict next-fit: a document straddling a stride boundary is
+    assigned by its START offset, so a sequence's token total may exceed
+    ``budget_tokens`` by up to one clamped document — acceptable when the
+    trainer truncates/continues across boundaries (packed-sequence
+    pretraining), NOT when each sequence must fit a hard context window.
+    For the hard guarantee use :func:`pack_sequences_nextfit`, which
+    never overflows but scans each source stream sequentially.
+    Documents longer than the budget are clamped to ``budget_tokens``
+    (standard practice: they are truncated downstream).
     """
     from pyspark.sql.window import Window
 
@@ -367,8 +374,7 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # next-fit via exclusive prefix sum over CLAMPED sizes: a doc starts a
-    # new sequence when its inclusion crosses the budget boundary
+    # stride assignment via exclusive prefix sum over CLAMPED sizes
     cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return base.select(
         F.col(id_col),
@@ -376,3 +382,54 @@ def pack_sequences(
         F.col("n_tokens"),
         F.floor(cum / F.lit(budget_tokens)).cast("long").alias("seq_index"),
     )
+
+
+def pack_sequences_nextfit(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRUE greedy next-fit packing: a new sequence starts exactly when
+    adding the next document would overflow ``budget_tokens``, so every
+    sequence's token total is <= the budget (documents are clamped to the
+    budget first) — the hard context-window guarantee
+    :func:`pack_sequences` trades away for statelessness.
+
+    Next-fit is inherently a sequential scan of each source stream
+    (seq_index depends on every prior fill decision), so it runs as one
+    Arrow-batched ``applyInPandas`` pass per ``source`` group:
+    parallelism = |sources|, state = two integers per group.  At 100 TB
+    source streams are the natural packing unit anyway (curriculum /
+    domain mixing packs within a domain); a skewed mega-source can be
+    pre-split into shards upstream without changing semantics beyond the
+    shard boundaries.
+    """
+    import pandas as pd
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    n_toks = token_count_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col("source"),
+        F.least(n_toks, F.lit(budget_tokens)).cast("long").alias("n_tokens"),
+    )
+    out_schema = f"{id_col} long, source string, n_tokens long, seq_index long"
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq = 0
+        fill = 0
+        idx = []
+        for n in pdf["n_tokens"]:
+            if fill + n > budget_tokens and fill > 0:
+                seq += 1
+                fill = 0
+            fill += int(n)
+            idx.append(seq)
+        pdf["seq_index"] = pd.Series(idx, dtype="int64")
+        return pdf[[id_col, "source", "n_tokens", "seq_index"]]
+
+    return base.groupBy("source").applyInPandas(assign, out_schema)

@@ -885,11 +885,55 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "packing"),
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy next-fit packing of documents into 2048-token training
+    """Offset-striped packing of documents into 2048-token training
     sequences per source stream — running-sum bucketing, one shuffle on
-    the stream key."""
+    the stream key, fully parallel.  Sequences may exceed the budget by
+    up to one clamped document at stride boundaries; the strict variant
+    is llm_pack_nextfit."""
     t = load_tables(spark, sf_dir)
     return text.pack_sequences(t["documents"], budget_tokens=2048)
+
+
+@register(
+    "llm_pack_nextfit",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, source,
+                 CAST(LEAST(len({_SQL_TOKS}), 2048) AS BIGINT) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                     AS rn
+          FROM documents
+        ),
+        pack AS (
+          SELECT source, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS seq_index, n_tokens AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT nxt.source, nxt.rn, nxt.doc_id, nxt.n_tokens,
+                 CASE WHEN p.fill + nxt.n_tokens > 2048
+                      THEN p.seq_index + 1 ELSE p.seq_index END,
+                 CASE WHEN p.fill + nxt.n_tokens > 2048
+                      THEN nxt.n_tokens ELSE p.fill + nxt.n_tokens END
+          FROM pack p JOIN d nxt
+            ON nxt.source = p.source AND nxt.rn = p.rn + 1
+        )
+        SELECT doc_id, source, n_tokens, seq_index
+        FROM pack
+        ORDER BY source, doc_id
+    """,
+    tags=("text", "packing"),
+)
+def llm_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE next-fit packing (hard <= 2048-token guarantee per sequence):
+    sequential Arrow pass per source via applyInPandas — see
+    operators/text.pack_sequences_nextfit for the scale contract.  The
+    oracle replays the same fold as a DuckDB recursive CTE (one
+    iteration per row rank within each source)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        text.pack_sequences_nextfit(t["documents"], budget_tokens=2048)
+        .orderBy("source", "doc_id")
+    )
 
 
 @register("llm_ann_ivf_kmeans", oracle=None, tags=("similarity", "iterative"))

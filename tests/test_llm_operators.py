@@ -354,3 +354,36 @@ def test_scoped_persist_released_after_harness_release(spark, docs):
     assert not cache._SCOPED
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_pack_nextfit_never_exceeds_budget(spark):
+    """The advisor's counterexample: budget=10, two 6-token docs. The
+    striped formula co-locates them in seq 0 (12 tokens, documented
+    overshoot); true next-fit must split them — and no next-fit sequence
+    may ever exceed the budget."""
+    rows = [
+        (0, "s", "a b c d e f"),        # 6 tokens
+        (1, "s", "a b c d e f"),        # 6 tokens -> must start seq 1
+        (2, "s", "a b c"),              # 3 tokens -> joins seq 1 (9)
+        (3, "s", "a b"),                # 2 tokens -> overflow -> seq 2
+        (4, "t", " ".join(["x"] * 25)), # clamped to 10 -> seq 0 alone
+        (5, "t", "y"),                  # seq 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    striped = {
+        r.doc_id: r.seq_index
+        for r in text.pack_sequences(df, budget_tokens=10).collect()
+    }
+    assert striped[0] == 0 and striped[1] == 0  # documented overshoot
+
+    out = text.pack_sequences_nextfit(df, budget_tokens=10).collect()
+    nf = {r.doc_id: r.seq_index for r in out}
+    assert nf[0] == 0 and nf[1] == 1 and nf[2] == 1 and nf[3] == 2
+    assert nf[4] == 0 and nf[5] == 1
+    totals = {}
+    for r in out:
+        totals[(r.source, r.seq_index)] = (
+            totals.get((r.source, r.seq_index), 0) + r.n_tokens
+        )
+    assert all(v <= 10 for v in totals.values())
