@@ -1250,7 +1250,9 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: term frequency via explode +
     groupBy (map-side combinable), document frequency as a second
     aggregate over the SAME (doc, term) relation, idf joined back
-    broadcast (|vocabulary| rows).  The shuffles carry (doc, term, count)
+    broadcast (|vocabulary| rows).  |corpus| comes from a broadcast
+    1-row aggregate cross-joined in — no driver-side count(), so the
+    whole thing is ONE Spark job.  The shuffles carry (doc, term, count)
     triples — corpus-linear; ln() is IEEE-identical in both engines so
     the oracle matches bitwise before the 9dp round."""
     from pyspark.sql.window import Window
@@ -1262,7 +1264,10 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    n_docs = base.count()  # one scalar — the |corpus| constant
+    # |corpus| as a 1-row broadcast relation, not a driver .count() —
+    # same double arithmetic, one job instead of two passes with a
+    # driver sync between them.
+    n_docs_df = base.agg(F.count(F.lit(1)).alias("n_docs"))
     tfc = (
         base.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -1271,12 +1276,16 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tfc.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             "doc_id",
             "term",
             F.round(
                 F.col("tf")
-                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ),
                 9,
             ).alias("tfidf"),
         )

@@ -180,6 +180,33 @@ def test_tfidf_broadcasts_idf_side(spark):
     df = REGISTRY["llm_text_tfidf"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+    # |corpus| must be a broadcast 1-row aggregate INSIDE the plan, not a
+    # driver-side .count() — i.e. the n_docs column exists and no literal
+    # corpus-count constant was folded in at build time.
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
+
+
+def test_tfidf_builds_without_running_jobs(spark):
+    """Constructing the tfidf plan must trigger ZERO Spark actions beyond
+    the parquet-footer schema reads — the |corpus| constant comes from a
+    broadcast aggregate in the plan, not a driver-side count() pass."""
+    from flink_big_query_connector_spark.plans.registry import REGISTRY
+    from flink_big_query_connector_spark.sources.tables import load_tables
+
+    sc = spark.sparkContext
+
+    def jobs() -> int:
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    # Every load_tables call costs a fixed set of parquet-footer schema
+    # jobs; measure that floor, then require fn() to add nothing beyond
+    # its own internal load_tables.
+    j0 = jobs()
+    load_tables(spark, SF_DIR)
+    j1 = jobs()
+    REGISTRY["llm_text_tfidf"].fn(spark, SF_DIR)
+    j2 = jobs()
+    assert j2 - j1 <= j1 - j0
 
 
 def test_chunking_and_inverted_index_partial_aggregate(spark):
