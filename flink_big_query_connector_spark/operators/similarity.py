@@ -63,20 +63,36 @@ def brute_force_topk(
     )
 
 
+MAX_DIM = 128  # plane-weight table size; vectors may be any dim <= this
+
+
+def _plane_weights(plane: int, dim: int = MAX_DIM) -> list[float]:
+    """+-1 weight for (plane, dim i) from md5 — engine-portable constants.
+
+    md5 (not Spark's Murmur3 ``F.hash``) so the identical weight table can
+    be inlined in a DuckDB oracle; the weights are literals in the plan
+    either way, so the hash never runs per row.
+    """
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"rp:{plane}:{i}".encode()).hexdigest()[:2], 16) & 1
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _plane_projection(vec, plane: int):
-    """Pseudo-random hyperplane: weight for dim i is +1/-1 from a cheap
-    integer mix of (plane, i).  JVM-side, no stored weights."""
+    """Signed projection onto a pseudo-random +-1 hyperplane: the weight
+    table ships as a plan literal (sliced to the vector's dim), and each
+    term x_i * (+-1) is IEEE-exact, so only summation order contributes
+    rounding — negligible against typical |projection|."""
+    w = F.slice(
+        F.array(*[F.lit(x) for x in _plane_weights(plane)]), 1, F.size(vec)
+    )
     return F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: x.cast("double")
-            * F.when(
-                (F.hash(i * F.lit(2654435761) + F.lit(plane * 40503))
-                 .bitwiseAND(F.lit(1))) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        ),
+        F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -90,6 +106,20 @@ def rp_signature_expr(vec):
             _plane_projection(vec, p) > 0, F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def sql_rp_bucket(vec_expr: str, dim: int) -> str:
+    """DuckDB twin of :func:`rp_signature_expr` for a ``dim``-wide DOUBLE[]
+    expression — same md5-derived weight table, inlined as list literals."""
+    terms = []
+    for p in range(NUM_PLANES):
+        w = _plane_weights(p, dim)
+        arr = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def rp_lsh_bucketed_topk(

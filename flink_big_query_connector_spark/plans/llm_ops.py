@@ -249,15 +249,39 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_lsh_bucketed", oracle=None, tags=("similarity",))
+@register(
+    "llm_ann_lsh_bucketed",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {similarity.sql_rp_bucket('embedding::DOUBLE[]', 64)}
+                              AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM e WHERE vec_id < 20),
+        c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM e),
+        scored AS (SELECT query_id, cand_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM c JOIN q USING (bucket)
+                   WHERE cand_id <> query_id),
+        ranked AS (SELECT query_id, cand_id, cos,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+                   FROM scored)
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    tags=("similarity",),
+)
 def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed ANN (the 100 TB path) — approximate
-    by construction, rows-only check."""
+    """Random-hyperplane LSH-bucketed ANN (the 100 TB path).  The sign
+    buckets are md5-derived +-1 hyperplane projections, so the full
+    bucket-join + rank pipeline now has a hash-exact DuckDB oracle (the
+    approximation is deterministic, not random)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return similarity.rp_lsh_bucketed_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
-    )
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -363,13 +387,40 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_multimodal_features", oracle=None, tags=("multimodal",))
+@register(
+    "llm_multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               ('0x'||substr(sha256(COALESCE(text,'')),1,8))::BIGINT
+                   / 4294967295.0 AS f0,
+               ('0x'||substr(sha256(COALESCE(text,'')),9,8))::BIGINT
+                   / 4294967295.0 AS f1,
+               ('0x'||substr(sha256(COALESCE(text,'')),17,8))::BIGINT
+                   / 4294967295.0 AS f2,
+               ('0x'||substr(sha256(COALESCE(text,'')),25,8))::BIGINT
+                   / 4294967295.0 AS f3,
+               CAST(octet_length(encode(COALESCE(text,''))) AS BIGINT)
+                   AS n_bytes
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic hash-derived stand-in for the codec stage)."""
+    (deterministic sha256-derived stand-in for the codec stage).  The
+    feature vector is flattened to scalar columns f0..f3 for the harness
+    (array cells break pandas canonicalizers — see b17), which also lets
+    the sha256 arithmetic be checked hash-exact in SQL: feature i is
+    digest bytes [4i, 4i+4) over the UTF-8 payload, divided by 2^32-1."""
     t = load_tables(spark, sf_dir)
     with_payload = multimodal.attach_binary_payload(t["documents"], "text")
-    return multimodal.fake_feature_extract(with_payload, "doc_id")
+    feat = multimodal.fake_feature_extract(with_payload, "doc_id")
+    return feat.select(
+        "doc_id",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(4)],
+        "n_bytes",
+    ).orderBy("doc_id")
 
 
 @register(

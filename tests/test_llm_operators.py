@@ -338,6 +338,9 @@ def test_scoped_persist_released_after_harness_release(spark, docs):
     leak compounding across timed queries."""
     from flink_big_query_connector_spark import cache
 
+    jsc = spark.sparkContext._jsc.sc()
+    cache.release_caches(spark)  # start from a clean slate
+    baseline = jsc.getPersistentRDDs().size()
     dedup.minhash_neardup_pairs(docs, "doc_id", "text", 0.5).collect()
     similarity.ivf_probe_topk(
         spark.createDataFrame(
@@ -352,8 +355,7 @@ def test_scoped_persist_released_after_harness_release(spark, docs):
     released = cache.release_caches(spark)
     assert released >= 2
     assert not cache._SCOPED
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= baseline
 
 
 def test_pack_nextfit_never_exceeds_budget(spark):
