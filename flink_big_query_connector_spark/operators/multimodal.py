@@ -67,13 +67,49 @@ def pointer_payload(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: real image decode requires PIL/opencv (not in this image).
-    The mapInPandas wiring is identical to fake_feature_extract."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; use fake_feature_extract "
-        "for pipeline plumbing tests"
-    )
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode image payload bytes into (width, height, mode) metadata.
+
+    Real decode runs the moment the environment gains PIL (Pillow): the
+    import is attempted lazily *inside* the Arrow batch function on each
+    executor, so the operator works without a rebuild once the library is
+    installed.  Without PIL this raises the documented NotImplementedError
+    — use :func:`fake_feature_extract` for pipeline plumbing tests; its
+    mapInPandas wiring (schema, batching, partitioning) is identical.
+    """
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = f"{id_col} bigint, width int, height int, mode string"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image decode requires an imaging library (pip install "
+                "Pillow); use fake_feature_extract for pipeline plumbing "
+                "tests"
+            ) from exc
+        for pdf in batches:
+            widths, heights, modes = [], [], []
+            for raw in pdf[payload_col]:
+                with Image.open(io.BytesIO(bytes(raw))) as im:
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    modes.append(im.mode)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "mode": modes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
 
 
 def fake_feature_extract(

@@ -164,9 +164,37 @@ def test_multimodal_payload_and_features(docs):
     assert all(0.0 <= x <= 1.0 for x in by_id[0].feature)
 
 
-def test_decode_image_is_stubbed(docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(docs)
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL present: stub path not reachable"
+)
+def test_decode_image_raises_without_imaging_lib(docs):
+    wp = multimodal.attach_binary_payload(docs, "text", "image/png")
+    with pytest.raises(Exception, match="imaging library"):
+        multimodal.decode_image(wp, "doc_id").collect()
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="PIL absent in this container"
+)
+def test_decode_image_real_decode(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id bigint, payload binary")
+    row = multimodal.decode_image(df, "doc_id").collect()[0]
+    assert (row.width, row.height, row.mode) == (7, 5, "RGB")
 
 
 def test_repetition_features_values(spark):
@@ -389,3 +417,112 @@ def test_pack_nextfit_never_exceeds_budget(spark):
             totals.get((r.source, r.seq_index), 0) + r.n_tokens
         )
     assert all(v <= 10 for v in totals.values())
+
+
+# -- round 4: SQ8 / filtered ANN / span dedup / token-budget mixing ---------
+
+
+def test_sq8_quantize_and_topk(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.5, 0.5]),
+        (3, [0.9, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    mins, maxs = similarity.sq8_train(df, "embedding")
+    assert mins == [0.0, 0.0] and maxs == [1.0, 1.0]
+    quant = {
+        r.vec_id: r.q
+        for r in df.select(
+            "vec_id",
+            similarity.sq8_quantize_expr(
+                F.col("embedding"), mins, maxs
+            ).alias("q"),
+        ).collect()
+    }
+    assert quant[0] == [0, 0]
+    assert quant[1] == [255, 255]  # max clamps to 255, not 256
+    assert quant[2] == [127, 127]
+    out = similarity.sq8_topk(
+        df, "vec_id", "embedding", df.filter(F.col("vec_id") == 0), mins, maxs, 3
+    ).collect()
+    ranked = sorted((r.rank, r.cand_id, r.qdist) for r in out)
+    # nearest to (0,0): 2 at 127^2*2, then 3, then 1
+    assert [r[1] for r in ranked] == [2, 3, 1]
+    assert ranked[0][2] == 2 * 127 * 127
+
+
+def test_filtered_topk_respects_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [1.0, 0.1], 7),
+        (2, [1.0, 0.0], 9),  # identical direction but wrong label
+        (3, [0.0, 1.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = similarity.filtered_topk(
+        df, "vec_id", "embedding", "label", df.filter(F.col("vec_id") == 0), 2
+    ).collect()
+    cands = {r.cand_id for r in out}
+    assert cands == {1, 3}  # 2 excluded by label despite cos=1.0
+
+
+def test_duplicated_span_stats(spark):
+    shared = "a b c d e f g h"  # exactly one 8-gram span
+    rows = [
+        (0, shared + " tail0"),
+        (1, shared + " tail1"),
+        (2, "totally different words here avoid any span overlap ok"),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dedup.duplicated_span_stats(df, "doc_id").collect()}
+    # docs 0/1: 2 spans each ("a..h", "b..tailN"); only the first is shared
+    assert out[0].n_spans == 2 and out[0].n_dup_spans == 1
+    assert out[0].dup_frac == 0.5
+    assert out[2].n_dup_spans == 0
+    assert out[3].n_spans == 0 and out[3].dup_frac == 0.0
+
+
+def test_mix_to_token_budget_matches_naive_window(spark):
+    from pyspark.sql.window import Window
+
+    from flink_big_query_connector_spark.operators.hashing import hash60_expr
+    from flink_big_query_connector_spark.operators.sampling import (
+        mix_to_token_budget,
+    )
+    from flink_big_query_connector_spark.operators.text import tokens_expr
+
+    rows = [(i, "w " * (5 + i % 7), "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+    budget = 40
+    got = {
+        (r.doc_id, r.cum_before)
+        for r in mix_to_token_budget(df, "doc_id", "text", "src", budget).collect()
+    }
+    # naive single-window formulation (the oracle's shape)
+    base = df.select(
+        "doc_id",
+        "src",
+        F.size(tokens_expr(F.col("text"))).cast("long").alias("n"),
+        hash60_expr(
+            F.concat(F.lit("mix1:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r.doc_id, r.cum)
+        for r in base.withColumn(
+            "cum", F.coalesce(F.sum("n").over(w), F.lit(0).cast("long"))
+        )
+        .filter(F.col("cum") < budget)
+        .collect()
+    }
+    assert got == want and len(got) > 0
