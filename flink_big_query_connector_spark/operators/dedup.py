@@ -520,3 +520,76 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# -- duplicated-span statistics (ExactSubstr-style signal) -------------------
+
+
+def spans_expr(toks: Column, k: int) -> Column:
+    """Word k-gram spans (space-joined); empty array for docs shorter
+    than k tokens (same ``when`` guard rationale as :func:`shingles_expr`)."""
+    n = F.size(toks)
+    make = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span statistics: which fraction of a doc's
+    word k-gram spans also occurs in at least one OTHER document.
+
+    This is the span-level dedup signal from "Deduplicating Training Data
+    Makes Language Models Better" (ExactSubstr), re-expressed relationally:
+    instead of a suffix array, distinct (doc, span-hash) pairs shuffle once
+    to count each span's document frequency, then join back for the
+    per-doc rollup.  Only 60-bit hashes cross the shuffles — never span
+    text — so shuffle volume is ~8 bytes/span.  Docs shorter than ``k``
+    tokens report 0 spans (left join back to the id spine).
+    """
+    tok = with_token_boundary(df, id_col, text_col)
+    ex = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    spans_expr(F.col("toks"), k), lambda s: hash60_expr(s)
+                )
+            )
+        ).alias("h"),
+    )
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        ex.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                    F.col("n_dup_spans").cast("double")
+                    / F.col("n_spans").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

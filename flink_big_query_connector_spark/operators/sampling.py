@@ -1,0 +1,89 @@
+"""Sampling / training-mix construction operators.
+
+The core primitive here is a **distributed exclusive prefix-sum** over a
+deterministic hash order, used to cut each domain's document stream at a
+token budget.  A naive ``Window.partitionBy(domain)`` puts an entire
+domain in one task — a straggler the moment one domain dominates the
+corpus (at 100 TB a single web crawl domain can be 10s of TB).  Instead
+the prefix-sum runs in two levels:
+
+1. bucket every doc by the TOP bits of its hash order key (so bucket
+   order == hash order), aggregate per-(domain, bucket) token totals —
+   a tiny table, <= 64 rows per domain;
+2. exclusive-cumsum those bucket totals per domain (a window over <= 64
+   rows), broadcast-join the offsets back, and window only WITHIN each
+   (domain, bucket) — bounded partitions regardless of domain skew.
+
+The result is bit-identical to the single-window formulation (the oracle
+uses that formulation), but no task ever sees more than 1/64th of a
+domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import hash60_expr
+from .text import tokens_expr
+
+# hash60 yields 60-bit keys; taking the top 6 bits gives 64 buckets whose
+# ordering refines the full key's ordering (bucket asc, key asc == key asc)
+BUCKET_SHIFT = 54
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget_tokens: int,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Greedy per-domain selection to a token budget.
+
+    Docs are ordered by a salted content-independent hash of the id
+    (reproducible on any cluster size, stable when the corpus grows — the
+    same property :func:`~..plans.llm_ops.llm_sample_stratified`
+    documents), and kept while the exclusive running token sum is below
+    ``budget_tokens``.  The doc that crosses the boundary is still kept,
+    so a domain's total may overshoot by at most one document's tokens —
+    the same honest boundary semantics as ``pack_sequences``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        hash60_expr(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).alias("ord_key"),
+    ).withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
+
+    btot = base.groupBy(group_col, "bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.withColumn(
+        "bucket_off", F.coalesce(F.sum("btok").over(wb), F.lit(0).cast("long"))
+    ).select(group_col, "bucket", "bucket_off")
+
+    ww = (
+        Window.partitionBy(group_col, "bucket")
+        .orderBy("ord_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(boff), [group_col, "bucket"])
+        .withColumn(
+            "cum_before",
+            F.col("bucket_off")
+            + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0).cast("long")),
+        )
+        .filter(F.col("cum_before") < F.lit(budget_tokens))
+        .select(id_col, group_col, "n_tokens", "cum_before")
+    )

@@ -303,3 +303,153 @@ def ivf_cells_with(
         v.alias("v"),
         (-best["nid"]).cast("long").alias("cell"),
     )
+
+
+# -- scalar quantization (SQ8) ----------------------------------------------
+
+
+def sq8_train(emb_df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 "model".
+
+    One distributed pass: posexplode -> groupBy(dim) min/max is a shuffle
+    of |dims| groups with map-side partials, then |dims| rows come back to
+    the driver (the collect IS the model, same pattern as the IVF
+    centroids).  At 100 TB this is a single scan producing a KB-sized
+    model that ships in the plan as literals.
+    """
+    rows = (
+        emb_df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_dim = {r.dim: (float(r.mn), float(r.mx)) for r in rows}
+    dims = sorted(by_dim)
+    return [by_dim[d][0] for d in dims], [by_dim[d][1] for d in dims]
+
+
+def sq8_quantize_expr(vec, mins: list[float], maxs: list[float]):
+    """int8-style quantization q_i = clamp(floor((x-mn)*255/(mx-mn)), 0..255).
+
+    All arithmetic in double with the exact expression shape
+    ``((x - mn) * 255.0) / (mx - mn)`` so a DuckDB oracle using the same
+    shape is IEEE-bit-identical; degenerate dims (mx == mn) quantize to 0.
+    """
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    mx = F.array(*[F.lit(float(x)) for x in maxs])
+    idx = F.transform(vec, lambda _, i: i + 1)
+
+    def q(x, i):
+        lo = F.element_at(mn, i)
+        hi = F.element_at(mx, i)
+        raw = F.floor((x.cast("double") - lo) * F.lit(255.0) / (hi - lo))
+        return (
+            F.when(hi == lo, F.lit(0))
+            .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+            .cast("int")
+        )
+
+    return F.zip_with(vec, idx, q)
+
+
+def _sq_l2_expr(qa, qb):
+    """Exact integer squared-L2 between two quantized vectors (bigint —
+    no float rounding anywhere, so ranking is engine-exact)."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: ((a - b) * (a - b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by squared-L2 over SQ8-quantized vectors.
+
+    The corpus is quantized in place (4x smaller vectors than float32 —
+    at 100 TB that is the difference between spilling and not); queries
+    are broadcast; distances are exact integers so the (dist, cand_id)
+    ranking has no cross-engine rounding hazard.  Approximation relative
+    to full-precision L2 comes only from quantization itself.
+    """
+    quant = F.col(vec_col)
+    c = spread(emb_df).select(
+        F.col(id_col).alias("cand_id"),
+        sq8_quantize_expr(quant, mins, maxs).alias("cq"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        sq8_quantize_expr(quant, mins, maxs).alias("qq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _sq_l2_expr(F.col("qq"), F.col("cq")).alias("qdist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdist").asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "qdist", "rank")
+    )
+
+
+def filtered_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Metadata-filtered exact top-k: neighbors restricted to candidates
+    sharing the query's ``filter_col`` value (RAG-style filtered
+    retrieval).
+
+    The metadata predicate becomes the JOIN KEY, not a post-filter: at
+    100 TB with the corpus written partitioned by ``filter_col`` the join
+    partition-prunes to matching partitions, and each query scores only
+    its own slice of the corpus instead of all of it.
+    """
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(filter_col).alias("fkey"),
+    )
+    c = spread(emb_df).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(filter_col).alias("fkey"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "fkey")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine_similarity_expr(F.col("qv"), F.col("cv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

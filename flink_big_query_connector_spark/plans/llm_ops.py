@@ -1466,3 +1466,177 @@ def llm_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", F.col("df").cast("long").alias("df"), "postings")
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# B28+ — quantized & filtered similarity search (round 4)
+# ---------------------------------------------------------------------------
+
+_SQL_SQ8_CTES = """
+    stats AS (
+        SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+        FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY dim),
+    model AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM stats),
+    quant AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), i ->
+                   CASE WHEN mxs[i] = mns[i] THEN 0
+                        ELSE CAST(least(255, greatest(0,
+                             floor((embedding[i]::DOUBLE - mns[i]) * 255.0
+                                   / (mxs[i] - mns[i])))) AS INT) END) AS qv
+        FROM embeddings, model)
+"""
+
+
+@register(
+    "llm_ann_sq8",
+    oracle=f"""
+        WITH {_SQL_SQ8_CTES},
+        q AS (SELECT vec_id AS query_id, qv AS qq FROM quant WHERE vec_id < 20),
+        c AS (SELECT vec_id AS cand_id, qv AS cq FROM quant),
+        scored AS (SELECT query_id, cand_id,
+                          CAST(list_sum(list_transform(range(1, 65), i ->
+                               CAST((qq[i] - cq[i]) * (qq[i] - cq[i])
+                                    AS BIGINT))) AS BIGINT) AS qdist
+                   FROM q, c WHERE cand_id <> query_id),
+        ranked AS (SELECT query_id, cand_id, qdist,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qdist ASC, cand_id) AS BIGINT) AS rank
+                   FROM scored)
+        SELECT query_id, cand_id, qdist, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity",),
+)
+def llm_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k: per-dim (min,max) trained in one
+    distributed pass (the 64-row collect IS the model, inlined as plan
+    literals), vectors quantized to 0..255 ints (4x memory cut vs
+    float32), ranking on exact integer squared-L2 — no float rounding in
+    the ranking, so the DuckDB oracle is hash-exact."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    mins, maxs = similarity.sq8_train(emb, "embedding")
+    return similarity.sq8_topk(
+        emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 20), mins, maxs, 10,
+    )
+
+
+@register(
+    "llm_ann_filtered",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label FROM e
+              WHERE vec_id < 20),
+        c AS (SELECT vec_id AS cand_id, v AS cv, label FROM e),
+        scored AS (SELECT query_id, cand_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM c JOIN q USING (label)
+                   WHERE cand_id <> query_id),
+        ranked AS (SELECT query_id, cand_id, cos,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+                   FROM scored)
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def llm_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval: top-5 same-label neighbors.  The label
+    predicate is the join key (not a post-filter), so a label-partitioned
+    corpus layout partition-prunes each probe at scale."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.filtered_topk(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(F.col("vec_id") < 20), 5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# B27+ — span-level dedup & token-budget mixing (round 4)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+_SQL_SPANS = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sp AS (SELECT doc_id,
+           CASE WHEN len(toks) >= {_SPAN_K}
+                THEN list_transform(range(1, len(toks) - {_SPAN_K - 2}),
+                     i -> {"||' '||".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(_SPAN_K))})
+                ELSE []::VARCHAR[] END AS spans
+           FROM toks),
+    ex AS (SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+           FROM (SELECT doc_id, unnest(spans) AS s FROM sp)),
+    cnt AS (SELECT h, COUNT(*) AS n_docs FROM ex GROUP BY h),
+    per AS (SELECT e.doc_id, COUNT(*) AS n_spans,
+                   SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM ex e JOIN cnt USING (h) GROUP BY 1)
+"""
+
+
+@register(
+    "llm_dedup_spans",
+    oracle=f"""
+        WITH {_SQL_SPANS}
+        SELECT d.doc_id,
+               CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+               round(CASE WHEN COALESCE(n_spans, 0) > 0
+                          THEN CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup signal: per-doc fraction of word
+    8-gram spans shared with at least one other document.  Distinct
+    (doc, span-hash60) pairs shuffle once (8 bytes/span), then one join
+    back for the rollup — no suffix array, no quadratic work."""
+    t = load_tables(spark, sf_dir)
+    return dedup.duplicated_span_stats(t["documents"], "doc_id", "text", _SPAN_K)
+
+
+_MIX_BUDGET = 800
+
+
+@register(
+    "llm_mix_token_budget",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                   {_SQL_H60.format(x="'mix1:' || CAST(doc_id AS VARCHAR)")}
+                       AS ord_key
+            FROM documents),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY ord_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM base)
+        SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+        FROM cum WHERE cum_before < {_MIX_BUDGET}
+    """,
+    tags=("sampling",),
+)
+def llm_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: greedily keep hash-ordered docs per
+    source until an 800-token budget.  Runs as a two-level distributed
+    prefix-sum (bucketized by the order key's top bits) so no task ever
+    holds a whole domain — the oracle's single-window formulation is the
+    semantic twin (see operators/sampling.py)."""
+    from ..operators.sampling import mix_to_token_budget
+
+    t = load_tables(spark, sf_dir)
+    return mix_to_token_budget(
+        t["documents"], "doc_id", "text", "source", _MIX_BUDGET
+    )
