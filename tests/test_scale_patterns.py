@@ -216,3 +216,58 @@ def test_chunking_and_inverted_index_partial_aggregate(spark):
 
     plan = _plan(REGISTRY["llm_text_bigram_lm"].fn(spark, SF_DIR))
     assert "partial" in plan.lower()
+
+
+def test_mix_token_budget_windows_are_bucketized(spark):
+    """The token-budget mixer must never window over a whole domain: both
+    window operators partition by more than the bare group column, and the
+    bucket-offset side joins back via broadcast (no shuffled join for a
+    <=64-rows-per-group table)."""
+    from flink_big_query_connector_spark.operators.sampling import (
+        mix_to_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mix_to_token_budget(docs, "doc_id", "text", "source", 800)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # every Window's partition spec mentions bucket (never [source] alone)
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n")[0]
+        if "partitionBy" in spec or "windowspecdefinition" in spec:
+            assert "bucket" in spec, spec
+
+
+def test_sq8_model_is_plan_literal_not_join(spark):
+    """SQ8 quantization must inline the (min,max) model as literals: the
+    scoring plan contains exactly one broadcast (the queries) and no join
+    against a stats table."""
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    mins, maxs = similarity.sq8_train(emb, "embedding")
+    out = similarity.sq8_topk(
+        emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 5), mins, maxs, 5,
+    )
+    plan = _plan(out)
+    assert plan.count("BroadcastExchange") == 1  # queries only
+    assert "SortMergeJoin" not in plan  # no shuffled model join
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """duplicated_span_stats joins on 60-bit hashes: no plan operator
+    below the aggregation carries the span strings."""
+    from flink_big_query_connector_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = duplicated_span_stats(docs, "doc_id")
+    plan = _plan(out)
+    # the group/join key everywhere is the long hash column `h`
+    assert "hashpartitioning(h#" in plan
+    # no exchange partitions by a string span column
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        key = frag.split(")")[0]
+        assert "span" not in key
