@@ -1640,3 +1640,101 @@ def llm_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_to_token_budget(
         t["documents"], "doc_id", "text", "source", _MIX_BUDGET
     )
+
+
+@register(
+    "llm_quality_percentile",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+        scored AS (
+            SELECT doc_id, source,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS distinct_ratio
+            FROM d),
+        ranked AS (
+            SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+                       ORDER BY distinct_ratio, doc_id) AS pr
+            FROM scored)
+        SELECT doc_id, source, n_tokens, distinct_ratio
+        FROM ranked WHERE pr >= 0.7
+    """,
+    tags=("text", "sampling"),
+)
+def llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM-style per-domain percentile cut: keep each source's top 30%
+    by lexical-diversity score (distinct-token ratio).  Rank-based (not
+    interpolated percentile), so the cut is hash-exact cross-engine.  At
+    100 TB the window becomes a per-domain threshold computed from a
+    score histogram and broadcast back — the filter semantics stay
+    identical; this formulation is the exact-rank twin."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy("distinct_ratio", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.7)
+        .select("doc_id", "source", "n_tokens", "distinct_ratio")
+    )
+
+
+@register(
+    "llm_split_leakage_safe",
+    oracle=f"""
+        WITH comps AS ({_cluster_oracle()}),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN ({_SQL_H60.format(
+                   x="'split1:' || CAST(cluster_id AS VARCHAR)")}) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM labeled
+    """,
+    tags=("dedup", "sampling"),
+)
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-dup CLUSTERS (MinHash-LSH pairs
+    -> connected components) are the unit of assignment, so two near-dup
+    documents can never straddle the split boundary.  The split decision
+    is a salted hash of the cluster representative — deterministic,
+    cluster-count independent, stable under corpus growth."""
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup.minhash_neardup_pairs(docs, "doc_id", "text", 0.8)
+    comps = dedup.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+    )
+    bucket = hash60_expr(
+        F.concat(F.lit("split1:"), F.col("cluster_id").cast("string"))
+    ) % F.lit(100)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
