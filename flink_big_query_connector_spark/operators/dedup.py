@@ -471,9 +471,24 @@ def connected_components(
     round is one shuffle join on node id.  The loop is driver-side control
     flow only — data never leaves executors.
     """
+    # Both edge directions from ONE scan of pairs_df (explode of a 2-array)
+    # — a union of two selects would evaluate the whole upstream pair
+    # pipeline (minhash + bands + verify) twice before the persist
+    # materializes.
     edges = (
-        pairs_df.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs_df.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs_df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
