@@ -1738,3 +1738,157 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
     )
+
+
+_VOCAB_K = 30
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term
+                     FROM documents),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        vocab AS (SELECT term FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rn
+            FROM freq) WHERE rn <= {_VOCAB_K}),
+        per AS (SELECT t.doc_id,
+                       COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM tok t LEFT JOIN vocab v ON t.term = v.term
+                GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+               round(CASE WHEN COALESCE(n_tokens, 0) > 0
+                          THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END, 6) AS oov_rate
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text",),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-30 term
+    vocabulary (deterministic ties: count desc, term asc), then per-doc
+    out-of-vocabulary token rate.  The vocabulary is a top-k over a
+    map-side-combined term aggregate — KB-sized however big the corpus —
+    and broadcasts into the per-doc join; the token explode shuffles
+    (doc_id, term) pairs once for the aggregate and keeps the per-doc
+    rollup local to the explode.  The top-k itself is orderBy+limit —
+    Spark plans that as TakeOrderedAndProject (per-partition partial
+    top-k, merge on the driver), never a single-partition global window."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(text.tokens_expr(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                    F.col("n_oov").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# per-source epoch weights for the upsampling mix: fractional parts are
+# resolved per doc by a salted hash, so expected token share matches the
+# weight exactly and the realization is deterministic
+_EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.5}
+_EPOCH_DEFAULT = 1.0
+
+
+def _epoch_copies_sql() -> str:
+    frac_bucket = _SQL_H60.format(x="'ep1:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    cases_floor = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in _EPOCH_WEIGHTS.items()
+    )
+    cases_frac = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * 100))}"
+        for s, w in _EPOCH_WEIGHTS.items()
+    )
+    return f"""
+        (CASE source {cases_floor} ELSE {int(_EPOCH_DEFAULT)} END
+         + CASE WHEN ({frac_bucket}) <
+                (CASE source {cases_frac} ELSE
+                 {int(round((_EPOCH_DEFAULT - int(_EPOCH_DEFAULT)) * 100))} END)
+                THEN 1 ELSE 0 END)
+    """
+
+
+@register(
+    "llm_mix_epochs",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   {_epoch_copies_sql()} AS n_copies
+            FROM documents)
+        SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+        FROM base WHERE n_copies > 0
+    """,
+    tags=("sampling",),
+)
+def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain upsampling by fractional epoch weights (src0 x2.5, src1
+    x0.5, rest x1): every doc materializes floor(w) copies plus one more
+    when its salted hash lands under the fractional part — deterministic,
+    exactly matching the weight in expectation, no RNG state.  The
+    explode is generate-side (no shuffle); downstream packing/shuffling
+    treats (doc_id, epoch) as the working key."""
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    floor_w = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(int(w)))
+            for s, w in _EPOCH_WEIGHTS.items()
+        ],
+        F.lit(int(_EPOCH_DEFAULT)),
+    )
+    frac_pct = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(int(round((w - int(w)) * 100))))
+            for s, w in _EPOCH_WEIGHTS.items()
+        ],
+        F.lit(int(round((_EPOCH_DEFAULT - int(_EPOCH_DEFAULT)) * 100))),
+    )
+    bucket = hash60_expr(
+        F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    n_copies = floor_w + F.when(bucket < frac_pct, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))).alias("epoch"),
+        )
+    )
