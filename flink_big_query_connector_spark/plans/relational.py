@@ -1919,3 +1919,60 @@ def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "b01_source_formats",
+    oracle="""
+        SELECT fmt,
+               (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+                   AS sum_chars,
+               (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources
+        FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
+        ORDER BY fmt
+    """,
+    tags=("scan", "formats"),
+)
+def b01_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format fidelity: the documents table round-trips through
+    every built-in columnar/row codec (CSV with quoting, JSON lines, ORC)
+    and each read-back must produce the identical corpus aggregate as the
+    parquet original — one output row per format.  CSV/JSON reads carry an
+    explicit schema (schema inference is a full extra pass at 100 TB and
+    is banned here); ORC/parquet carry their own."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    root = tempfile.mkdtemp(prefix="src_formats_")
+    frames = []
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = os.path.join(root, fmt)
+        if fmt == "parquet":
+            back = docs
+        else:
+            w = docs.write.format(fmt).mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(path)
+            r = spark.read.format(fmt)
+            if fmt == "csv":
+                r = r.option("header", "true").schema(schema)
+            elif fmt == "json":
+                r = r.schema(schema)
+            back = r.load(path)
+        frames.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                F.countDistinct("source").alias("n_sources"),
+            ).select("fmt", "n", "sum_chars", "n_sources")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fmt")
