@@ -568,15 +568,19 @@ def duplicated_span_stats(
     tokens report 0 spans (left join back to the id spine).
     """
     tok = with_token_boundary(df, id_col, text_col)
-    ex = tok.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    spans_expr(F.col("toks"), k), lambda s: hash60_expr(s)
+    # Two consumers (the span-frequency aggregate and the per-doc join):
+    # persist the hash pass so tokenize+md5 runs once, as in minhash.
+    ex = scoped_persist(
+        tok.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        spans_expr(F.col("toks"), k), lambda s: hash60_expr(s)
+                    )
                 )
-            )
-        ).alias("h"),
+            ).alias("h"),
+        )
     )
     counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
