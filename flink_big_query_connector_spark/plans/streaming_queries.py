@@ -1077,3 +1077,191 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n long, total_value double"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# B24+ — streaming near-dup suppression against corpus history (round 4)
+# ---------------------------------------------------------------------------
+
+from .llm_ops import _simhash_sql_value as _sq_simhash_value
+
+_doc_chunk_cache: dict[str, str] = {}
+
+
+def _write_doc_chunks(sf_dir: str) -> str:
+    """documents as 3 ordered doc_id-range chunk files (replay machinery,
+    same caveat as _write_chunks: at production scale the chunks already
+    exist as arriving crawl snapshots)."""
+    if sf_dir in _doc_chunk_cache and os.path.isdir(_doc_chunk_cache[sf_dir]):
+        return _doc_chunk_cache[sf_dir]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = tbl["doc_id"]
+    lo = pc.min(ids).as_py()
+    hi = pc.max(ids).as_py()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    out_dir = tempfile.mkdtemp(prefix="docs_ordered_")
+    masks = [
+        pc.less_equal(ids, cut1),
+        pc.and_(pc.greater(ids, cut1), pc.less_equal(ids, cut2)),
+        pc.greater(ids, cut2),
+    ]
+    for i, m in enumerate(masks):
+        path = os.path.join(out_dir, f"c{i}.parquet")
+        pq.write_table(tbl.filter(m).sort_by("doc_id"), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    _doc_chunk_cache[sf_dir] = out_dir
+    return out_dir
+
+
+def _simhash_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, key) — the exact 4x8-bit banding from
+    operators/dedup.py::simhash_pairs."""
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+
+
+@register(
+    "b24_stream_neardup_history",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '\\S+'),
+                                t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS th
+          FROM documents
+        ),
+        sh AS (SELECT doc_id, CAST({_sq_simhash_value()} AS BIGINT) AS simhash
+               FROM h)
+        SELECT a.doc_id, a.simhash FROM sh a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sh b
+          WHERE b.doc_id < a.doc_id
+            AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        ORDER BY doc_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def b24_stream_neardup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup suppression against corpus history: documents
+    arrive as ordered crawl-snapshot chunks; each micro-batch computes
+    SimHash signatures, suppresses docs with a Hamming<=3 prior (in the
+    accumulated signature store OR earlier in the same batch by doc_id),
+    and appends ALL new signatures (kept and suppressed) to the store.
+
+    The banded join makes each comparison bucket-local (pigeonhole: a
+    Hamming<=3 pair always shares one of the 4 bands), so the streaming
+    output is EXACTLY the batch rule "drop doc i iff exists j < i with
+    hamming <= 3" regardless of how arrival chunks the stream — which is
+    what the quadratic NOT EXISTS oracle checks.  At 100 TB the store is
+    written partitioned by (band, key), a new snapshot probes only its
+    own buckets, and the store grows by |new docs| signatures (16 bytes
+    each), never re-reading corpus text.  foreachBatch writes land in a
+    per-batchId directory via overwrite — idempotent under replay."""
+    from ..operators.dedup import simhash_expr
+    from ..operators.text import tokens_expr
+
+    chunk_dir = _write_doc_chunks(sf_dir)
+    store = tempfile.mkdtemp(prefix="simhash_store_")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # expression-path SimHash: per-row, zero shuffle — the right
+        # streaming shape (each micro-batch is small; no global explode)
+        sig = batch_df.select(
+            "doc_id", simhash_expr(tokens_expr(F.col("text"))).alias("simhash")
+        ).persist()
+        bands = _simhash_band_keys(sig)
+        import glob as _glob
+
+        have_prior = bool(_glob.glob(os.path.join(store, "b*", "*.parquet")))
+        dup_ids = None
+        if have_prior:
+            prior = _simhash_band_keys(
+                s.read.parquet(os.path.join(store, "b*"))
+                .select("doc_id", "simhash")
+            ).select(
+                F.col("doc_id").alias("p_id"),
+                F.col("simhash").alias("p_sim"),
+                "band",
+                "key",
+            )
+            dup_ids = (
+                bands.join(prior, ["band", "key"])
+                .filter(
+                    F.bit_count(
+                        F.col("simhash").bitwiseXOR(F.col("p_sim"))
+                    )
+                    <= 3
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        intra = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+            )
+            .filter(
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= 3
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        dup_ids = intra if dup_ids is None else dup_ids.union(intra).distinct()
+        out = sig.join(dup_ids, "doc_id", "left_anti").withColumn(
+            "kept", F.lit(True)
+        ).unionByName(
+            sig.join(dup_ids, "doc_id", "left_semi").withColumn(
+                "kept", F.lit(False)
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(store, f"b{batch_id}")
+        )
+        sig.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_nd_")
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(store, "b*"))
+        .filter(F.col("kept"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
