@@ -1085,15 +1085,16 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .llm_ops import _simhash_sql_value as _sq_simhash_value
 
-_doc_chunk_cache: dict[str, str] = {}
+_doc_chunk_cache: dict[tuple, str] = {}
 
 
-def _write_doc_chunks(sf_dir: str) -> str:
-    """documents as 3 ordered doc_id-range chunk files (replay machinery,
-    same caveat as _write_chunks: at production scale the chunks already
-    exist as arriving crawl snapshots)."""
-    if sf_dir in _doc_chunk_cache and os.path.isdir(_doc_chunk_cache[sf_dir]):
-        return _doc_chunk_cache[sf_dir]
+def _write_doc_chunks(sf_dir: str, n_chunks: int = 3) -> str:
+    """documents as ``n_chunks`` ordered doc_id-range chunk files (replay
+    machinery, same caveat as _write_chunks: at production scale the
+    chunks already exist as arriving crawl snapshots)."""
+    key = (sf_dir, n_chunks)
+    if key in _doc_chunk_cache and os.path.isdir(_doc_chunk_cache[key]):
+        return _doc_chunk_cache[key]
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1101,19 +1102,16 @@ def _write_doc_chunks(sf_dir: str) -> str:
     ids = tbl["doc_id"]
     lo = pc.min(ids).as_py()
     hi = pc.max(ids).as_py()
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * (hi - lo) // 3
+    cuts = [lo - 1] + [
+        lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
+    ] + [hi]
     out_dir = tempfile.mkdtemp(prefix="docs_ordered_")
-    masks = [
-        pc.less_equal(ids, cut1),
-        pc.and_(pc.greater(ids, cut1), pc.less_equal(ids, cut2)),
-        pc.greater(ids, cut2),
-    ]
-    for i, m in enumerate(masks):
+    for i in range(n_chunks):
+        m = pc.and_(pc.greater(ids, cuts[i]), pc.less_equal(ids, cuts[i + 1]))
         path = os.path.join(out_dir, f"c{i}.parquet")
         pq.write_table(tbl.filter(m).sort_by("doc_id"), path)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    _doc_chunk_cache[sf_dir] = out_dir
+    _doc_chunk_cache[key] = out_dir
     return out_dir
 
 
@@ -1159,7 +1157,9 @@ def _simhash_band_keys(sig: DataFrame) -> DataFrame:
     """,
     tags=("streaming", "dedup"),
 )
-def b24_stream_neardup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b24_stream_neardup_history(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
     """Streaming NEAR-dup suppression against corpus history: documents
     arrive as ordered crawl-snapshot chunks; each micro-batch computes
     SimHash signatures, suppresses docs with a Hamming<=3 prior (in the
@@ -1178,7 +1178,7 @@ def b24_stream_neardup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_expr
     from ..operators.text import tokens_expr
 
-    chunk_dir = _write_doc_chunks(sf_dir)
+    chunk_dir = _write_doc_chunks(sf_dir, n_chunks)
     store = tempfile.mkdtemp(prefix="simhash_store_")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (

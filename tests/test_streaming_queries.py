@@ -140,3 +140,23 @@ def test_ts_helpers_adapt_to_both_physical_types(spark, tmp_path):
         out[name] = [(r["m"], r["et_secs"]) for r in got]
     assert out["long"] == out["us"]
     assert [m for m, _ in out["long"]] == micros
+
+
+def test_neardup_history_is_chunking_independent(spark, sf_dir):
+    """The streaming near-dup suppressor must produce the batch rule's
+    exact output no matter how arrival chunks the corpus (pigeonhole
+    banding + ordered doc_id ranges): 1 chunk (everything intra-batch)
+    and 4 chunks (history-store path exercised) must agree."""
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        b24_stream_neardup_history,
+    )
+
+    one = {
+        (r.doc_id, r.simhash)
+        for r in b24_stream_neardup_history(spark, sf_dir, n_chunks=1).collect()
+    }
+    four = {
+        (r.doc_id, r.simhash)
+        for r in b24_stream_neardup_history(spark, sf_dir, n_chunks=4).collect()
+    }
+    assert one == four and len(one) > 0
