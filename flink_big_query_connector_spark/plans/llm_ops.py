@@ -1892,3 +1892,112 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))).alias("epoch"),
         )
     )
+
+
+_SQL_BIGRAM_CTES = f"""
+    dtoks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    dbg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> [toks[i], toks[i + 1]])) AS pair
+      FROM dtoks WHERE len(toks) >= 2),
+    dpairs AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM dbg),
+    bcounts AS (SELECT w1, w2, COUNT(*) AS n FROM dpairs GROUP BY 1, 2),
+    btot AS (SELECT w1, SUM(n) AS total FROM bcounts GROUP BY w1)
+"""
+
+
+@register(
+    "llm_text_logprob",
+    oracle=f"""
+        WITH {_SQL_BIGRAM_CTES},
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(ROUND(ln(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)),
+                            9) AS DECIMAL(20,9)) AS lp
+          FROM dpairs p
+          JOIN bcounts c ON p.w1 = c.w1 AND p.w2 = c.w2
+          JOIN btot t ON p.w1 = t.w1),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(lp) AS DOUBLE) AS sum_lp
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               ROUND(COALESCE(sum_lp, 0.0), 6) AS sum_logprob,
+               ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                          THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+                   AS avg_logprob
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "lm"),
+)
+def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean bigram
+    log-probability under the CORPUS bigram LM (self-scored, so every
+    bigram has nonzero count — no smoothing needed, fully deterministic).
+
+    Order-free exactness: each bigram's ln(p) rounds to 9dp and sums in
+    the DECIMAL domain (float addition is order-dependent across
+    partitions; decimal addition is not), then converts to double once.
+    Scale shape: doc bigrams join the corpus LM table on (w1, w2) — one
+    corpus-linear shuffle each side, the standard LM-scoring join; the
+    per-doc rollup combines map-side."""
+    from pyspark.sql.types import DecimalType
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    dpairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("pair"),
+    ).select("doc_id", "pair.w1", "pair.w2")
+    counts = dpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
+    lp = F.round(
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")), 9
+    ).cast(DecimalType(20, 9))
+    per = (
+        dpairs.join(counts, ["w1", "w2"])
+        .join(tot, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_lp"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.round(F.coalesce(F.col("sum_lp"), F.lit(0.0)), 6).alias(
+                "sum_logprob"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                    F.col("sum_lp") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
