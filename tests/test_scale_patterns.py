@@ -271,3 +271,15 @@ def test_span_dedup_shuffles_hashes_not_text(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         key = frag.split(")")[0]
         assert "span" not in key
+
+
+def test_vocab_topk_is_take_ordered_not_global_window(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (partial
+    per-partition top-k merged on the driver), never a single-partition
+    global sort or window."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_vocab_coverage"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
