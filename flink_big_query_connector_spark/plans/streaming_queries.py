@@ -1265,3 +1265,133 @@ def b24_stream_neardup_history(
         .select("doc_id", "simhash")
         .orderBy("doc_id")
     )
+
+
+_emb_chunk_cache: dict[tuple, str] = {}
+
+
+def _write_emb_chunks(sf_dir: str, n_chunks: int = 3) -> str:
+    """embeddings as ordered vec_id-range chunk files (replay machinery)."""
+    key = (sf_dir, n_chunks)
+    if key in _emb_chunk_cache and os.path.isdir(_emb_chunk_cache[key]):
+        return _emb_chunk_cache[key]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl["vec_id"]
+    lo = pc.min(ids).as_py()
+    hi = pc.max(ids).as_py()
+    cuts = [lo - 1] + [
+        lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
+    ] + [hi]
+    out_dir = tempfile.mkdtemp(prefix="emb_ordered_")
+    for i in range(n_chunks):
+        m = pc.and_(pc.greater(ids, cuts[i]), pc.less_equal(ids, cuts[i + 1]))
+        path = os.path.join(out_dir, f"c{i}.parquet")
+        pq.write_table(tbl.filter(m).sort_by("vec_id"), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    _emb_chunk_cache[key] = out_dir
+    return out_dir
+
+
+@register(
+    "b28_stream_incremental_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+        scored AS (SELECT query_id, cand_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM q, c WHERE cand_id <> query_id),
+        ranked AS (SELECT query_id, cand_id, cos,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+                   FROM scored)
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    tags=("streaming", "similarity"),
+)
+def b28_stream_incremental_topk(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Incremental top-k similarity maintenance: the corpus arrives as
+    ordered chunks; each micro-batch scores the NEW chunk against the
+    static query set and merges its per-query top-k with the maintained
+    result set, re-ranking and truncating back to k.
+
+    Top-k is a monotone merge (top-k over a union == top-k over the union
+    of per-part top-k's), so the maintained state after the last chunk is
+    EXACTLY the batch answer over the whole corpus — the oracle is the
+    plain brute-force query.  Per batch the work is |queries| x |chunk|
+    and the state is |queries| x k rows; the corpus is never rescanned —
+    the incremental-view-maintenance shape for similarity serving."""
+    from ..operators.similarity import brute_force_topk
+
+    k = 5
+    chunk_dir = _write_emb_chunks(sf_dir, n_chunks)
+    store = tempfile.mkdtemp(prefix="topk_store_")
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        from pyspark.sql.window import Window as W
+
+        chunk_topk = brute_force_topk(
+            batch_df.select("vec_id", "embedding"),
+            "vec_id",
+            "embedding",
+            queries,
+            k,
+        ).select("query_id", "cand_id", "cos")
+        import glob as _glob
+
+        prior_files = _glob.glob(os.path.join(store, "b*", "*.parquet"))
+        merged = chunk_topk
+        if prior_files:
+            prior = s.read.parquet(os.path.join(store, "b*")).select(
+                "query_id", "cand_id", "cos"
+            )
+            merged = merged.unionByName(prior)
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id")
+        )
+        top = (
+            merged.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+        # per-batchId overwrite -> idempotent under replay; only the
+        # latest batch directory is the live state
+        top.write.mode("overwrite").parquet(os.path.join(store, f"b{batch_id}"))
+        for f in _glob.glob(os.path.join(store, "b*")):
+            if f != os.path.join(store, f"b{batch_id}"):
+                import shutil
+
+                shutil.rmtree(f, ignore_errors=True)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tk_")
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(store, "b*"))
+        .select("query_id", "cand_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
