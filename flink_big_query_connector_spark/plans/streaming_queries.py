@@ -1211,6 +1211,12 @@ def b24_stream_neardup_history(
             )
             dup_ids = (
                 bands.join(prior, ["band", "key"])
+                # p_id < doc_id, not just a hamming check: ordered chunks
+                # mean genuine priors always have smaller ids, and after a
+                # crash-replay the store already holds THIS batch's own
+                # signatures — without the guard every doc would match
+                # itself (hamming 0) and the whole batch would be dropped.
+                .filter(F.col("p_id") < F.col("doc_id"))
                 .filter(
                     F.bit_count(
                         F.col("simhash").bitwiseXOR(F.col("p_sim"))
@@ -1364,7 +1370,12 @@ def b28_stream_incremental_topk(
             prior = s.read.parquet(os.path.join(store, "b*")).select(
                 "query_id", "cand_id", "cos"
             )
-            merged = merged.unionByName(prior)
+            # dropDuplicates: after a crash-replay the store already holds
+            # this chunk's candidates; a plain union would rank the same
+            # candidate twice and evict a legitimate k-th result.
+            merged = merged.unionByName(prior).dropDuplicates(
+                ["query_id", "cand_id"]
+            )
         w = W.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("cand_id")
         )
