@@ -28,6 +28,7 @@ from ..cache import scoped_persist
 from ..functions.vectors import cosine_similarity_expr
 from .hashing import (
     MINHASH_SEEDS,
+    SIMHASH_BANDS,
     N_BANDS,
     P,
     SIMHASH_BITS,
@@ -386,6 +387,22 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return votes.select(F.col(id_col), value.alias("simhash"))
 
 
+def simhash_band_entries(sh: Column) -> Column:
+    """Array of (band, key) structs for the exact 4x8-bit SimHash banding
+    — THE single definition of the band layout; the batch pair join and
+    the streaming near-dup suppressor both explode this, so a layout
+    change cannot silently diverge between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(sh, 8 * j).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
@@ -395,19 +412,7 @@ def simhash_pairs(
     bands = sh.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * j)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(simhash_band_entries(F.col("simhash"))).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -10,12 +10,13 @@ inline bytes unless it must.  Two representations:
   metadata and defers byte access to ``mapInPandas`` stages that fetch
   lazily per batch.
 
-Decode/resize/frame-sample are Arrow-batched ``mapInPandas`` stages.  The
-actual codecs are STUBBED (no image/audio libraries in this environment):
-``decode_image`` raises NotImplementedError by design, while
-``fake_feature_extract`` computes a deterministic hash-derived feature
-vector so the Spark-side plumbing (schema, batching, partitioning) is real
-and testable end-to-end.
+Decode/resize/frame-sample are Arrow-batched ``mapInPandas`` stages.
+``decode_image`` attempts a lazy PIL import inside the batch function on
+each executor — real decode the moment Pillow is installed, the
+documented NotImplementedError otherwise (this container has no imaging
+libraries).  ``fake_feature_extract``/``fake_resize`` compute
+deterministic hash-derived outputs so the Spark-side plumbing (schema,
+batching, partitioning) is real and testable end-to-end either way.
 """
 
 from __future__ import annotations

@@ -99,13 +99,24 @@ def _plane_projection(vec, plane: int):
 
 
 def rp_signature_expr(vec):
-    """NUM_PLANES-bit sign signature."""
+    """NUM_PLANES-bit sign signature.
+
+    Hard-fails on vectors wider than MAX_DIM: beyond the weight table,
+    zip_with would null-pad, every projection would go NULL, and all
+    vectors would silently collapse into bucket 0 (degenerating the
+    bucketed join to quadratic).  raise_error surfaces that instead.
+    """
     sig = F.lit(0).cast("long")
     for p in range(NUM_PLANES):
         sig = sig + F.when(
             _plane_projection(vec, p) > 0, F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return sig
+    return F.when(
+        F.size(vec) > MAX_DIM,
+        F.raise_error(
+            F.lit(f"rp_signature_expr: vector dim exceeds MAX_DIM={MAX_DIM}")
+        ).cast("long"),
+    ).otherwise(sig)
 
 
 def sql_rp_bucket(vec_expr: str, dim: int) -> str:

@@ -31,6 +31,12 @@ from .registry import register
 _SQL_TOKS = "regexp_extract_all(text, '\\S+')"
 _SQL_H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
+# testdata embedding dimensionality — a DATA constant like the chunk-date
+# boundaries in streaming_queries.py: the Spark side adapts via
+# F.size(vec), but DuckDB list comprehensions need the literal width.  If
+# the testdata generator changes dim, this single constant follows.
+_EMB_DIM = 64
+
 _SQL_DOCS = f"SELECT doc_id, {_SQL_TOKS} AS toks FROM documents"
 
 _SQL_SHINGLES = f"""
@@ -253,7 +259,7 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ann_lsh_bucketed",
     oracle=f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                          {similarity.sql_rp_bucket('embedding::DOUBLE[]', 64)}
+                          {similarity.sql_rp_bucket('embedding::DOUBLE[]', _EMB_DIM)}
                               AS bucket
                    FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv, bucket
@@ -1472,7 +1478,7 @@ def llm_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B28+ — quantized & filtered similarity search (round 4)
 # ---------------------------------------------------------------------------
 
-_SQL_SQ8_CTES = """
+_SQL_SQ8_CTES = f"""
     stats AS (
         SELECT dim, MIN(x) AS mn, MAX(x) AS mx
         FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
@@ -1484,7 +1490,7 @@ _SQL_SQ8_CTES = """
         FROM stats),
     quant AS (
         SELECT vec_id,
-               list_transform(range(1, 65), i ->
+               list_transform(range(1, {_EMB_DIM + 1}), i ->
                    CASE WHEN mxs[i] = mns[i] THEN 0
                         ELSE CAST(least(255, greatest(0,
                              floor((embedding[i]::DOUBLE - mns[i]) * 255.0
@@ -1500,7 +1506,7 @@ _SQL_SQ8_CTES = """
         q AS (SELECT vec_id AS query_id, qv AS qq FROM quant WHERE vec_id < 20),
         c AS (SELECT vec_id AS cand_id, qv AS cq FROM quant),
         scored AS (SELECT query_id, cand_id,
-                          CAST(list_sum(list_transform(range(1, 65), i ->
+                          CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}), i ->
                                CAST((qq[i] - cq[i]) * (qq[i] - cq[i])
                                     AS BIGINT))) AS BIGINT) AS qdist
                    FROM q, c WHERE cand_id <> query_id),
@@ -1777,9 +1783,15 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup local to the explode.  The top-k itself is orderBy+limit —
     Spark plans that as TakeOrderedAndProject (per-partition partial
     top-k, merge on the driver), never a single-partition global window."""
+    from ..cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
-    tok = t["documents"].select(
-        "doc_id", F.explode(text.tokens_expr(F.col("text"))).alias("term")
+    # two consumers (vocab aggregate + per-doc rollup): persist the explode
+    # so the corpus is tokenized once
+    tok = scoped_persist(
+        t["documents"].select(
+            "doc_id", F.explode(text.tokens_expr(F.col("text"))).alias("term")
+        )
     )
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (

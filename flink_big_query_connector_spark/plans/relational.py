@@ -1956,11 +1956,20 @@ def b01_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             w = docs.write.format(fmt).mode("overwrite")
             if fmt == "csv":
-                w = w.option("header", "true")
+                w = w.option("header", "true").option("escape", '"')
             w.save(path)
             r = spark.read.format(fmt)
             if fmt == "csv":
-                r = r.option("header", "true").schema(schema)
+                # multiLine + explicit escape so quoted embedded newlines
+                # round-trip (multiLine makes CSV files unsplittable — at
+                # 100 TB prefer a structured codec; CSV here is fidelity
+                # coverage, not the scale path)
+                r = (
+                    r.option("header", "true")
+                    .option("multiLine", "true")
+                    .option("escape", '"')
+                    .schema(schema)
+                )
             elif fmt == "json":
                 r = r.schema(schema)
             back = r.load(path)

@@ -1085,55 +1085,47 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .llm_ops import _simhash_sql_value as _sq_simhash_value
 
-_doc_chunk_cache: dict[tuple, str] = {}
+_ordered_chunk_cache: dict[tuple, str] = {}
 
 
-def _write_doc_chunks(sf_dir: str, n_chunks: int = 3) -> str:
-    """documents as ``n_chunks`` ordered doc_id-range chunk files (replay
+def _write_ordered_chunks(
+    sf_dir: str, table: str, id_col: str, n_chunks: int = 3
+) -> str:
+    """A table as ``n_chunks`` ordered id-range chunk files (replay
     machinery, same caveat as _write_chunks: at production scale the
-    chunks already exist as arriving crawl snapshots)."""
-    key = (sf_dir, n_chunks)
-    if key in _doc_chunk_cache and os.path.isdir(_doc_chunk_cache[key]):
-        return _doc_chunk_cache[key]
+    chunks already exist as arriving snapshots)."""
+    key = (sf_dir, table, n_chunks)
+    if key in _ordered_chunk_cache and os.path.isdir(_ordered_chunk_cache[key]):
+        return _ordered_chunk_cache[key]
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
-    ids = tbl["doc_id"]
+    tbl = pq.read_table(f"{sf_dir}/{table}.parquet")
+    ids = tbl[id_col]
     lo = pc.min(ids).as_py()
     hi = pc.max(ids).as_py()
     cuts = [lo - 1] + [
         lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
     ] + [hi]
-    out_dir = tempfile.mkdtemp(prefix="docs_ordered_")
+    out_dir = tempfile.mkdtemp(prefix=f"{table}_ordered_")
     for i in range(n_chunks):
         m = pc.and_(pc.greater(ids, cuts[i]), pc.less_equal(ids, cuts[i + 1]))
         path = os.path.join(out_dir, f"c{i}.parquet")
-        pq.write_table(tbl.filter(m).sort_by("doc_id"), path)
+        pq.write_table(tbl.filter(m).sort_by(id_col), path)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    _doc_chunk_cache[key] = out_dir
+    _ordered_chunk_cache[key] = out_dir
     return out_dir
 
 
 def _simhash_band_keys(sig: DataFrame) -> DataFrame:
-    """(doc_id, simhash, band, key) — the exact 4x8-bit banding from
-    operators/dedup.py::simhash_pairs."""
+    """(doc_id, simhash, band, key) via the shared band layout in
+    operators/dedup.py::simhash_band_entries."""
+    from ..operators.dedup import simhash_band_entries
+
     return sig.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * j)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(simhash_band_entries(F.col("simhash"))).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
 
 
@@ -1178,7 +1170,7 @@ def b24_stream_neardup_history(
     from ..operators.dedup import simhash_expr
     from ..operators.text import tokens_expr
 
-    chunk_dir = _write_doc_chunks(sf_dir, n_chunks)
+    chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
     store = tempfile.mkdtemp(prefix="simhash_store_")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -1197,12 +1189,22 @@ def b24_stream_neardup_history(
         bands = _simhash_band_keys(sig)
         import glob as _glob
 
-        have_prior = bool(_glob.glob(os.path.join(store, "b*", "*.parquet")))
+        # Enumerate ONLY prior-batch directories: on a crash-replay the
+        # store already holds store/b{batch_id} from the failed attempt,
+        # and overwriting a directory a lazy plan is also reading deletes
+        # its part files mid-job.  Excluding the current batch's dir makes
+        # `prior` genuinely prior AND keeps the overwrite target disjoint
+        # from every read path.
+        prior_dirs = [
+            d
+            for d in _glob.glob(os.path.join(store, "b*"))
+            if os.path.basename(d) != f"b{batch_id}"
+            and _glob.glob(os.path.join(d, "*.parquet"))
+        ]
         dup_ids = None
-        if have_prior:
+        if prior_dirs:
             prior = _simhash_band_keys(
-                s.read.parquet(os.path.join(store, "b*"))
-                .select("doc_id", "simhash")
+                s.read.parquet(*prior_dirs).select("doc_id", "simhash")
             ).select(
                 F.col("doc_id").alias("p_id"),
                 F.col("simhash").alias("p_sim"),
@@ -1273,34 +1275,6 @@ def b24_stream_neardup_history(
     )
 
 
-_emb_chunk_cache: dict[tuple, str] = {}
-
-
-def _write_emb_chunks(sf_dir: str, n_chunks: int = 3) -> str:
-    """embeddings as ordered vec_id-range chunk files (replay machinery)."""
-    key = (sf_dir, n_chunks)
-    if key in _emb_chunk_cache and os.path.isdir(_emb_chunk_cache[key]):
-        return _emb_chunk_cache[key]
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = tbl["vec_id"]
-    lo = pc.min(ids).as_py()
-    hi = pc.max(ids).as_py()
-    cuts = [lo - 1] + [
-        lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
-    ] + [hi]
-    out_dir = tempfile.mkdtemp(prefix="emb_ordered_")
-    for i in range(n_chunks):
-        m = pc.and_(pc.greater(ids, cuts[i]), pc.less_equal(ids, cuts[i + 1]))
-        path = os.path.join(out_dir, f"c{i}.parquet")
-        pq.write_table(tbl.filter(m).sort_by("vec_id"), path)
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    _emb_chunk_cache[key] = out_dir
-    return out_dir
-
-
 @register(
     "b28_stream_incremental_topk",
     oracle="""
@@ -1337,7 +1311,7 @@ def b28_stream_incremental_topk(
     from ..operators.similarity import brute_force_topk
 
     k = 5
-    chunk_dir = _write_emb_chunks(sf_dir, n_chunks)
+    chunk_dir = _write_ordered_chunks(sf_dir, "embeddings", "vec_id", n_chunks)
     store = tempfile.mkdtemp(prefix="topk_store_")
     emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     queries = (
@@ -1364,10 +1338,17 @@ def b28_stream_incremental_topk(
         ).select("query_id", "cand_id", "cos")
         import glob as _glob
 
-        prior_files = _glob.glob(os.path.join(store, "b*", "*.parquet"))
+        # exclude this batch's own dir: a crash-replay would otherwise
+        # lazily read store/b{batch_id} and then overwrite it mid-plan
+        prior_dirs = [
+            d
+            for d in _glob.glob(os.path.join(store, "b*"))
+            if os.path.basename(d) != f"b{batch_id}"
+            and _glob.glob(os.path.join(d, "*.parquet"))
+        ]
         merged = chunk_topk
-        if prior_files:
-            prior = s.read.parquet(os.path.join(store, "b*")).select(
+        if prior_dirs:
+            prior = s.read.parquet(*prior_dirs).select(
                 "query_id", "cand_id", "cos"
             )
             # dropDuplicates: after a crash-replay the store already holds
@@ -1383,14 +1364,14 @@ def b28_stream_incremental_topk(
             merged.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
         )
-        # per-batchId overwrite -> idempotent under replay; only the
-        # latest batch directory is the live state
+        # per-batchId overwrite -> idempotent under replay.  Older batch
+        # directories are kept, NOT deleted: if a failed attempt had
+        # already removed them, its replay (which excludes b{batch_id}
+        # from `prior_dirs`) would find no prior state and silently
+        # restart the top-k from this chunk alone.  The live state is the
+        # highest-numbered directory; stale ones cost k rows per query
+        # per batch.
         top.write.mode("overwrite").parquet(os.path.join(store, f"b{batch_id}"))
-        for f in _glob.glob(os.path.join(store, "b*")):
-            if f != os.path.join(store, f"b{batch_id}"):
-                import shutil
-
-                shutil.rmtree(f, ignore_errors=True)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_tk_")
     with _stream_partitions(spark):
@@ -1401,8 +1382,14 @@ def b28_stream_incremental_topk(
             .start()
         )
         q.awaitTermination()
+    import glob as _glob
+
+    final = max(
+        _glob.glob(os.path.join(store, "b*")),
+        key=lambda d: int(os.path.basename(d)[1:]),
+    )
     return (
-        spark.read.parquet(os.path.join(store, "b*"))
+        spark.read.parquet(final)
         .select("query_id", "cand_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )

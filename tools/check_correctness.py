@@ -80,11 +80,14 @@ def main():
             sdf = qd.fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            release_caches(spark)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # in finally: a throwing query must not leak its scoped
+            # persists into every subsequent query's timing/memory
+            release_caches(spark)
         if qd.oracle is None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
