@@ -526,3 +526,69 @@ def test_mix_to_token_budget_matches_naive_window(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mix_epochs_copy_counts(spark, sf_dir):
+    from flink_big_query_connector_spark.operators.hashing import hash60_expr
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _EPOCH_WEIGHTS,
+        llm_mix_epochs,
+    )
+
+    out = llm_mix_epochs(spark, sf_dir)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        (
+            hash60_expr(
+                F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))
+            )
+            % F.lit(100)
+        ).alias("bucket"),
+    )
+    for d in docs.collect():
+        w = _EPOCH_WEIGHTS.get(d.source, 1.0)
+        expect = int(w) + (1 if d.bucket < round((w - int(w)) * 100) else 0)
+        got = sorted(per_doc.get((d.doc_id, d.source), []))
+        assert got == list(range(1, expect + 1)), (d.doc_id, d.source, w)
+
+
+def test_logprob_matches_hand_computation(spark):
+    import math
+
+    from flink_big_query_connector_spark.plans import REGISTRY  # noqa: F401
+    from flink_big_query_connector_spark.operators import text  # noqa: F401
+
+    # corpus: "a b a b" and "a c"; bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3
+    rows = [(0, "a b a b"), (1, "a c"), (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.createOrReplaceTempView("tmp_docs_logprob")
+    # reuse the registered query's logic by pointing it at a temp dir is
+    # heavy; instead compute via the operator-level pieces mirrored here
+    from flink_big_query_connector_spark.plans.llm_ops import llm_text_logprob
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    # load_tables opens every table eagerly: symlink the real tiny sf dir
+    # and swap in the hand-built documents table
+    for name in os.listdir("/root/testdata/sf0.001"):
+        if name != "documents.parquet":
+            os.symlink(
+                os.path.join("/root/testdata/sf0.001", name),
+                os.path.join(d, name),
+            )
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in llm_text_logprob(spark, d).collect()}
+    lp_ab = round(math.log(2 / 3), 9)
+    lp_ba = round(math.log(1.0), 9)
+    lp_ac = round(math.log(1 / 3), 9)
+    assert out[0].n_bigrams == 3
+    assert out[0].sum_logprob == round(lp_ab * 2 + lp_ba, 6)
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logprob == round(lp_ac, 6)
+    assert out[2].n_bigrams == 0 and out[2].avg_logprob == 0.0
