@@ -2013,3 +2013,63 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_CLUSTER_QUOTA = 12
+
+
+@register(
+    "llm_sample_cluster_balanced",
+    oracle=f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT e.vec_id,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        ),
+        ranked AS (
+          SELECT vec_id, cell,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                      ORDER BY {_SQL_H60.format(
+                          x="'cb1:' || CAST(vec_id AS VARCHAR)")},
+                               vec_id) AS BIGINT) AS rn
+          FROM assigned)
+        SELECT vec_id, cell, rn FROM ranked WHERE rn <= {_CLUSTER_QUOTA}
+    """,
+    tags=("sampling", "similarity"),
+)
+def llm_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: embeddings cluster into the 16
+    deterministic IVF cells, then each cell contributes at most a fixed
+    quota of vectors chosen by salted hash order — the cluster-balanced
+    sampling step that keeps a training subsample from collapsing onto
+    the dominant modes.  Per-cell quota selection is a bounded window
+    (partitions = cells, rows ranked by a content-independent hash), and
+    the same two-level prefix trick as mix_to_token_budget applies when a
+    single cell dominates at scale.  Deterministic centroids make the
+    whole pipeline hash-exact against the oracle; a production deployment
+    swaps in kmeans_centroids without changing the plan shape."""
+    from pyspark.sql.window import Window
+
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    cells = similarity.ivf_cells(t["embeddings"], "vec_id", "embedding")
+    w = Window.partitionBy("cell").orderBy(
+        hash60_expr(
+            F.concat(F.lit("cb1:"), F.col("vec_id").cast("string"))
+        ),
+        "vec_id",
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CLUSTER_QUOTA)
+    )
