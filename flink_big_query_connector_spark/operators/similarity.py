@@ -464,3 +464,57 @@ def filtered_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into coarse cells, compute
+    pairwise cosine ONLY within each cell, and keep one representative
+    (lowest id) from every near-duplicate group.
+
+    This is the scale path for embedding dedup: the quadratic pair work is
+    confined to cells instead of the whole corpus — with k chosen so cells
+    hold ~sqrt(N) vectors the total pair count is ~N^1.5, not N^2, and each
+    cell's pairs compute independently (perfectly parallel, no cross-cell
+    traffic).  Only (id, vec, cell) crosses the one clustering shuffle; the
+    drop set that comes back is (id) alone.  At 100 TB the corpus is
+    written partitioned by cell, so the within-cell self-join is a
+    partition-local join with zero shuffle.
+
+    Deterministic first-N centroids (see :func:`ivf_cells`) make the whole
+    pipeline hash-exact against a SQL oracle; production swaps in
+    :func:`kmeans_centroids` with no plan-shape change.  Returns
+    (id, cell, kept) for every input vector.
+    """
+    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

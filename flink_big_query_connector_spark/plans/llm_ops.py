@@ -222,6 +222,45 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(t["embeddings"], "vec_id", "embedding", 0.4)
 
 
+@register(
+    "llm_dedup_semantic",
+    oracle="""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        )
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    tags=("dedup", "similarity"),
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup with the quadratic cosine work confined to
+    IVF cells — cluster, pairwise-within-cell, keep the lowest-id
+    representative of each near-dup group.  The embedding-crossJoin
+    baseline (``llm_dedup_embedding``) goes O(N^2) over the corpus; this
+    is the production path where pair work scales with cell size, not
+    corpus size.  Deterministic centroids make it hash-exact vs the
+    oracle."""
+    t = load_tables(spark, sf_dir)
+    return similarity.semantic_dedup(t["embeddings"], "vec_id", "embedding", 0.4)
+
+
 # ---------------------------------------------------------------------------
 # B28 — similarity search
 # ---------------------------------------------------------------------------

@@ -592,3 +592,32 @@ def test_logprob_matches_hand_computation(spark):
     assert out[1].n_bigrams == 1
     assert out[1].avg_logprob == round(lp_ac, 6)
     assert out[2].n_bigrams == 0 and out[2].avg_logprob == 0.0
+
+
+def test_semantic_dedup_keeps_lowest_id_within_cell(spark):
+    """SemDeDup semantics: near-identical vectors landing in the same cell
+    collapse to the lowest-id survivor; vectors in other cells are
+    untouched even when similar (the documented cell-boundary
+    approximation)."""
+    # 2-dim corpus.  Rows with id < 16 are the centroids (ivf_cells), so
+    # ids 0/2/4 anchor three clearly separated directions; the planted
+    # near-dups get ids >= 16 and snap to their anchor's cell.
+    rows = [
+        (0, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (4, [-1.0, 0.5]),     # lone direction
+        (20, [0.999, 0.01]),  # near-dup of 0 -> cell 0
+        (21, [0.01, 0.999]),  # near-dup of 2 -> cell 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: (r.cell, r.kept)
+        for r in similarity.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 5  # one row per input vector
+    # near-dups share their anchor's cell; the higher id is dropped.
+    assert out[0] == (0, True) and out[20] == (0, False)
+    assert out[2] == (2, True) and out[21] == (2, False)
+    assert out[4][1] is True
