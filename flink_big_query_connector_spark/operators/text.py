@@ -433,3 +433,50 @@ def pack_sequences_nextfit(
         return pdf[[id_col, "source", "n_tokens", "seq_index"]]
 
     return base.groupBy("source").applyInPandas(assign, out_schema)
+
+
+# -- hashed linear quality classifier ---------------------------------------
+
+CLASSIFIER_DIM = 64  # feature-hashing buckets
+
+
+def _classifier_weights(dim: int = CLASSIFIER_DIM) -> list[int]:
+    """Deterministic integer weight vector in [-1000, 1000] derived from
+    md5 of the bucket index — a stand-in for trained fastText-style
+    weights with the same shape and plumbing.  Integer domain keeps the
+    per-doc score an exact sum (no float-order hazard in either engine);
+    /1000 recovers the [-1, 1] float weight only at the final division."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for j in range(dim)
+    ]
+
+
+def classifier_score_expr(toks: Column) -> Column:
+    """Integer logit sum over hashed-token features: each token hashes to
+    one of CLASSIFIER_DIM buckets (feature hashing / the "hashing trick"),
+    and contributes that bucket's literal weight.  The model ships in the
+    plan as a CLASSIFIER_DIM-int literal array — no join, no shuffle, no
+    Python; per-row Catalyst fold like every other text score here."""
+    from .hashing import hash60_expr
+
+    w = F.array(*[F.lit(x) for x in _classifier_weights()])
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w, (hash60_expr(t) % F.lit(CLASSIFIER_DIM) + 1).cast("int")),
+    )
+
+
+def sql_classifier_score(toks_expr: str) -> str:
+    """DuckDB twin of :func:`classifier_score_expr` (same literal weights,
+    same md5-derived bucket ids, exact integer sum)."""
+    w = "[" + ",".join(str(x) for x in _classifier_weights()) + "]"
+    h = "(('0x'||substr(md5(t),1,15))::BIGINT % " + str(CLASSIFIER_DIM) + ")"
+    return (
+        f"CAST(coalesce(list_sum(list_transform({toks_expr}, "
+        f"t -> ({w})[{h} + 1])), 0) AS BIGINT)"
+    )

@@ -783,6 +783,50 @@ def llm_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_quality_classifier",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        scored AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 {text.sql_classifier_score("toks")} AS logit_sum
+          FROM d
+        )
+        SELECT doc_id, n_tokens, logit_sum,
+               round(CASE WHEN n_tokens > 0
+                          THEN logit_sum / (1000.0 * n_tokens)
+                          ELSE 0.0 END, 6) AS score,
+               (logit_sum > 0) AS keep
+        FROM scored
+    """,
+    tags=("text", "classifier"),
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality classifier: feature-hash every token into
+    CLASSIFIER_DIM buckets, score the doc with a literal integer weight
+    vector (the "model" ships in the plan — no join, no Python UDF), keep
+    docs with positive logit.  The integer logit sum is exact in both
+    engines; only the final mean-per-token division is float.  At 100 TB
+    this is a zero-shuffle map stage — exactly how model-based quality
+    filtering (DCLM/fastText) runs over a corpus."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    logit = text.classifier_score_expr(toks)
+    return t["documents"].select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        logit.alias("logit_sum"),
+        F.round(
+            F.when(n_tok > 0, logit / (F.lit(1000.0) * n_tok)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
+        (logit > 0).alias("keep"),
+    )
+
+
+@register(
     "llm_sample_stratified",
     oracle=f"""
         SELECT doc_id, lang

@@ -1344,6 +1344,68 @@ def b04_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b04_bucketed_join",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("join", "layout"),
+)
+def b04_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: both sides written bucketed on the join key
+    (8 buckets, sorted), then sort-merge-joined with NO Exchange on either
+    side — the zero-shuffle plan is pinned by
+    tests/test_scale_patterns.py::test_bucketed_join_has_no_shuffle.  At
+    100 TB this is the repeated-join discipline: pay the layout shuffle
+    once at write time, join shuffle-free forever after.  (The write goes
+    to a per-query temp path; production tables already live bucketed.)"""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="bucketed_join_")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{out}/orders")
+        .mode("overwrite")
+        .saveAsTable("bq_spark_orders_bucketed")
+    )
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .mode("overwrite")
+        .saveAsTable("bq_spark_lineitem_bucketed")
+    )
+    # merge hint keeps the small side out of a broadcast so the bucketed
+    # SMJ path (the one that matters at scale) is what actually runs.
+    j = (
+        spark.table("bq_spark_lineitem_bucketed")
+        .hint("merge")
+        .join(
+            spark.table("bq_spark_orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "b05_merge_upsert",
     oracle="""
         WITH changes AS (

@@ -621,3 +621,32 @@ def test_semantic_dedup_keeps_lowest_id_within_cell(spark):
     assert out[0] == (0, True) and out[20] == (0, False)
     assert out[2] == (2, True) and out[21] == (2, False)
     assert out[4][1] is True
+
+
+def test_classifier_score_matches_python_recomputation(spark):
+    """The hashed linear classifier's integer logit is exactly the
+    Python-side sum of md5-bucket weights over whitespace tokens."""
+    import hashlib
+
+    w = text._classifier_weights()
+
+    def py_logit(s):
+        tot = 0
+        for tok in s.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            tot += w[h % text.CLASSIFIER_DIM]
+        return tot
+
+    rows = [(0, "the quick brown fox"), (1, "spark"), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.logit
+        for r in df.select(
+            "doc_id",
+            text.classifier_score_expr(
+                text.tokens_expr(F.col("text"))
+            ).alias("logit"),
+        ).collect()
+    }
+    for doc_id, s in rows:
+        assert out[doc_id] == py_logit(s)
