@@ -617,3 +617,67 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL: rewrite every document
+    with the token positions covered by any cross-document duplicated
+    word k-gram deleted (Lee et al. 2021, arXiv:2107.06499 — the rewrite
+    step, not just the signal :func:`duplicated_span_stats` computes).
+
+    Semantics: a k-gram is duplicated when it occurs in >= 2 distinct
+    documents; every token covered by such a span is removed from ALL
+    documents carrying it.  (Symmetric removal is slightly more
+    aggressive than suffix-array ExactSubstr's keep-one-occurrence, but
+    it is deterministic, order-free, and engine-portable — the properties
+    a distributed rewrite needs.)
+
+    Scale shape: only (doc, pos, hash60) triples cross the shuffles —
+    span text never moves.  The covered-position set comes back as ONE
+    small int-array row per affected document (positions, not tokens), so
+    the rewrite itself is a per-row lambda over the original token array
+    with zero additional shuffle of text.
+    """
+    tok = scoped_persist(with_token_boundary(df, id_col, text_col))
+    sp = scoped_persist(
+        tok.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    spans_expr(F.col("toks"), k), lambda s: hash60_expr(s)
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = (
+        sp.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    cov = (
+        sp.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("tpos")).alias("cov"))
+    )
+    covc = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    return tok.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter(F.col("toks"), lambda t, i: ~F.array_contains(covc, i)),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1693,6 +1693,55 @@ def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_span_stats(t["documents"], "doc_id", "text", _SPAN_K)
 
 
+@register(
+    "llm_dedup_span_removal",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                      {_SQL_H60.format(x=("||' '||".join(
+                          f"toks[i+{j}]" if j else "toks[i]"
+                          for j in range(_SPAN_K))))} AS h
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - {_SPAN_K - 2})) AS i
+                     FROM toks)),
+        dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+                GROUP BY h HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, tpos
+                FROM (SELECT s.doc_id,
+                             unnest(range(s.pos, s.pos + {_SPAN_K})) AS tpos
+                      FROM sp s JOIN dup d USING (h))),
+        ncov AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+        tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) + 1)) AS i
+                     FROM toks)),
+        kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+                 WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                   WHERE c.doc_id = t.doc_id
+                                     AND c.tpos = t.p)),
+        clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+                  FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id,
+               CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM toks tk
+        LEFT JOIN ncov n USING (doc_id)
+        LEFT JOIN clean c USING (doc_id)
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span REMOVAL rewrite: documents come back with
+    every token covered by a cross-document duplicated word 8-gram
+    deleted (clean_text), plus removal counts.  Hashes and positions are
+    all that shuffle; the rewrite is a per-row token-array filter against
+    a small covered-position array — see
+    operators/dedup.py::remove_duplicated_spans for the scale notes."""
+    t = load_tables(spark, sf_dir)
+    return dedup.remove_duplicated_spans(t["documents"], "doc_id", "text", _SPAN_K)
+
+
 _MIX_BUDGET = 800
 
 

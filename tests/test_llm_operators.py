@@ -650,3 +650,30 @@ def test_classifier_score_matches_python_recomputation(spark):
     }
     for doc_id, s in rows:
         assert out[doc_id] == py_logit(s)
+
+
+def test_span_removal_deletes_shared_8gram(spark):
+    """Tokens covered by a cross-document duplicated 8-gram disappear
+    from BOTH documents; unique suffixes survive; short docs and unique
+    docs pass through untouched."""
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (0, shared + " alpha beta"),
+        (1, shared + " gamma delta"),
+        (2, "totally unique nine ten eleven twelve thirteen fourteen fifteen"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicated_spans(df, "doc_id", "text", 8).collect()
+    }
+    # docs 0/1 share exactly one 8-gram (the prefix); suffix spans differ
+    assert out[0].n_tokens == 10 and out[0].n_removed == 8
+    assert out[0].clean_text == "alpha beta"
+    assert out[1].clean_text == "gamma delta"
+    # unique doc: nothing removed, text round-trips (token-joined)
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == rows[2][1]
+    # shorter than k: no spans at all
+    assert out[3].n_removed == 0 and out[3].clean_text == "tiny doc"
