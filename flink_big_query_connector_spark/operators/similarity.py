@@ -518,3 +518,83 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def ivf_multiprobe_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with multi-probe: each query searches its ``nprobe``
+    nearest cells instead of one — the standard recall knob (FAISS
+    ``nprobe``) that recovers most cell-boundary misses of
+    :func:`ivf_probe_topk` for nprobe/n_cells of the cost of exact.
+
+    The probe list is computed per query from the same literal centroid
+    array (slice of the sorted (cos, id) struct array — still no
+    model join), then exploded to (query, cell) rows; candidates join on
+    cell exactly as single-probe.  A candidate lives in exactly one cell,
+    so the union of probed cells never duplicates candidates and the
+    final ranking needs no dedup.  Everything stays hash-exact for the
+    oracle: deterministic centroids, 6dp rounding, id tie-breaks.
+    """
+    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    v = F.col(vec_col)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            cosine_similarity_expr(
+                                v, F.array(*[F.lit(float(x)) for x in cvec])
+                            ),
+                            6,
+                        )
+                    ).alias("nc"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+    )
+    probes = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long")
+            )
+        ).alias("cell"),
+    )
+    c = cells.select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine_similarity_expr(F.col("qv"), F.col("cv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -555,6 +555,62 @@ def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_ann_ivf_multiprobe",
+    oracle="""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        ),
+        probes AS (
+          SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv,
+                 c.centroid_id AS cell
+          FROM embeddings q, cents c
+          WHERE q.vec_id < 20
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.cvec), 6) DESC,
+                       c.centroid_id) <= 2
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS cand_id,
+                 round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+          FROM probes p JOIN assigned a
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity",),
+)
+def llm_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (the FAISS recall knob): each query searches
+    its two nearest cells, recovering most single-probe cell-boundary
+    misses at 2/16 of the exact cost.  Probe lists come from the literal
+    centroid array per row — no model join; candidates join on cell as in
+    single-probe and never duplicate (a candidate lives in one cell)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.ivf_multiprobe_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10, 2
+    )
+
+
 # ---------------------------------------------------------------------------
 # B20 — Python UDF surface (scalar / grouped-agg / grouped-map / UDTF)
 # ---------------------------------------------------------------------------

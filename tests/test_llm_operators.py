@@ -677,3 +677,30 @@ def test_span_removal_deletes_shared_8gram(spark):
     assert out[2].clean_text == rows[2][1]
     # shorter than k: no spans at all
     assert out[3].n_removed == 0 and out[3].clean_text == "tiny doc"
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 candidate sets are supersets of nprobe=1 per query, so
+    recall vs the exact top-k can only improve; and every multiprobe
+    result at least matches single-probe's cosine at the same rank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", q, 10
+        ).collect()
+    }
+    single = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_probe_topk(
+            emb, "vec_id", "embedding", q, 10
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_multiprobe_topk(
+            emb, "vec_id", "embedding", q, 10, 2
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
