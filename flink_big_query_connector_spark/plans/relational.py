@@ -1984,6 +1984,70 @@ def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b10_snapshot_diff",
+    oracle="""
+        WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 17 <> 3
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE doc_id % 19 = 5
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    """,
+    tags=("diff", "cdc"),
+)
+def b10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every doc across two corpus versions
+    as added / removed / changed / unchanged.  Each side reduces to
+    (doc_id, content-md5) BEFORE the full outer join, so only 8-byte ids
+    and 32-char hashes cross the shuffle — never document text.  This is
+    the between-crawl-snapshots audit primitive; the "new" snapshot is
+    derived in-query (drop %17==3, edit %13==2, add %19==5) so the diff
+    is deterministic and oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 19 == 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+                ).alias("h"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+@register(
     "b01_source_formats",
     oracle="""
         SELECT fmt,
