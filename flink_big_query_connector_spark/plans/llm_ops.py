@@ -2261,3 +2261,57 @@ def llm_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _CLUSTER_QUOTA)
     )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "llm_corpus_shard",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                 ({_SQL_H60.format(x="'shard1:' || CAST(doc_id AS VARCHAR)")})
+                     % {_N_SHARDS} AS shard,
+                 {_SQL_H60.format(x="'pos1:' || CAST(doc_id AS VARCHAR)")}
+                     AS ord_key
+          FROM documents)
+        SELECT doc_id, shard, n_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+        FROM base
+    """,
+    tags=("sampling", "layout"),
+)
+def llm_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic shuffle + shard assignment — the last step of
+    training-data prep: every doc gets a shard (salted-hash mod N) and a
+    reproducible position inside it (rank by an independent salted hash).
+    Hash-derived order means no RNG state and bit-identical output on any
+    cluster size.  At 100 TB the write is
+    ``repartition(shard).sortWithinPartitions(ord_key)`` — the rank here
+    exists to pin the order for verification; the same two-level prefix
+    trick as mix_to_token_budget applies if per-shard dense positions are
+    really needed."""
+    from pyspark.sql.window import Window
+
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    base = t["documents"].select(
+        "doc_id",
+        F.size(text.tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
+        (hash60_expr(F.concat(F.lit("shard1:"), sid)) % _N_SHARDS).alias(
+            "shard"
+        ),
+        hash60_expr(F.concat(F.lit("pos1:"), sid)).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -234,6 +234,72 @@ def b07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b07_binned_range_join",
+    oracle="""
+        WITH bands AS (
+          SELECT CAST(i AS BIGINT) AS band_id,
+                 895 + i * 9 AS lo, 895 + i * 9 + 15 AS hi
+          FROM range(12) t(i)
+        )
+        SELECT band_id, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM bands b JOIN part p
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY band_id ORDER BY band_id
+    """,
+    tags=("join", "range"),
+)
+def b07_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi key) made scalable by bin replication:
+    each overlapping band replicates onto every width-10 bin it spans,
+    each point computes its bin, and the join becomes EQUI on the bin with
+    the exact range predicate as a cheap residual.  The naive form is a
+    BroadcastNestedLoopJoin that compares every point against every band
+    (the oracle's formulation); binning bounds the per-point comparisons
+    to the bands sharing its bin — the difference between O(P*B) and
+    O(P * bands-per-bin) at 100 TB.  Bands overlap on purpose so one
+    point can land in several bands."""
+    t = load_tables(spark, sf_dir)
+    bands = (
+        spark.range(12)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.lit(895) + F.col("id") * 9).alias("lo"),
+            (F.lit(895) + F.col("id") * 9 + 15).alias("hi"),
+        )
+        .select(
+            "band_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / 10).cast("int"),
+                    F.floor((F.col("hi") - 1) / 10).cast("int"),
+                )
+            ).alias("bin"),
+        )
+    )
+    pts = t["part"].select(
+        "p_retailprice",
+        F.floor(F.col("p_retailprice") / 10).cast("int").alias("bin"),
+    )
+    return (
+        pts.join(F.broadcast(bands), "bin")
+        .filter(
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi"))
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("p_retailprice", 12, 2))).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B8 — hash aggregation: TPC-H Q1 pricing summary
 # ---------------------------------------------------------------------------
