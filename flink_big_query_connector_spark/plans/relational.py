@@ -2050,6 +2050,75 @@ def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b15_gap_fill_locf",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,4))) AS v
+          FROM events WHERE user_id < 20
+          GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                   FROM daily GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+                  FROM bounds),
+        j AS (SELECT s.user_id, s.day, d.n, d.v
+              FROM spine s LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               CAST(last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS locf_value,
+               (n IS NULL) AS was_gap
+        FROM j
+    """,
+    tags=("datetime", "timeseries"),
+)
+def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward (the
+    hypertable ``locf``/``time_bucket_gapfill`` idiom): build each user's
+    dense daily spine with a generate-side sequence explode (no shuffle to
+    create the missing rows), left-join the real daily aggregates, and
+    carry the last non-null value forward with an IGNORE NULLS window.
+    Aggregates are decimal-domain so the carried values are order-free
+    exact.  Per-user windows are bounded by that user's day span — no
+    global single-partition window anywhere."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 20)
+    day = F.date_trunc("day", ts_event_time(t["events"]))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec("value", 14, 4)).alias("v")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+@register(
     "b10_snapshot_diff",
     oracle="""
         WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
