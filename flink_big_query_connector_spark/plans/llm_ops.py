@@ -2315,3 +2315,79 @@ def llm_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "llm_text_novelty",
+    oracle=f"""
+        WITH sh AS ({_SQL_SHINGLES}),
+        ex AS (SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+        per AS (SELECT e.doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN f.first_doc < e.doc_id
+                                THEN 1 ELSE 0 END) AS n_seen
+                FROM ex e JOIN firsts f USING (h) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen,
+               round(CASE WHEN COALESCE(n_grams, 0) > 0
+                          THEN 1.0 - CAST(n_seen AS DOUBLE)
+                                     / CAST(n_grams AS DOUBLE)
+                          ELSE 1.0 END, 6) AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def llm_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per doc, the fraction of its distinct word
+    3-grams NEVER seen in any lower-id document — the diminishing-returns
+    signal that tells a data pipeline when additional crawl is mostly
+    redundant.  First-occurrence attribution is a MIN(doc_id) aggregate
+    per gram hash (order-free, no sequential scan), and only 60-bit
+    hashes cross the two shuffles.  Empty/short docs get novelty 1.0."""
+    from ..cache import scoped_persist
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    tok = dedup.with_shingles(t["documents"].select("doc_id", "text"))
+    ex = scoped_persist(
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col("shingles"), lambda s: hash60_expr(s))
+                )
+            ).alias("h"),
+        )
+    )
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.lit(1.0)
+                    - F.col("n_seen").cast("double")
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -2050,6 +2050,47 @@ def b10_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b01_compaction",
+    oracle="""
+        SELECT CAST(64 AS BIGINT) AS files_before,
+               CAST(4 AS BIGINT) AS files_after,
+               (SELECT COUNT(*) FROM events) AS n_rows,
+               (SELECT CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+                FROM events) AS total_value
+    """,
+    tags=("scan", "layout", "maintenance"),
+)
+def b01_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (the OPTIMIZE/maintenance primitive): a
+    64-small-file table is rewritten into 4 right-sized files with one
+    repartition, and the content round-trips exactly (row count + decimal
+    value sum proven against the source table).  Small files are the #1
+    silent killer of 100 TB scans — per-file open/footer costs and
+    task-scheduling overhead dominate once files drop below ~100 MB; a
+    production compactor picks the target count from bytes/file instead
+    of a literal 4, with identical plan shape."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="compaction_")
+    t["events"].repartition(64).write.mode("overwrite").parquet(f"{out}/small")
+    small = spark.read.parquet(f"{out}/small")
+    files_before = len(small.inputFiles())
+    small.repartition(4).write.mode("overwrite").parquet(f"{out}/compact")
+    compact = spark.read.parquet(f"{out}/compact")
+    files_after = len(compact.inputFiles())
+    return compact.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+    ).select(
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        "n_rows",
+        "total_value",
+    )
+
+
+@register(
     "b15_gap_fill_locf",
     oracle="""
         WITH daily AS (
