@@ -2391,3 +2391,51 @@ def llm_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "llm_mix_temperature",
+    oracle=f"""
+        WITH c AS (SELECT source, COUNT(*) AS n_src
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, c.n_src
+        FROM documents d JOIN c USING (source)
+        WHERE ({_SQL_H60.format(x="'temp1:' || CAST(doc_id AS VARCHAR)")})
+                  % 1000000
+              < CAST(floor(1000000.0 * least(1.0,
+                    3.0 / sqrt(CAST(n_src AS DOUBLE)))) AS BIGINT)
+    """,
+    tags=("sampling",),
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style domain rebalancing: keep each doc with
+    probability min(1, 3/sqrt(n_source)) — dominant domains are
+    downsampled by the inverse square root of their size (the alpha=0.5
+    temperature-sampling idea from multilingual/multi-domain training
+    mixes), via a deterministic salted-hash Bernoulli, no RNG state.
+
+    The per-source keep threshold deliberately avoids any cross-source
+    float SUM (normalizing constants are where cross-engine float order
+    bites); sqrt and division are IEEE-correctly-rounded single ops, so
+    the floor()ed thresholds are bit-identical in both engines.  Source
+    counts are a tiny broadcast — the corpus itself never reshuffles."""
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thr = F.floor(
+        F.lit(1000000.0)
+        * F.least(
+            F.lit(1.0), F.lit(3.0) / F.sqrt(F.col("n_src").cast("double"))
+        )
+    ).cast("long")
+    bucket = hash60_expr(
+        F.concat(F.lit("temp1:"), F.col("doc_id").cast("string"))
+    ) % F.lit(1000000)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .filter(bucket < thr)
+        .select("doc_id", "source", "n_src")
+    )
