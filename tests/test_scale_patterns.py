@@ -283,3 +283,56 @@ def test_vocab_topk_is_take_ordered_not_global_window(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_classifier_is_single_stage_no_exchange(spark):
+    """The hashed linear classifier is a pure map stage: literal weight
+    array in the plan, no Exchange anywhere, no Python evaluation."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_quality_classifier"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF: Catalyst fold over the array
+
+
+def test_semantic_dedup_drop_set_shuffles_ids_only(spark):
+    """SemDeDup's drop-set aggregation exchanges only the vector id —
+    embeddings never cross the distinct/groupBy shuffles."""
+    from flink_big_query_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from flink_big_query_connector_spark.cache import release_caches
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, "vec_id", "embedding"))
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        key = frag.split(")")[0]
+        assert "embedding" not in key and " v#" not in key
+    release_caches(spark)
+
+
+def test_span_removal_no_text_in_exchange_keys(spark):
+    """Span removal joins/aggregates on hashes and positions; neither the
+    document text nor token strings are exchange keys."""
+    from flink_big_query_connector_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+    from flink_big_query_connector_spark.cache import release_caches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(remove_duplicated_spans(docs, "doc_id"))
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        key = frag.split(")")[0]
+        assert "text" not in key and "tok" not in key
+    release_caches(spark)
+
+
+def test_temperature_mix_broadcasts_source_counts(spark):
+    """Temperature rebalancing joins the per-source counts as a broadcast:
+    the corpus side never reshuffles."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_mix_temperature"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
