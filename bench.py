@@ -46,6 +46,11 @@ HEADLINE = [
     "llm_ann_topk",
     "llm_text_stats",
     "llm_text_fingerprint",
+    # round-4 additions (set grew 21 -> 24; round<=3 totals compare only
+    # on the original 21 keys)
+    "llm_dedup_semantic",
+    "llm_dedup_span_removal",
+    "llm_quality_classifier",
 ]
 
 
