@@ -669,15 +669,28 @@ def remove_duplicated_spans(
         )
         .distinct()
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("tpos")).alias("cov"))
+        .agg(F.collect_set("tpos").alias("cov"))  # order never observed
     )
     covc = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    # O(n_tokens + n_covered) rewrite: hash-based array_except of the
+    # position spine (kept positions come back in spine order), then one
+    # element_at per kept position — instead of an O(n x cov) per-token
+    # array_contains scan that stragglers a mostly-duplicated document.
+    # (sequence(0, -1) would DESCEND on an empty token array — guard it)
+    kept_pos = F.when(
+        F.size("toks") > 0,
+        F.array_except(F.sequence(F.lit(0), F.size("toks") - 1), covc),
+    ).otherwise(F.array().cast("array<int>"))
     return tok.join(cov, id_col, "left").select(
         F.col(id_col),
         F.size("toks").cast("long").alias("n_tokens"),
-        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        # F.size(covc) not F.size(cov): with ANSI off, size(null) is -1
+        # (legacy sizeOfNull), so the null-coalesce must happen inside.
+        F.size(covc).cast("long").alias("n_removed"),
         F.array_join(
-            F.filter(F.col("toks"), lambda t, i: ~F.array_contains(covc, i)),
+            F.transform(
+                kept_pos, lambda p: F.element_at(F.col("toks"), p + 1)
+            ),
             " ",
         ).alias("clean_text"),
     )

@@ -70,8 +70,14 @@ def band_key_expr(minhashes: list[Column], band: int) -> Column:
 # -- SQL fragments (DuckDB oracle) ------------------------------------------
 
 
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`hash60_expr` — the ONE definition of the
+    cross-engine 60-bit md5 identity (every oracle derives from it)."""
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
 def sql_hash_mod_p(expr: str) -> str:
-    return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
+    return f"({sql_hash60(expr)} % {P})"
 
 
 def sql_minhash_value(shingles_expr: str, a: int, b: int) -> str:

@@ -175,6 +175,21 @@ def rp_lsh_bucketed_topk(
 N_CENTROIDS = 16
 
 
+def fixed_centroids(
+    emb_df: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list]]:
+    """The deterministic first-N_CENTROIDS-by-id centroid set — the ONE
+    definition every IVF consumer (cell assignment, multi-probe lists)
+    shares, so centroid selection can never desynchronize between them.
+    The collect IS the model: N_CENTROIDS x dim floats."""
+    return sorted(
+        (r[0], list(r[1]))
+        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+
 def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Assign every vector to its nearest of N_CENTROIDS fixed centroids.
 
@@ -185,12 +200,7 @@ def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     to 6dp so the argmax is reproducible across engines, ties break to the
     lower centroid id.
     """
-    cents = sorted(
-        (r[0], list(r[1]))
-        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    cents = fixed_centroids(emb_df, id_col, vec_col)
     # Centroids inline as literals (the "model" is 16 x dim floats — ships
     # in the plan itself, no join): per row, one struct-array argmax picks
     # (max cos, then min id) without any shuffle or aggregation.
@@ -474,8 +484,18 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus into coarse cells, compute
-    pairwise cosine ONLY within each cell, and keep one representative
-    (lowest id) from every near-duplicate group.
+    pairwise cosine ONLY within each cell, and drop every vector that has
+    ANY lower-id near-duplicate in its cell.
+
+    Exact survival rule (order-free, one pass — deliberately NOT a
+    transitive-closure grouping): a vector is kept iff no lower-id
+    within-cell neighbor exceeds the threshold, whether or not that
+    neighbor itself survives.  On similarity chains (1~2, 2~3, 1!~3)
+    this drops BOTH 2 and 3 — more aggressive than keep-one-per-
+    connected-group, which is the standard trade of pairwise-rule dedup.
+    When true transitive groups are wanted, feed the within-cell pairs to
+    ``dedup.connected_components`` + ``dedup.survivors`` instead (the
+    minhash pipeline shows that composition).
 
     This is the scale path for embedding dedup: the quadratic pair work is
     confined to cells instead of the whole corpus — with k chosen so cells
@@ -541,13 +561,9 @@ def ivf_multiprobe_topk(
     final ranking needs no dedup.  Everything stays hash-exact for the
     oracle: deterministic centroids, 6dp rounding, id tie-breaks.
     """
-    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
-    cents = sorted(
-        (r[0], list(r[1]))
-        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    cents = fixed_centroids(emb_df, id_col, vec_col)
+    # one centroid collect shared by assignment AND probe lists
+    cells = scoped_persist(ivf_cells_with(emb_df, id_col, vec_col, cents))
     v = F.col(vec_col)
     ranked = F.array_sort(
         F.array(

@@ -474,8 +474,10 @@ def classifier_score_expr(toks: Column) -> Column:
 def sql_classifier_score(toks_expr: str) -> str:
     """DuckDB twin of :func:`classifier_score_expr` (same literal weights,
     same md5-derived bucket ids, exact integer sum)."""
+    from .hashing import sql_hash60
+
     w = "[" + ",".join(str(x) for x in _classifier_weights()) + "]"
-    h = "(('0x'||substr(md5(t),1,15))::BIGINT % " + str(CLASSIFIER_DIM) + ")"
+    h = f"({sql_hash60('t')} % {CLASSIFIER_DIM})"
     return (
         f"CAST(coalesce(list_sum(list_transform({toks_expr}, "
         f"t -> ({w})[{h} + 1])), 0) AS BIGINT)"

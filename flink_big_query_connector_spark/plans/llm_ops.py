@@ -251,7 +251,9 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic dedup with the quadratic cosine work confined to
-    IVF cells — cluster, pairwise-within-cell, keep the lowest-id
+    IVF cells — cluster, pairwise-within-cell, drop any vector with a
+    lower-id near-dup neighbor (pairwise rule, not transitive closure;
+    see operators/similarity.py::semantic_dedup), i.e. keep the lowest-id
     representative of each near-dup group.  The embedding-crossJoin
     baseline (``llm_dedup_embedding``) goes O(N^2) over the corpus; this
     is the production path where pair work scales with cell size, not
@@ -2350,13 +2352,19 @@ def llm_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hashing import hash60_expr
 
     t = load_tables(spark, sf_dir)
-    tok = dedup.with_shingles(t["documents"].select("doc_id", "text"))
+    # Token array behind an exchange: shingles_expr indexes it per
+    # element, and an inline tokens_expr would re-run the whole-document
+    # regexp per element_at (see with_token_boundary's docstring).
+    tok = dedup.with_token_boundary(t["documents"], "doc_id")
     ex = scoped_persist(
         tok.select(
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.transform(F.col("shingles"), lambda s: hash60_expr(s))
+                    F.transform(
+                        dedup.shingles_expr(F.col("toks")),
+                        lambda s: hash60_expr(s),
+                    )
                 )
             ).alias("h"),
         )

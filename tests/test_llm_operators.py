@@ -704,3 +704,6 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         ).collect()
     }
     assert len(multi & exact) >= len(single & exact)
+    from flink_big_query_connector_spark.cache import release_caches
+
+    release_caches(spark)  # both probe variants scoped_persist their cells
