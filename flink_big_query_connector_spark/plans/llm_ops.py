@@ -2447,3 +2447,121 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < thr)
         .select("doc_id", "source", "n_src")
     )
+
+
+_SEG_WINDOW = 64  # bytes per segment window
+_SEG_HOP = 32     # hop between window starts
+
+
+@register(
+    "llm_multimodal_segments",
+    oracle=f"""
+        WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_size
+                   FROM documents),
+        s AS (SELECT doc_id, byte_size,
+                     unnest(range(0, ((byte_size - 1) // {_SEG_HOP}) + 1))
+                         AS seg_idx
+              FROM m WHERE byte_size > 0)
+        SELECT doc_id, byte_size,
+               CAST(seg_idx AS BIGINT) AS seg_idx,
+               CAST(seg_idx * {_SEG_HOP} AS BIGINT) AS seg_offset,
+               least(CAST({_SEG_WINDOW} AS BIGINT),
+                     byte_size - seg_idx * {_SEG_HOP}) AS seg_length
+        FROM s
+    """,
+    tags=("multimodal",),
+)
+def llm_multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video-style fixed-window segmentation over OPAQUE payloads:
+    each blob becomes (seg_idx, seg_offset, seg_length) pointer rows with
+    a 64-byte window and 32-byte hop (the sliding-window shape of audio
+    chunking / video GOP sampling), computed purely from size metadata —
+    the blob bytes never move and never shuffle.  The generate-side
+    sequence explode adds no exchange; downstream decode stages read
+    (uri, offset, length) ranges, which is exactly how a 100 TB media
+    table avoids materializing payloads before the per-segment stage."""
+    t = load_tables(spark, sf_dir)
+    m = multimodal.attach_binary_payload(t["documents"], "text").select(
+        "doc_id", F.col("payload_meta.byte_size").alias("byte_size")
+    )
+    n_segs = ((F.col("byte_size") - 1) / _SEG_HOP).cast("long") + 1
+    segs = (
+        m.filter(F.col("byte_size") > 0)
+        .select(
+            "doc_id",
+            "byte_size",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias(
+                "seg_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "byte_size",
+            "seg_idx",
+            (F.col("seg_idx") * _SEG_HOP).alias("seg_offset"),
+            F.least(
+                F.lit(_SEG_WINDOW).cast("long"),
+                F.col("byte_size") - F.col("seg_idx") * _SEG_HOP,
+            ).alias("seg_length"),
+        )
+    )
+    return segs
+
+
+_LB_BUCKET = 16  # token-length bucket width
+_LB_BATCH = 8    # docs per batch
+
+
+@register(
+    "llm_batch_by_length",
+    oracle=f"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len({_SQL_TOKS}) AS BIGINT) AS n
+                   FROM documents),
+        r AS (SELECT doc_id, n, n // {_LB_BUCKET} AS bucket,
+                     ROW_NUMBER() OVER (PARTITION BY n // {_LB_BUCKET}
+                          ORDER BY n DESC, doc_id) AS rn
+              FROM d)
+        SELECT bucket, CAST((rn - 1) // {_LB_BATCH} AS BIGINT) AS batch_idx,
+               COUNT(*) AS n_docs, MAX(n) AS max_len,
+               CAST(SUM(n) AS BIGINT) AS sum_len,
+               CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding_waste
+        FROM r GROUP BY 1, 2
+    """,
+    tags=("sampling", "batching"),
+)
+def llm_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: docs group into width-16
+    token-length buckets, rank longest-first inside each bucket, and cut
+    fixed-size batches of 8 — the dynamic-batching layout that minimizes
+    padding waste (reported per batch as n_docs*max_len - sum_len).
+    Windows partition by the length bucket, never globally, so no task
+    ranks the whole corpus; at 100 TB the bucket column doubles as the
+    write-partition key and each bucket batches independently."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.size(text.tokens_expr(F.col("text"))).cast("long").alias("n"),
+    )
+    d = d.withColumn(
+        "bucket", F.floor(F.col("n") / _LB_BUCKET).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("n").desc(), "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.withColumn(
+            "batch_idx",
+            F.floor((F.col("rn") - 1) / _LB_BATCH).cast("long"),
+        )
+        .groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n").alias("max_len"),
+            F.sum("n").cast("long").alias("sum_len"),
+            (F.count(F.lit(1)) * F.max("n") - F.sum("n"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )
