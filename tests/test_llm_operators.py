@@ -707,3 +707,44 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     from flink_big_query_connector_spark.cache import release_caches
 
     release_caches(spark)  # both probe variants scoped_persist their cells
+
+
+def test_span_removal_matches_python_model(spark):
+    """Randomized (seeded) docs with planted shared sentences: the Spark
+    rewrite must equal a direct Python reimplementation of the rule —
+    an oracle-independent check of positions, counts, and clean_text."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"  # 10 tokens -> 3 dup 8-grams
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        if i % 3 == 0:
+            body = (body + " " + shared).strip()
+        docs.append((i, body))
+
+    k = 8
+    span_docs = {}
+    for i, t in docs:
+        tt = t.split()
+        for p in range(len(tt) - k + 1):
+            span_docs.setdefault(" ".join(tt[p : p + k]), set()).add(i)
+    dup = {h for h, ds in span_docs.items() if len(ds) >= 2}
+    expected = {}
+    for i, t in docs:
+        tt = t.split()
+        cov = set()
+        for p in range(len(tt) - k + 1):
+            if " ".join(tt[p : p + k]) in dup:
+                cov.update(range(p, p + k))
+        clean = " ".join(tok for j, tok in enumerate(tt) if j not in cov)
+        expected[i] = (len(tt), len(cov), clean)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.remove_duplicated_spans(df, "doc_id", "text", k).collect()
+    }
+    assert out == expected
