@@ -2565,3 +2565,99 @@ def llm_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("padding_waste"),
         )
     )
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+        WITH f AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks
+                   FROM documents),
+        q AS (SELECT doc_id, source, text,
+                     COALESCE(CASE WHEN len(toks) = 0 THEN FALSE
+                          ELSE (len(toks) BETWEEN 20 AND 2000
+                                AND length(text) / len(toks) <= 12
+                                AND len(regexp_extract_all(text,
+                                        '[.,;:!?]')) * 4 <= len(toks))
+                          END, FALSE) AS q_ok
+              FROM f),
+        h AS (SELECT *, md5(text) AS h FROM q),
+        mins AS (SELECT h, MIN(doc_id) AS keep_id
+                 FROM h WHERE q_ok GROUP BY h),
+        j AS (SELECT a.doc_id, a.source, a.q_ok, m.keep_id
+              FROM h a LEFT JOIN mins m USING (h)),
+        surv AS (SELECT * FROM j WHERE q_ok AND doc_id = keep_id),
+        c AS (SELECT source, COUNT(*) AS n_src FROM surv GROUP BY source),
+        j2 AS (SELECT j.*, c.n_src FROM j LEFT JOIN c USING (source))
+        SELECT doc_id, source,
+               CASE WHEN NOT q_ok THEN 'quality'
+                    WHEN keep_id IS NULL OR doc_id <> keep_id
+                        THEN 'exact_dup'
+                    WHEN ({_SQL_H60.format(
+                        x="'cur1:' || CAST(doc_id AS VARCHAR)")}) % 1000000
+                         >= CAST(floor(1000000.0 * least(1.0,
+                              3.0 / sqrt(CAST(n_src AS DOUBLE)))) AS BIGINT)
+                        THEN 'rebalanced'
+                    ELSE 'kept' END AS outcome
+        FROM j2
+    """,
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE Spark plan — the composition a
+    training-data platform actually runs: Gopher-style quality gate ->
+    exact dedup (keep min id among quality survivors) -> temperature
+    rebalancing of the surviving source mix — with a per-document audit
+    trail (outcome = quality | exact_dup | rebalanced | kept, first
+    failing stage wins).  Stage outputs never leave the cluster: the
+    dedup keep-set is a groupBy on the content hash, the rebalance
+    thresholds come from a tiny broadcast of survivor counts, and every
+    stage's rule is deterministic, so the whole pipeline is hash-exact
+    against the oracle."""
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    n_tok = F.size(toks)
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(text.PUNCT_RE), 0)
+    )
+    q_ok = F.coalesce(
+        F.when(n_tok == 0, F.lit(False)).otherwise(
+            n_tok.between(20, 2000)
+            & (F.length("text") / n_tok <= 12)
+            & (n_punct * 4 <= n_tok)
+        ),
+        F.lit(False),
+    )
+    base = t["documents"].select(
+        "doc_id", "source", q_ok.alias("q_ok"), F.md5("text").alias("h")
+    )
+    mins = (
+        base.filter(F.col("q_ok"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    j = base.join(mins, "h", "left")
+    surv = j.filter(F.col("q_ok") & (F.col("doc_id") == F.col("keep_id")))
+    counts = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    j2 = j.join(F.broadcast(counts), "source", "left")
+    thr = F.floor(
+        F.lit(1000000.0)
+        * F.least(
+            F.lit(1.0), F.lit(3.0) / F.sqrt(F.col("n_src").cast("double"))
+        )
+    ).cast("long")
+    bucket = hash60_expr(
+        F.concat(F.lit("cur1:"), F.col("doc_id").cast("string"))
+    ) % F.lit(1000000)
+    outcome = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(
+            F.col("keep_id").isNull()
+            | (F.col("doc_id") != F.col("keep_id")),
+            F.lit("exact_dup"),
+        )
+        .when(bucket >= thr, F.lit("rebalanced"))
+        .otherwise(F.lit("kept"))
+    )
+    return j2.select("doc_id", "source", outcome.alias("outcome"))
