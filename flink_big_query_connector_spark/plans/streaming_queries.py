@@ -1393,3 +1393,87 @@ def b28_stream_incremental_topk(
         .select("query_id", "cand_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "b21_stream_three_way_join",
+    oracle="""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def b21_stream_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-way stream-stream interval join — the multi-way stream-join
+    shape (view -> click within 6 h -> purchase within 6 h of the click) chained as two stateful joins in one query (Spark 3.5+
+    watermark propagation through stateful operators).
+
+    Same exactness argument as b21_stream_interval_join, applied twice:
+    inner interval joins emit eagerly and in-order replay guarantees no
+    left row is evicted before its last possible match, so the chained
+    streamed result equals the batch three-way join bit-for-bit.  State
+    for BOTH joins is bounded by (delay + interval) x per-key rate, and
+    all three inputs shuffle once on user_id — the second join reuses the
+    first's key partitioning.
+    """
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("etime").alias("vtime"),
+        )
+        .withWatermark("vtime", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("etime").alias("ctime"),
+        )
+        .withWatermark("ctime", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("etime").alias("ptime"),
+        )
+        .withWatermark("ptime", "1 hour")
+    )
+    vc = views.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user_id AND
+            ctime >= vtime AND
+            ctime <= vtime + INTERVAL 6 HOURS
+            """
+        ),
+    ).select("user_id", "view_id", "click_id", "ctime")
+    vcp = vc.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            ptime >= ctime AND
+            ptime <= ctime + INTERVAL 6 HOURS
+            """
+        ),
+    ).select("user_id", "view_id", "click_id", "purchase_id")
+    return _run_to_table(vcp, "append")
