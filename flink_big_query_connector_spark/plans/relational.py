@@ -769,6 +769,149 @@ def b17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_winsorized_stats",
+    oracle="""
+        WITH r AS (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        b AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT)
+                          THEN value END) AS lo,
+                 MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                          THEN value END) AS hi
+          FROM r GROUP BY event_type)
+        SELECT r.event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(least(greatest(r.value, b.lo), b.hi)
+                    AS DECIMAL(14,4))) AS DOUBLE) AS winsorized_sum,
+               MIN(b.lo) AS lo, MIN(b.hi) AS hi
+        FROM r JOIN b USING (event_type)
+        GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    tags=("stats", "robust"),
+)
+def b16_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) aggregation: per event type, values
+    clip to the EXACT rank-based [p10, p90] (the ceil(q*n)-th ordered
+    value — no approximate percentile, so the oracle is bit-exact), then
+    sum in decimal domain.  The robust-stats primitive for metric
+    pipelines where a handful of corrupt meters would otherwise dominate
+    a mean.  Per-type windows are bounded; the bounds come back as a
+    |types|-row broadcast."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = t["events"].select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.1).cast("long"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.9).cast("long"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(clipped.cast("decimal(14,4)"))).alias(
+                "winsorized_sum"
+            ),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "b17_bad_records",
+    oracle="""
+        WITH raw AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 3 THEN '{broken' || props
+                      ELSE props END AS raw
+          FROM events
+        ),
+        parsed AS (
+          SELECT event_id,
+                 CASE WHEN json_valid(raw)
+                      THEN CAST(json_extract(raw, '$.k') AS BIGINT)
+                      ELSE NULL END AS k,
+                 NOT json_valid(raw) AS is_bad
+          FROM raw
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM parsed
+    """,
+    tags=("json", "quality"),
+)
+def b17_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on a JSON ingest path (PERMISSIVE
+    semantics): a seventh of the payloads are corrupted in-query, parsing
+    continues — bad rows surface as nulls and are COUNTED, never crash
+    the job, and the good rows still aggregate.  This is the
+    dead-letter/quarantine accounting every production ingest needs; at
+    scale the is_bad flag becomes the partition key of a quarantine
+    sink."""
+    t = load_tables(spark, sf_dir)
+    raw = t["events"].select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.concat(F.lit("{broken"), F.col("props")),
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    # PERMISSIVE from_json yields a null-FIELDED struct on malformed
+    # input (never a null struct); the canonical bad-row detector is the
+    # _corrupt_record side-channel column.
+    parsed = raw.select(
+        "event_id",
+        F.from_json(
+            F.col("raw"),
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    ).select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j._corrupt_record").isNotNull().alias("is_bad"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_bad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
+@register(
     "b17_explode_tokens",
     oracle="""
         SELECT token, COUNT(*) AS n
