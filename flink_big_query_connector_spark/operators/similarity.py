@@ -201,30 +201,7 @@ def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     lower centroid id.
     """
     cents = fixed_centroids(emb_df, id_col, vec_col)
-    # Centroids inline as literals (the "model" is 16 x dim floats — ships
-    # in the plan itself, no join): per row, one struct-array argmax picks
-    # (max cos, then min id) without any shuffle or aggregation.
-    v = F.col(vec_col)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity_expr(
-                        v, F.array(*[F.lit(float(x)) for x in cvec])
-                    ),
-                    6,
-                ).alias("c"),
-                F.lit(-cid).alias("nid"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    best = F.array_max(pairs)
-    return spread(emb_df).select(
-        F.col(id_col),
-        v.alias("v"),
-        (-best["nid"]).cast("long").alias("cell"),
-    )
+    return ivf_cells_with(emb_df, id_col, vec_col, cents)
 
 
 def ivf_probe_topk(
@@ -304,6 +281,15 @@ def ivf_cells_with(
 ) -> DataFrame:
     """:func:`ivf_cells` with an explicit (trained) centroid set."""
     v = F.col(vec_col)
+    if not centroids:
+        # empty corpus -> no centroids: an empty literal array is VOID-
+        # typed and array_max over it fails analysis; short-circuit to
+        # the same (id, v, cell) shape with zero rows.
+        return spread(emb_df).select(
+            F.col(id_col),
+            v.alias("v"),
+            F.lit(None).cast("long").alias("cell"),
+        )
     pairs = F.array(
         *[
             F.struct(
@@ -562,6 +548,15 @@ def ivf_multiprobe_topk(
     oracle: deterministic centroids, 6dp rounding, id tie-breaks.
     """
     cents = fixed_centroids(emb_df, id_col, vec_col)
+    if not cents:
+        # empty corpus: same output shape, zero rows (void-literal guard
+        # as in ivf_cells_with)
+        return query_df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
     # one centroid collect shared by assignment AND probe lists
     cells = scoped_persist(ivf_cells_with(emb_df, id_col, vec_col, cents))
     v = F.col(vec_col)
