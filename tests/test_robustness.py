@@ -82,3 +82,58 @@ def test_stateful_streaming_on_rocksdb_state_store(spark):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks == baseline
+
+
+NULL_SWEEP = [
+    "b03_filter", "b08_q1_pricing_summary", "b10_snapshot_diff",
+    "b15_gap_fill_locf", "b16_winsorized_stats", "b17_json_extract",
+    "b17_bad_records", "b17_explode_tokens",
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
+    "llm_dedup_span_removal", "llm_text_stats", "llm_text_quality_filter",
+    "llm_quality_classifier", "llm_text_tfidf", "llm_text_novelty",
+    "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
+    "llm_multimodal_segments", "llm_corpus_shard",
+]
+
+
+@pytest.fixture(scope="module")
+def nulled_dir(spark, tmp_path_factory):
+    """Copies of the tables with nulls injected into the dirty-data-prone
+    columns: every 7th document text, every 11th event props, every 5th
+    event value."""
+    out = tmp_path_factory.mktemp("sf_nulled")
+    for name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        if name == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 2, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        if name == "events":
+            df = df.withColumn(
+                "props",
+                F.when(F.col("event_id") % 11 == 4, F.lit(None)).otherwise(
+                    F.col("props")
+                ),
+            ).withColumn(
+                "value",
+                F.when(F.col("event_id") % 5 == 1, F.lit(None)).otherwise(
+                    F.col("value")
+                ),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", NULL_SWEEP)
+def test_query_survives_null_injection(spark, nulled_dir, name):
+    """Dirty-data robustness: null text/props/value rows must flow
+    through (filtered, nulled, or counted) — never crash the job."""
+    df = REGISTRY[name].fn(spark, nulled_dir)
+    assert df.count() >= 0
+    release_caches(spark)
