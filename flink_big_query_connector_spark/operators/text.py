@@ -482,3 +482,85 @@ def sql_classifier_score(toks_expr: str) -> str:
         f"CAST(coalesce(list_sum(list_transform({toks_expr}, "
         f"t -> ({w})[{h} + 1])), 0) AS BIGINT)"
     )
+
+
+# -- BPE tokenizer training --------------------------------------------------
+
+BPE_DELIM = "\x01"  # symbol separator; cannot occur inside \S+ tokens? it
+# CAN in adversarial text — both engines treat it identically, so parity
+# holds regardless; real deployments pre-strip control chars.
+
+
+def bpe_symbols_expr(s: Column) -> Column:
+    """Non-empty symbol list from a delimiter-joined symbol string."""
+    return F.filter(F.split(s, BPE_DELIM), lambda x: x != F.lit(""))
+
+
+def bpe_initial_expr(toks: Column) -> Column:
+    """Initial symbol string: one symbol per whitespace token, each
+    preceded by the delimiter ('' for empty docs)."""
+    return F.when(
+        F.size(toks) > 0,
+        F.concat(F.lit(BPE_DELIM), F.array_join(toks, BPE_DELIM)),
+    ).otherwise(F.lit(""))
+
+
+def bpe_merge_expr(s: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) with exact left-to-right greedy
+    semantics as a string fold: walking the symbols, if the accumulator
+    currently ends with <delim>a and the next symbol is b, append b
+    directly (turning the trailing 'a' into 'ab'); else append
+    <delim>symbol.  A symbol produced by a merge can never merge again in
+    the same pass (the trailing symbol is then 'ab', not 'a') — exactly
+    the non-overlapping greedy scan BPE specifies.  The same fold runs in
+    DuckDB via list_reduce, so training is engine-exact."""
+    return F.aggregate(
+        bpe_symbols_expr(s),
+        F.lit(""),
+        lambda acc, x: F.when(
+            F.endswith(acc, F.lit(BPE_DELIM + a)) & (x == F.lit(b)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(BPE_DELIM), x)),
+    )
+
+
+def bpe_top_pair(sym_df: DataFrame) -> tuple[str, str]:
+    """The corpus-wide most frequent adjacent symbol pair (ties: lower
+    (a, b) lexicographically) — one distributed count + a 2-string
+    collect (the collect IS this iteration's model update)."""
+    syms = bpe_symbols_expr(F.col("s"))
+    n = F.size(syms)
+    head = F.slice(syms, 1, F.greatest(n - 1, F.lit(0)))
+    tail = F.slice(syms, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = (
+        sym_df.select(
+            F.explode(
+                F.zip_with(
+                    head, tail, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(1)
+        .collect()
+    )
+    if not pairs:
+        return ("", "")  # no pairs anywhere: the ('','') merge is a no-op
+    return (pairs[0].a, pairs[0].b)
+
+
+def sql_bpe_symbols(s_expr: str) -> str:
+    return f"list_filter(string_split({s_expr}, chr(1)), x -> x <> '')"
+
+
+def sql_bpe_merge(s_expr: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_merge_expr` (list_reduce fold; the ''
+    prepend supplies the empty-accumulator init)."""
+    return (
+        f"list_reduce(list_prepend('', {sql_bpe_symbols(s_expr)}), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, chr(1)||{a_expr}) "
+        f"AND x = {b_expr} THEN acc||x "
+        f"ELSE acc||chr(1)||x END)"
+    )

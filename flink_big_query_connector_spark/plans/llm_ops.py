@@ -2661,3 +2661,89 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return j2.select("doc_id", "source", outcome.alias("outcome"))
+
+
+def _bpe_sql_stage(src: str, pairs: str, merges: str, out: str) -> str:
+    """One unrolled BPE training iteration (pair count -> argmax merge ->
+    fold application) as oracle CTE text."""
+    return f"""
+        {pairs} AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, COUNT(*) AS c
+          FROM (SELECT {text.sql_bpe_symbols('s')} AS syms FROM {src}) x,
+               UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2
+        ),
+        {merges} AS (
+          (SELECT a, b FROM {pairs} ORDER BY c DESC, a, b LIMIT 1)
+          UNION ALL
+          SELECT * FROM (VALUES ('', '')) fb(a, b)
+          WHERE NOT EXISTS (SELECT 1 FROM {pairs})
+        ),
+        {out} AS (
+          SELECT doc_id,
+                 {text.sql_bpe_merge('s', f'{merges}.a', f'{merges}.b')} AS s
+          FROM {src} CROSS JOIN {merges}
+        )"""
+
+
+@register(
+    "llm_bpe_train",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(COALESCE(text, ''), '\\S+')
+                              AS toks
+                   FROM documents),
+        s0 AS (SELECT doc_id,
+                      CASE WHEN len(toks) > 0
+                           THEN chr(1) || array_to_string(toks, chr(1))
+                           ELSE '' END AS s
+               FROM t),
+        {_bpe_sql_stage('s0', 'p1', 'm1', 's1')},
+        {_bpe_sql_stage('s1', 'p2', 'm2', 's2')}
+        SELECT doc_id,
+               CAST(len({text.sql_bpe_symbols('s')}) AS BIGINT) AS n_symbols,
+               md5(s) AS sym_hash,
+               (SELECT a || ' ' || b FROM m1) AS merge1,
+               (SELECT a || ' ' || b FROM m2) AS merge2
+        FROM s2
+    """,
+    tags=("text", "tokenizer"),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, two merge iterations: each
+    iteration counts adjacent symbol pairs corpus-wide (one shuffle with
+    map-side partials), collects the argmax pair — the 2-string collect
+    IS the model update — and applies the merge as a per-row string fold
+    with exact left-to-right greedy semantics (see
+    operators/text.py::bpe_merge_expr).  Tie-breaks are (count desc,
+    pair asc), so training is deterministic and the unrolled DuckDB
+    oracle reproduces the identical merges, symbol strings, and hashes.
+    At 100 TB each iteration is one linear pass; the learned merge table
+    stays driver-side KBs, exactly like the IVF/SQ8 models."""
+    from ..cache import scoped_persist
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.coalesce(F.col("text"), F.lit("")))
+    s0 = scoped_persist(
+        t["documents"].select(
+            "doc_id", text.bpe_initial_expr(toks).alias("s")
+        )
+    )
+    a1, b1 = text.bpe_top_pair(s0)
+    s1 = scoped_persist(
+        s0.select(
+            "doc_id", text.bpe_merge_expr(F.col("s"), a1, b1).alias("s")
+        )
+    )
+    a2, b2 = text.bpe_top_pair(s1)
+    s2 = s1.select(
+        "doc_id", text.bpe_merge_expr(F.col("s"), a2, b2).alias("s")
+    )
+    syms2 = text.bpe_symbols_expr(F.col("s"))
+    return s2.select(
+        "doc_id",
+        F.size(syms2).cast("long").alias("n_symbols"),
+        F.md5("s").alias("sym_hash"),
+        F.lit(a1 + " " + b1).alias("merge1"),
+        F.lit(a2 + " " + b2).alias("merge2"),
+    )

@@ -748,3 +748,54 @@ def test_span_removal_matches_python_model(spark):
         for r in dedup.remove_duplicated_spans(df, "doc_id", "text", k).collect()
     }
     assert out == expected
+
+
+def test_bpe_merge_fold_matches_python_greedy(spark):
+    """The string-fold merge application equals a literal left-to-right
+    greedy BPE merge on chain-heavy inputs (the overlap cases where a
+    naive string replace diverges)."""
+
+    def py_merge(tokens, a, b):
+        out = []
+        i = 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["x", "a", "b", "c"], "a", "b"),
+        (["ab", "a", "b"], "a", "b"),   # merged symbol != raw pair
+        (["xa", "b"], "a", "b"),        # suffix collision guard
+        ([], "a", "b"),
+    ]
+    rows = [(i, " ".join(toks)) for i, (toks, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, ["doc_id", "t"])
+    for i, (toks, a, b) in enumerate(cases):
+        s0 = text.bpe_initial_expr(text.tokens_expr(F.col("t")))
+        got = (
+            df.filter(F.col("doc_id") == i)
+            .select(text.bpe_symbols_expr(
+                text.bpe_merge_expr(s0, a, b)).alias("syms"))
+            .collect()[0]
+            .syms
+        )
+        assert got == py_merge(toks, a, b), (i, got)
+
+
+def test_bpe_top_pair_picks_most_frequent(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], ["doc_id", "text"]
+    )
+    s0 = df.select(
+        "doc_id",
+        text.bpe_initial_expr(text.tokens_expr(F.col("text"))).alias("s"),
+    )
+    assert text.bpe_top_pair(s0) == ("a", "b")  # freq 3 beats everything
