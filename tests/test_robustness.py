@@ -137,3 +137,34 @@ def test_query_survives_null_injection(spark, nulled_dir, name):
     df = REGISTRY[name].fn(spark, nulled_dir)
     assert df.count() >= 0
     release_caches(spark)
+
+
+DETERMINISM_SWEEP = [
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash_pairs",
+    "llm_dedup_semantic", "llm_dedup_span_removal", "llm_corpus_shard",
+    "llm_mix_temperature", "llm_sample_stratified", "llm_bpe_train",
+    "llm_text_fingerprint", "b08_q1_pricing_summary", "b16_stats_corr",
+]
+
+
+def _canon_rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", DETERMINISM_SWEEP)
+def test_result_is_partitioning_invariant(spark, name):
+    """The 'same answer on any cluster size' claim, executed: tiny input
+    splits + a prime shuffle-partition count must reproduce the default
+    layout's result bit-for-bit (hash order, decimal sums, fold
+    arithmetic are all partitioning-free by construction)."""
+    baseline = _canon_rows(REGISTRY[name].fn(spark, SF_DIR))
+    release_caches(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        alt = _canon_rows(REGISTRY[name].fn(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        release_caches(spark)
+    assert alt == baseline and len(baseline) > 0
