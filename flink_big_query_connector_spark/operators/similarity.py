@@ -282,10 +282,19 @@ def ivf_cells_with(
     """:func:`ivf_cells` with an explicit (trained) centroid set."""
     v = F.col(vec_col)
     if not centroids:
-        # empty corpus -> no centroids: an empty literal array is VOID-
-        # typed and array_max over it fails analysis; short-circuit to
-        # the same (id, v, cell) shape with zero rows.
-        return spread(emb_df).select(
+        # No centroids: an empty literal array is VOID-typed and
+        # array_max over it fails ANALYSIS even on an empty corpus.
+        # Only a genuinely empty corpus may proceed (empty frame of the
+        # right shape); an empty MODEL over real data must stay loud —
+        # all ids >= N_CENTROIDS would otherwise silently assign
+        # nothing.  The isEmpty probe is one limit-1 job on a path only
+        # degenerate inputs reach.
+        if not emb_df.isEmpty():
+            raise ValueError(
+                "ivf: centroid set is empty but the corpus has rows "
+                f"(no ids < N_CENTROIDS={N_CENTROIDS}?)"
+            )
+        return emb_df.select(
             F.col(id_col),
             v.alias("v"),
             F.lit(None).cast("long").alias("cell"),
@@ -549,8 +558,13 @@ def ivf_multiprobe_topk(
     """
     cents = fixed_centroids(emb_df, id_col, vec_col)
     if not cents:
-        # empty corpus: same output shape, zero rows (void-literal guard
-        # as in ivf_cells_with)
+        # same loud-guard rule as ivf_cells_with: empty model over real
+        # data raises; a truly empty corpus returns the empty shape.
+        if not emb_df.isEmpty():
+            raise ValueError(
+                "ivf multiprobe: centroid set is empty but the corpus "
+                f"has rows (no ids < N_CENTROIDS={N_CENTROIDS}?)"
+            )
         return query_df.select(
             F.col(id_col).alias("query_id"),
             F.col(id_col).alias("cand_id"),

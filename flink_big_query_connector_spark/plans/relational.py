@@ -804,7 +804,12 @@ def b16_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last: Spark default ASC ordering is NULLS FIRST while
+    # DuckDB's is NULLS LAST — without pinning, a null-valued row can
+    # become the p10 bound on one engine only.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     r = t["events"].select(
         "event_type",
         "event_id",
@@ -856,7 +861,7 @@ def b16_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed AS (
           SELECT event_id,
                  CASE WHEN json_valid(raw)
-                      THEN CAST(json_extract(raw, '$.k') AS BIGINT)
+                      THEN TRY_CAST(json_extract(raw, '$.k') AS BIGINT)
                       ELSE NULL END AS k,
                  NOT json_valid(raw) AS is_bad
           FROM raw
@@ -876,7 +881,12 @@ def b17_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the job, and the good rows still aggregate.  This is the
     dead-letter/quarantine accounting every production ingest needs; at
     scale the is_bad flag becomes the partition key of a quarantine
-    sink."""
+    sink.  (Alignment boundary: the planted corruption is STRUCTURAL —
+    invalid JSON — which both engines classify identically; a
+    valid-JSON-but-type-drifted k is quarantined by Spark's PERMISSIVE
+    parser while the oracle TRY_CASTs it to NULL without flagging, a
+    deliberate engine difference outside this query's corruption
+    model.)"""
     t = load_tables(spark, sf_dir)
     raw = t["events"].select(
         "event_id",

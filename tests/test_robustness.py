@@ -4,15 +4,11 @@ job hits somewhere), and stateful streaming must run on the RocksDB
 state store (the backend a production deployment uses once state
 outgrows the executor heap)."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
 from flink_big_query_connector_spark.cache import release_caches
 from flink_big_query_connector_spark.plans import REGISTRY
-
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # Batch families across the registry; streaming/connector queries replay
 # chunk files and have their own machinery, and trained k-means cannot
@@ -37,13 +33,13 @@ EMPTY_SWEEP = [
 
 
 @pytest.fixture(scope="module")
-def empty_dir(spark, tmp_path_factory):
+def empty_dir(spark, sf_dir, tmp_path_factory):
     out = tmp_path_factory.mktemp("sf_empty")
     for name in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]:
-        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.limit(0).write.mode("overwrite").parquet(
             str(out / f"{name}.parquet")
         )
@@ -52,19 +48,21 @@ def empty_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EMPTY_SWEEP)
 def test_query_survives_empty_tables(spark, empty_dir, name):
-    df = REGISTRY[name].fn(spark, empty_dir)
-    assert df.count() >= 0  # must build AND execute without raising
-    release_caches(spark)
+    try:
+        df = REGISTRY[name].fn(spark, empty_dir)
+        assert df.count() >= 0  # must build AND execute without raising
+    finally:
+        release_caches(spark)
 
 
-def test_stateful_streaming_on_rocksdb_state_store(spark):
+def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
     """The tumbling-window replay produces identical results under the
     RocksDB state store provider — the disk-backed backend that keeps
     100 TB-scale state out of the executor heap."""
     baseline = sorted(
         tuple(r)
         for r in REGISTRY["b21_stream_tumbling_window"].fn(
-            spark, SF_DIR
+            spark, sf_dir
         ).collect()
     )
     spark.conf.set(
@@ -76,7 +74,7 @@ def test_stateful_streaming_on_rocksdb_state_store(spark):
         rocks = sorted(
             tuple(r)
             for r in REGISTRY["b21_stream_tumbling_window"].fn(
-                spark, SF_DIR
+                spark, sf_dir
             ).collect()
         )
     finally:
@@ -97,7 +95,7 @@ NULL_SWEEP = [
 
 
 @pytest.fixture(scope="module")
-def nulled_dir(spark, tmp_path_factory):
+def nulled_dir(spark, sf_dir, tmp_path_factory):
     """Copies of the tables with nulls injected into the dirty-data-prone
     columns: every 7th document text, every 11th event props, every 5th
     event value."""
@@ -106,7 +104,7 @@ def nulled_dir(spark, tmp_path_factory):
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]:
-        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "documents":
             df = df.withColumn(
                 "text",
@@ -134,9 +132,11 @@ def nulled_dir(spark, tmp_path_factory):
 def test_query_survives_null_injection(spark, nulled_dir, name):
     """Dirty-data robustness: null text/props/value rows must flow
     through (filtered, nulled, or counted) — never crash the job."""
-    df = REGISTRY[name].fn(spark, nulled_dir)
-    assert df.count() >= 0
-    release_caches(spark)
+    try:
+        df = REGISTRY[name].fn(spark, nulled_dir)
+        assert df.count() >= 0
+    finally:
+        release_caches(spark)
 
 
 DETERMINISM_SWEEP = [
@@ -152,19 +152,23 @@ def _canon_rows(df):
 
 
 @pytest.mark.parametrize("name", DETERMINISM_SWEEP)
-def test_result_is_partitioning_invariant(spark, name):
+def test_result_is_partitioning_invariant(spark, sf_dir, name):
     """The 'same answer on any cluster size' claim, executed: tiny input
     splits + a prime shuffle-partition count must reproduce the default
     layout's result bit-for-bit (hash order, decimal sums, fold
     arithmetic are all partitioning-free by construction)."""
-    baseline = _canon_rows(REGISTRY[name].fn(spark, SF_DIR))
+    baseline = _canon_rows(REGISTRY[name].fn(spark, sf_dir))
     release_caches(spark)
+    # save/restore via get+set: conf.unset would fall back to Spark's
+    # HARD default (200), not the session builder's configured value
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
     try:
-        alt = _canon_rows(REGISTRY[name].fn(spark, SF_DIR))
+        alt = _canon_rows(REGISTRY[name].fn(spark, sf_dir))
     finally:
-        spark.conf.unset("spark.sql.shuffle.partitions")
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
         release_caches(spark)
     assert alt == baseline and len(baseline) > 0
