@@ -1477,3 +1477,95 @@ def b21_stream_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_id", "click_id", "purchase_id")
     return _run_to_table(vcp, "append")
+
+
+@register(
+    "b26_stream_cdc_apply",
+    oracle="""
+        WITH last AS (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event,
+               CAST(value AS DOUBLE) AS value
+        FROM last WHERE rn = 1 AND event_type <> 'purchase'
+    """,
+    tags=("sink", "streaming", "cdc"),
+)
+def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with DELETE tombstones (the Debezium-style
+    changelog consumer): every event is an upsert for its user except
+    'purchase', which is a delete tombstone; each micro-batch reduces to
+    per-user last ops (one window, |users-in-batch| rows out) and MERGEs
+    them into the keyed state table — newest (ts, event_id) wins, a
+    tombstone removes the key.  After AvailableNow replay the maintained
+    table equals the batch keep-latest-minus-deleted rule exactly.
+
+    Scale shape: the per-batch shuffle carries one row per ACTIVE key in
+    the batch, never history; the state table is the merge target (a
+    keyed Delta/Hudi table in production — here the same driver-side
+    store the matview uses, sized |users|)."""
+    import json as _json
+
+    load_tables(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_apply_")
+    path = os.path.join(state_dir, "state.json")
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("tmicros").desc(), F.col("event_id").desc()
+        )
+        last = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value", "tmicros")
+            .collect()
+        )
+        cur: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = _json.load(f)
+        for r in last:
+            k = str(r["user_id"])
+            prev = cur.get(k)
+            newer = prev is None or (r["tmicros"], r["event_id"]) > (
+                prev[0], prev[1]
+            )
+            if newer:
+                if r["event_type"] == "purchase":  # tombstone
+                    cur[k] = (r["tmicros"], r["event_id"], None)
+                else:
+                    cur[k] = (r["tmicros"], r["event_id"], r["value"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, path)
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("etime")).alias("tmicros"),
+    )
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    with open(path) as f:
+        final = _json.load(f)
+    rows = [
+        (int(k), int(eid), float(v))
+        for k, (tm, eid, v) in sorted(final.items(), key=lambda kv: int(kv[0]))
+        if v is not None
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, last_event long, value double"
+    ).orderBy("user_id")
