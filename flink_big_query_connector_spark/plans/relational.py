@@ -769,6 +769,94 @@ def b17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b05_scd2_intervals",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+                 CAST(ts AS TIMESTAMP) AS valid_from,
+                 LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to
+          FROM events WHERE user_id < 30
+        )
+        SELECT user_id, event_id, value, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM v
+    """,
+    tags=("join", "scd"),
+)
+def b05_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 intervalization: an append-only
+    change feed becomes versioned history rows — each change is valid
+    from its own timestamp until the key's next change (LEAD), the open
+    version flagged is_current.  One window per key, no self-join; this
+    is how a dimension table gains time-travel semantics, and the
+    interval columns are exactly what b07's as-of join probes."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 30)
+    ts_ts = ts_event_time(t["events"])
+    w = Window.partitionBy("user_id").orderBy(ts_ts, F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        ts_ts.alias("valid_from"),
+        F.lead(ts_ts).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "b01_schema_evolution_read",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               (SELECT COUNT(*) FROM documents) AS n_v1,
+               (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+                   AS n_v2,
+               (SELECT CAST(SUM(doc_id) AS BIGINT)
+                FROM documents WHERE doc_id % 2 = 0) AS sum_score_carrier
+        FROM (SELECT * FROM documents
+              UNION ALL
+              SELECT * FROM documents WHERE doc_id % 2 = 0)
+    """,
+    tags=("scan", "schema"),
+)
+def b01_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant lake read: two parquet generations of the
+    same table — v2 adds a ``score`` column — read as ONE dataset with
+    ``mergeSchema``; v1 rows surface score=null, v2 rows keep values.
+    This is additive schema evolution on the storage side (the DSv2
+    connector covers the write side); without mergeSchema the scan would
+    silently take one footer's schema and drop the new column."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    t["documents"].write.mode("overwrite").parquet(f"{out}/v1")
+    (
+        t["documents"]
+        .filter(F.col("doc_id") % 2 == 0)
+        .withColumn("score", F.col("doc_id").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{out}/v2")
+    )
+    both = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v1", f"{out}/v2"
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_v1"),
+        F.sum(F.when(F.col("score").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_v2"),
+        F.sum("score").cast("long").alias("sum_score_carrier"),
+    )
+
+
+@register(
     "b16_winsorized_stats",
     oracle="""
         WITH r AS (
