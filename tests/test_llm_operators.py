@@ -799,3 +799,44 @@ def test_bpe_top_pair_picks_most_frequent(spark):
         text.bpe_initial_expr(text.tokens_expr(F.col("text"))).alias("s"),
     )
     assert text.bpe_top_pair(s0) == ("a", "b")  # freq 3 beats everything
+
+
+def test_bpe_merge_fold_randomized_chains(spark):
+    """300 random token sequences over a tiny alphabet (maximally
+    chain-prone) x two merge pairs, all checked against the Python greedy
+    reference in two Spark jobs."""
+    import random
+
+    def py_merge(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    rng = random.Random(13)
+    cases = [
+        [rng.choice("abc") for _ in range(rng.randint(0, 12))]
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(cases)],
+        ["doc_id", "t"],
+    )
+    for a, b in [("a", "b"), ("a", "a")]:
+        s0 = text.bpe_initial_expr(text.tokens_expr(F.col("t")))
+        got = {
+            r.doc_id: r.syms
+            for r in df.select(
+                "doc_id",
+                text.bpe_symbols_expr(
+                    text.bpe_merge_expr(s0, a, b)
+                ).alias("syms"),
+            ).collect()
+        }
+        for i, toks in enumerate(cases):
+            assert got[i] == py_merge(toks, a, b), (a, b, i, toks)
