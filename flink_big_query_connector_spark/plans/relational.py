@@ -576,6 +576,101 @@ def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b13_setops_all",
+    oracle="""
+        SELECT nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey FROM supplier
+        ) GROUP BY nationkey
+        UNION ALL
+        SELECT -1 - nationkey AS nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey FROM supplier
+        ) GROUP BY nationkey
+    """,
+    tags=("setop",),
+)
+def b13_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicities, which the DISTINCT variants destroy: a key
+    appearing 5x in customer and 2x in supplier intersects 2x and
+    excepts 3x.  Spark plans both as count-annotated joins (one shuffle,
+    map-side partials), never a row-by-row comparison.  The EXCEPT ALL
+    branch remaps keys to a disjoint negative range so one result table
+    carries both multisets."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    inter = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exc = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.lit(-1) - F.col("nationkey")).alias("nationkey"), "n")
+    )
+    return inter.unionAll(exc)
+
+
+@register(
+    "b06_null_safe_join",
+    oracle="""
+        WITH c AS (SELECT CASE WHEN c_custkey % 9 = 4 THEN NULL
+                               ELSE c_nationkey END AS k, c_custkey
+                   FROM customer),
+        s AS (SELECT CASE WHEN s_suppkey % 7 = 2 THEN NULL
+                          ELSE s_nationkey END AS k, s_suppkey
+              FROM supplier)
+        SELECT COALESCE(CAST(c.k AS VARCHAR), 'NULL') AS join_key,
+               COUNT(*) AS n,
+               CAST(SUM(c_custkey + s_suppkey) AS BIGINT) AS key_sum
+        FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        GROUP BY 1
+    """,
+    tags=("join", "nulls"),
+)
+def b06_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics CDC and
+    entity-resolution joins need when the key itself is optional.  Nulls
+    are injected in-query on both sides; the null-null block joins like
+    any other key (at scale a frequent NULL key is a skew group — the
+    b04 salting pattern applies to it the same way)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.when(F.col("c_custkey") % 9 == 4, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck"),
+        "c_custkey",
+    )
+    s = t["supplier"].select(
+        F.when(F.col("s_suppkey") % 7 == 2, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk"),
+        "s_suppkey",
+    )
+    return (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(
+            F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias(
+                "join_key"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_custkey") + F.col("s_suppkey"))
+            .cast("long")
+            .alias("key_sum"),
+        )
+    )
+
+
+@register(
     "b13_union",
     oracle="""
         SELECT nationkey, COUNT(*) AS n FROM (
