@@ -576,6 +576,50 @@ def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b11_ratio_to_report",
+    oracle="""
+        WITH per AS (
+          SELECT event_type,
+                 SUM(CAST(value AS DECIMAL(14,4))) AS tv
+          FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT SUM(tv) AS total FROM per)
+        SELECT event_type,
+               CAST(tv AS DOUBLE) AS type_value,
+               round(CAST(tv AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                   AS share
+        FROM per, tot
+        ORDER BY event_type
+    """,
+    tags=("window", "analytics"),
+)
+def b11_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT): each group's share of the
+    grand total — formulated WITHOUT the textbook `SUM() OVER ()` empty
+    window, which forces every row through one partition.  Instead the
+    grand total is a second-level aggregate of the per-group partials
+    (|groups| rows) broadcast back — the shape that survives 100 TB.
+    Decimal-domain sums keep both levels order-free; one double division
+    at the end."""
+    t = load_tables(spark, sf_dir)
+    per = t["events"].groupBy("event_type").agg(
+        F.sum(dec("value", 14, 4)).alias("tv")
+    )
+    tot = per.agg(F.sum("tv").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("tv").cast("double").alias("type_value"),
+            F.round(
+                F.col("tv").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "b13_setops_all",
     oracle="""
         SELECT nationkey, COUNT(*) AS n FROM (
