@@ -29,6 +29,8 @@ EMPTY_SWEEP = [
     "llm_text_tfidf", "llm_text_novelty", "llm_quality_classifier",
     "llm_mix_temperature", "llm_corpus_shard", "llm_batch_by_length",
     "llm_curation_pipeline", "llm_multimodal_segments",
+    "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
+    "b13_setops_all", "b01_schema_evolution_read", "llm_bpe_train",
 ]
 
 
