@@ -93,6 +93,8 @@ NULL_SWEEP = [
     "llm_quality_classifier", "llm_text_tfidf", "llm_text_novelty",
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
     "llm_multimodal_segments", "llm_corpus_shard",
+    "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
+    "llm_bpe_train",
 ]
 
 
