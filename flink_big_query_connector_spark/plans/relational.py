@@ -576,6 +576,55 @@ def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b02_nested_projection",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("scan", "projection", "nested"),
+)
+def b02_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema column pruning: documents written with a nested
+    struct payload (meta.lang, meta.stats.chars, body), then read back
+    touching ONLY two leaves — the parquet ReadSchema must contain just
+    those leaf paths, never the wide body column (asserted in
+    tests/test_scale_patterns.py).  Nested pruning is what keeps a
+    struct-heavy 100 TB table from paying full-row I/O for a two-field
+    rollup."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="nested_proj_")
+    (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.struct(
+                    F.length("text").cast("long").alias("chars"),
+                    F.col("n_chars").alias("declared"),
+                ).alias("stats"),
+                F.col("text").alias("body"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.stats.chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "b11_ratio_to_report",
     oracle="""
         WITH per AS (

@@ -336,3 +336,16 @@ def test_temperature_mix_broadcasts_source_counts(spark):
     df = REGISTRY["llm_mix_temperature"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_nested_projection_prunes_to_leaf_paths(spark):
+    """b02_nested_projection's scan must read only the meta.lang and
+    meta.stats.chars leaves — the wide meta.body column may not appear
+    in the parquet ReadSchema."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["b02_nested_projection"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" in rs and "chars" in rs
+    assert "body" not in rs
