@@ -576,6 +576,39 @@ def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b17_explode_outer",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 7 THEN []::VARCHAR[]
+                      ELSE regexp_extract_all(text, '\\S+')[:3] END AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               COALESCE(unnest(CASE WHEN len(toks) = 0 THEN [NULL]
+                                    ELSE toks END), '<empty>') AS tok
+        FROM d
+    """,
+    tags=("array", "generator"),
+)
+def b17_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: plain explode silently DROPS rows whose
+    array is empty — losing every short/empty document from a downstream
+    join spine; explode_outer keeps them as one null-element row.  A
+    tenth of the docs get an empty token array in-query to prove the
+    preservation; '<empty>' marks the survivors."""
+    from ..operators.text import tokens_expr
+
+    t = load_tables(spark, sf_dir)
+    toks = F.when(
+        F.col("doc_id") % 10 == 7, F.array().cast("array<string>")
+    ).otherwise(F.slice(tokens_expr(F.col("text")), 1, 3))
+    return t["documents"].select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    ).select("doc_id", F.coalesce(F.col("tok"), F.lit("<empty>")).alias("tok"))
+
+
+@register(
     "b02_nested_projection",
     oracle="""
         SELECT lang,
