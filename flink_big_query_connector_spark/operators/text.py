@@ -27,12 +27,35 @@ TOKEN_RE = r"\S+"
 
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens (regexp '\\S+' — matches the oracle exactly,
-    including leading/trailing whitespace edge cases)."""
-    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+    including leading/trailing whitespace edge cases).  NULL text tokens
+    to the EMPTY list, not NULL: Spark's legacy ``size(NULL) = -1`` would
+    otherwise leak -1 token counts (and NULL scores) into downstream
+    arithmetic while the DuckDB twin yields NULL — the sql_tokens twin
+    coalesces identically, so both engines agree on dirty data."""
+    return F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(TOKEN_RE), 0
+    )
 
 
 def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text)).cast("long")
+
+
+def punct_count_expr(text: Column) -> Column:
+    """Punctuation-mark count; NULL text counts 0 (null-safe twin of
+    ``sql_punct_count``)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(PUNCT_RE), 0
+        )
+    ).cast("long")
+
+
+def sql_punct_count(text_expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(COALESCE({text_expr}, ''), "
+        f"'[.,;:!?]')) AS BIGINT)"
+    )
 
 
 def stopword_hits_expr(toks: Column, words: tuple[str, ...]) -> Column:
@@ -66,7 +89,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     sum_tok_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("long")
+    n_punct = punct_count_expr(text)
     en_hits = stopword_hits_expr(toks, LANG_STOPWORDS[0][1])
     return df.withColumns(
         {
@@ -101,7 +124,7 @@ def fingerprint_expr(toks: Column) -> Column:
 
 
 def sql_tokens(text_expr: str) -> str:
-    return f"regexp_extract_all({text_expr}, '\\S+')"
+    return f"regexp_extract_all(COALESCE({text_expr}, ''), '\\S+')"
 
 
 def sql_stopword_hits(toks_expr: str, words: tuple[str, ...]) -> str:
@@ -138,13 +161,18 @@ BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def bpe_token_count_expr(text: Column) -> Column:
-    """Subword-ish token count (the cost estimator for LLM training data)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long")
+    """Subword-ish token count (the cost estimator for LLM training data).
+    Null-safe: NULL text counts 0 tokens in both engines."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(BPE_RE), 0
+        )
+    ).cast("long")
 
 
 def sql_bpe_token_count(text_expr: str) -> str:
     return (
-        f"CAST(len(regexp_extract_all({text_expr}, "
+        f"CAST(len(regexp_extract_all(COALESCE({text_expr}, ''), "
         f"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
     )
 
@@ -240,10 +268,12 @@ def pii_scrub_expr(col: Column) -> Column:
 
 
 def pii_hits_expr(col: Column) -> Column:
-    """Total number of redacted spans across all patterns."""
+    """Total number of redacted spans across all patterns (NULL input
+    counts 0, matching ``sql_pii_hits``)."""
+    safe = F.coalesce(col, F.lit(""))
     total = F.lit(0)
     for pat, _ in PII_PATTERNS:
-        total = total + F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        total = total + F.size(F.regexp_extract_all(safe, F.lit(pat), 0))
     return total.cast("long")
 
 
@@ -256,7 +286,8 @@ def sql_pii_scrub(col_expr: str) -> str:
 
 def sql_pii_hits(col_expr: str) -> str:
     parts = [
-        f"len(regexp_extract_all({col_expr}, '{pat}'))" for pat, _ in PII_PATTERNS
+        f"len(regexp_extract_all(COALESCE({col_expr}, ''), '{pat}'))"
+        for pat, _ in PII_PATTERNS
     ]
     return f"CAST({' + '.join(parts)} AS BIGINT)"
 
@@ -316,8 +347,10 @@ def sql_chunk_documents(chunk_tokens: int, overlap: int) -> str:
     stride = chunk_tokens - overlap
     return f"""
         WITH d AS (
-          SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-          FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0
+          SELECT doc_id,
+                 regexp_extract_all(COALESCE(text, ''), '\\S+') AS toks
+          FROM documents
+          WHERE len(regexp_extract_all(COALESCE(text, ''), '\\S+')) > 0
         ),
         idx AS (
           SELECT doc_id, toks,

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,11 +19,12 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dbl, dec
 from ..sources import bq_datasource as dsrc
 from ..sources.tables import load_tables, ts_micros
+from ..scratch import scratch_dir, unique_name
 from .registry import register
 
 
 def _fresh_root() -> str:
-    return tempfile.mkdtemp(prefix="fakebq_ds_")
+    return scratch_dir("fakebq_ds_")
 
 
 _name_counter = itertools.count()

@@ -28,7 +28,7 @@ from .registry import register
 # shared SQL fragments
 # ---------------------------------------------------------------------------
 
-_SQL_TOKS = "regexp_extract_all(text, '\\S+')"
+_SQL_TOKS = "regexp_extract_all(COALESCE(text, ''), '\\S+')"
 _SQL_H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
 # testdata embedding dimensionality — a DATA constant like the chunk-date
@@ -347,7 +347,7 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                     / CAST(len(toks) AS DOUBLE)
                ELSE 0.0 END AS avg_token_len,
-          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+          CAST(len(regexp_extract_all(COALESCE(text, ''), '[.,;:!?]')) AS BIGINT) AS punct_count,
           CASE WHEN len(toks) > 0
                THEN CAST({text.sql_stopword_hits('toks', text.LANG_STOPWORDS[0][1])}
                     AS DOUBLE) / CAST(len(toks) AS DOUBLE)
@@ -814,7 +814,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
         WHERE len(toks) BETWEEN 20 AND 2000
           AND length(text) / len(toks) <= 12
-          AND len(regexp_extract_all(text, '[.,;:!?]')) * 4 <= len(toks)
+          AND len(regexp_extract_all(COALESCE(text, ''), '[.,;:!?]')) * 4 <= len(toks)
     """,
     tags=("text",),
 )
@@ -825,9 +825,7 @@ def llm_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = text.tokens_expr(F.col("text"))
     n_tok = F.size(toks).cast("long")
-    n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(text.PUNCT_RE), 0)
-    ).cast("long")
+    n_punct = text.punct_count_expr(F.col("text"))
     return (
         t["documents"]
         .select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
@@ -1070,7 +1068,8 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
           SELECT doc_id, source,
-                 LEAST(len(regexp_extract_all(text, '\\S+')), 2048) AS n_tokens
+                 LEAST(len(regexp_extract_all(COALESCE(text, ''),
+                                              '\\S+')), 2048) AS n_tokens
           FROM documents
         )
         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2576,7 +2575,7 @@ def llm_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                      COALESCE(CASE WHEN len(toks) = 0 THEN FALSE
                           ELSE (len(toks) BETWEEN 20 AND 2000
                                 AND length(text) / len(toks) <= 12
-                                AND len(regexp_extract_all(text,
+                                AND len(regexp_extract_all(COALESCE(text, ''),
                                         '[.,;:!?]')) * 4 <= len(toks))
                           END, FALSE) AS q_ok
               FROM f),
@@ -2618,9 +2617,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = text.tokens_expr(F.col("text"))
     n_tok = F.size(toks)
-    n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(text.PUNCT_RE), 0)
-    )
+    n_punct = text.punct_count_expr(F.col("text"))
     q_ok = F.coalesce(
         F.when(n_tok == 0, F.lit(False)).otherwise(
             n_tok.between(20, 2000)

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import dbl, dec
 from ..sources.tables import load_tables, register_views, ts_event_time, ts_micros
+from ..scratch import scratch_dir, unique_name
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -581,7 +582,8 @@ def b13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH d AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 10 = 7 THEN []::VARCHAR[]
-                      ELSE regexp_extract_all(text, '\\S+')[:3] END AS toks
+                      ELSE regexp_extract_all(COALESCE(text, ''),
+                                              '\\S+')[:3] END AS toks
           FROM documents
         )
         SELECT doc_id,
@@ -596,13 +598,18 @@ def b17_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is empty — losing every short/empty document from a downstream
     join spine; explode_outer keeps them as one null-element row.  A
     tenth of the docs get an empty token array in-query to prove the
-    preservation; '<empty>' marks the survivors."""
+    preservation; '<empty>' marks the survivors.  NULL text is coalesced
+    to '' on BOTH sides so a null-text row takes the explicit empty-array
+    branch in each engine (Spark's explode_outer over a NULL array would
+    emit one null-element row while DuckDB's unnest(NULL) emits zero)."""
     from ..operators.text import tokens_expr
 
     t = load_tables(spark, sf_dir)
     toks = F.when(
         F.col("doc_id") % 10 == 7, F.array().cast("array<string>")
-    ).otherwise(F.slice(tokens_expr(F.col("text")), 1, 3))
+    ).otherwise(
+        F.slice(tokens_expr(F.coalesce(F.col("text"), F.lit(""))), 1, 3)
+    )
     return t["documents"].select(
         "doc_id", F.explode_outer(toks).alias("tok")
     ).select("doc_id", F.coalesce(F.col("tok"), F.lit("<empty>")).alias("tok"))
@@ -626,10 +633,8 @@ def b02_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py).  Nested pruning is what keeps a
     struct-heavy 100 TB table from paying full-row I/O for a two-field
     rollup."""
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="nested_proj_")
+    out = scratch_dir("nested_proj_")
     (
         t["documents"]
         .select(
@@ -1050,10 +1055,8 @@ def b01_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is additive schema evolution on the storage side (the DSv2
     connector covers the write side); without mergeSchema the scan would
     silently take one footer's schema and drop the new column."""
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="schema_evo_")
+    out = scratch_dir("schema_evo_")
     t["documents"].write.mode("overwrite").parquet(f"{out}/v1")
     (
         t["documents"]
@@ -1805,10 +1808,8 @@ def b01_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline that turns a 100 TB scan into a 2-partition read.  (The
     write is a per-query temp dir; at production scale the layout already
     exists and only the pruned read runs.)"""
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="events_by_type_")
+    out = scratch_dir("events_by_type_")
     t["events"].write.partitionBy("event_type").mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     pruned = back.filter(F.col("event_type").isin("click", "purchase"))
@@ -1891,10 +1892,13 @@ def b04_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the repeated-join discipline: pay the layout shuffle
     once at write time, join shuffle-free forever after.  (The write goes
     to a per-query temp path; production tables already live bucketed.)"""
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="bucketed_join_")
+    out = scratch_dir("bucketed_join_")
+    # per-invocation table names: concurrent runs in one session must not
+    # race on a shared catalog entry (the tables are dropped on the next
+    # invocation's overwrite anyway, but the names must never collide).
+    orders_tbl = unique_name("bq_spark_orders_bucketed")
+    lineitem_tbl = unique_name("bq_spark_lineitem_bucketed")
     (
         t["orders"]
         .select("o_orderkey", "o_orderstatus")
@@ -1902,7 +1906,7 @@ def b04_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("o_orderkey")
         .option("path", f"{out}/orders")
         .mode("overwrite")
-        .saveAsTable("bq_spark_orders_bucketed")
+        .saveAsTable(orders_tbl)
     )
     (
         t["lineitem"]
@@ -1911,15 +1915,15 @@ def b04_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("l_orderkey")
         .option("path", f"{out}/lineitem")
         .mode("overwrite")
-        .saveAsTable("bq_spark_lineitem_bucketed")
+        .saveAsTable(lineitem_tbl)
     )
     # merge hint keeps the small side out of a broadcast so the bucketed
     # SMJ path (the one that matters at scale) is what actually runs.
     j = (
-        spark.table("bq_spark_lineitem_bucketed")
+        spark.table(lineitem_tbl)
         .hint("merge")
         .join(
-            spark.table("bq_spark_orders_bucketed"),
+            spark.table(orders_tbl),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
@@ -2531,10 +2535,17 @@ def b01_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     task-scheduling overhead dominate once files drop below ~100 MB; a
     production compactor picks the target count from bytes/file instead
     of a literal 4, with identical plan shape."""
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="compaction_")
+    out = scratch_dir("compaction_")
+    # the oracle hardcodes files_before=64 / files_after=4, which requires
+    # >=64 rows so every repartition output partition is non-empty; fail
+    # loudly at the precondition instead of mysteriously in the hash.
+    n_events = t["events"].count()
+    if n_events < 64:
+        raise ValueError(
+            f"b01_compaction needs >=64 events rows for the 64-file "
+            f"layout oracle; got {n_events} at {sf_dir}"
+        )
     t["events"].repartition(64).write.mode("overwrite").parquet(f"{out}/small")
     small = spark.read.parquet(f"{out}/small")
     files_before = len(small.inputFiles())
@@ -2706,12 +2717,10 @@ def b01_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (schema inference is a full extra pass at 100 TB and
     is banned here); ORC/parquet carry their own."""
     import os
-    import tempfile
-
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    root = tempfile.mkdtemp(prefix="src_formats_")
+    root = scratch_dir("src_formats_")
     frames = []
     for fmt in ("csv", "json", "orc", "parquet"):
         path = os.path.join(root, fmt)

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dbl, dec
 from ..sources.tables import load_tables, ts_event_time
+from ..scratch import scratch_dir
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -98,7 +98,7 @@ def _write_chunks(sf_dir: str, scheme: str) -> str:
         ts = pc.cast(pc.cast(ts_col, pa.timestamp("ns")), "int64")
     else:
         ts = pc.cast(ts_col, "int64")  # already integer nanos
-    out_dir = tempfile.mkdtemp(prefix=f"events_{scheme}_")
+    out_dir = scratch_dir(f"events_{scheme}_")
     if scheme == "ordered":
         bounds = [None, *CHUNK_BOUNDS, None]
         masks = []
@@ -179,7 +179,7 @@ class _stream_partitions:
 def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
     """Run the streaming DataFrame to completion into a memory sink."""
     name = f"stream_result_{os.getpid()}_{next(_name_counter)}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = scratch_dir("ckpt_")
     with _stream_partitions(df.sparkSession):
         q = (
             df.writeStream.format("memory")
@@ -726,7 +726,7 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import DefaultStreamSink
 
     load_tables(spark, sf_dir)
-    backend_root = tempfile.mkdtemp(prefix="fbq_sink_")
+    backend_root = scratch_dir("fbq_sink_")
     table = "proj.ds.events_sink"
     ev = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
@@ -737,7 +737,7 @@ def b26_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigger=BatchTriggerSettings(max_count=500, max_bytes=256 * 1024),
     )
     q = sink.start(
-        ev, tempfile.mkdtemp(prefix="ckpt_sink_"), available_now=True
+        ev, scratch_dir("ckpt_sink_"), available_now=True
     )
     q.awaitTermination()
     # read back through the connector: distributed (stream, row-range)
@@ -769,14 +769,14 @@ def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import BufferedStreamSink
 
     load_tables(spark, sf_dir)
-    backend_root = tempfile.mkdtemp(prefix="fbq_eo_")
+    backend_root = scratch_dir("fbq_eo_")
     table = "proj.ds.events_eo"
     ev = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
     sink = BufferedStreamSink(backend_root, table)
     q = sink.start(
-        ev, tempfile.mkdtemp(prefix="ckpt_eo_"), available_now=True
+        ev, scratch_dir("ckpt_eo_"), available_now=True
     )
     q.awaitTermination()
     # distributed read of the VISIBLE (flushed) rows only — unflushed
@@ -820,7 +820,7 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     ensure_package_on_executors(spark)
-    backend_root = tempfile.mkdtemp(prefix="fbq_ss_")
+    backend_root = scratch_dir("fbq_ss_")
     state_dir = os.path.join(backend_root, "state")
     table = "proj.ds.events_keyed"
 
@@ -859,7 +859,7 @@ def b26_stream_state_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
     q = (
         ev.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ss_"))
+        .option("checkpointLocation", scratch_dir("ckpt_ss_"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -927,7 +927,7 @@ def b26_stream_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream_state import keyed_offset_assignment_tws
 
     load_tables(spark, sf_dir)
-    backend_root = tempfile.mkdtemp(prefix="fbq_tws_")
+    backend_root = scratch_dir("fbq_tws_")
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
     out = keyed_offset_assignment_tws(
         ev, "user_id", backend_root, "proj.ds.events_tws"
@@ -1034,7 +1034,7 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     load_tables(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="matview_")
+    state_dir = scratch_dir("matview_")
     path = os.path.join(state_dir, "agg.json")
 
     def merge_batch(df: DataFrame, batch_id: int) -> None:
@@ -1063,7 +1063,7 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         q = (
             ev.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mv_"))
+            .option("checkpointLocation", scratch_dir("ckpt_mv_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1107,7 +1107,7 @@ def _write_ordered_chunks(
     cuts = [lo - 1] + [
         lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
     ] + [hi]
-    out_dir = tempfile.mkdtemp(prefix=f"{table}_ordered_")
+    out_dir = scratch_dir(f"{table}_ordered_")
     for i in range(n_chunks):
         m = pc.and_(pc.greater(ids, cuts[i]), pc.less_equal(ids, cuts[i + 1]))
         path = os.path.join(out_dir, f"c{i}.parquet")
@@ -1134,7 +1134,7 @@ def _simhash_band_keys(sig: DataFrame) -> DataFrame:
     oracle=f"""
         WITH h AS (
           SELECT doc_id,
-                 list_transform(regexp_extract_all(text, '\\S+'),
+                 list_transform(regexp_extract_all(COALESCE(text, ''), '\\S+'),
                                 t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS th
           FROM documents
         ),
@@ -1171,7 +1171,7 @@ def b24_stream_neardup_history(
     from ..operators.text import tokens_expr
 
     chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
-    store = tempfile.mkdtemp(prefix="simhash_store_")
+    store = scratch_dir("simhash_store_")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -1258,7 +1258,7 @@ def b24_stream_neardup_history(
         )
         sig.unpersist()
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_nd_")
+    ckpt = scratch_dir("ckpt_nd_")
     with _stream_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(process)
@@ -1312,7 +1312,7 @@ def b28_stream_incremental_topk(
 
     k = 5
     chunk_dir = _write_ordered_chunks(sf_dir, "embeddings", "vec_id", n_chunks)
-    store = tempfile.mkdtemp(prefix="topk_store_")
+    store = scratch_dir("topk_store_")
     emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     queries = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1373,7 +1373,7 @@ def b28_stream_incremental_topk(
         # per batch.
         top.write.mode("overwrite").parquet(os.path.join(store, f"b{batch_id}"))
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_tk_")
+    ckpt = scratch_dir("ckpt_tk_")
     with _stream_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(process)
@@ -1498,51 +1498,100 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog consumer): every event is an upsert for its user except
     'purchase', which is a delete tombstone; each micro-batch reduces to
     per-user last ops (one window, |users-in-batch| rows out) and MERGEs
-    them into the keyed state table — newest (ts, event_id) wins, a
-    tombstone removes the key.  After AvailableNow replay the maintained
-    table equals the batch keep-latest-minus-deleted rule exactly.
+    them into a DISTRIBUTED keyed state table — newest (ts, event_id)
+    wins; tombstones are kept in state with an explicit ``is_delete``
+    flag (never encoded as a NULL value, so a genuine NULL-valued upsert
+    survives as a row with NULL value).  After AvailableNow replay the
+    state table equals the batch keep-latest-minus-deleted rule exactly.
 
-    Scale shape: the per-batch shuffle carries one row per ACTIVE key in
-    the batch, never history; the state table is the merge target (a
-    keyed Delta/Hudi table in production — here the same driver-side
-    store the matview uses, sized |users|)."""
+    Scale shape (the Delta-style copy-on-write MERGE): the state table
+    is hash-partitioned into key buckets on disk; each batch (1) reduces
+    to one row per active key (distributed window), (2) reads back ONLY
+    the buckets the batch touches, (3) re-reduces batch+existing with
+    the same newest-wins window, (4) rewrites just those buckets to a
+    new version directory.  Per-key state NEVER reaches the driver — the
+    only driver-side collect is the touched-bucket list (bounded by the
+    bucket count) and a bucket→file manifest of the same size, the moral
+    equivalent of a Delta transaction log entry.  Reference semantics
+    preserved: newest-(ts,id)-wins with delete tombstones, the
+    offset-integrity spirit of ``process/StreamStateHandler.java:53-102``.
+    Plan-pinned: tests/test_scale_patterns.py (no per-key collect).
+    """
     import json as _json
 
     load_tables(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="cdc_apply_")
-    path = os.path.join(state_dir, "state.json")
+    n_buckets = 16
+    root = scratch_dir("cdc_apply_")
+    manifest_path = os.path.join(root, "manifest.json")
+    state_schema = (
+        "user_id long, last_event long, value double, "
+        "tmicros long, is_delete boolean"
+    )
+
+    def _bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
     def merge_batch(df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        sess = df.sparkSession
         w = Window.partitionBy("user_id").orderBy(
             F.col("tmicros").desc(), F.col("event_id").desc()
         )
-        last = (
+        batch_last = (
             df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type", "value", "tmicros")
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_id").cast("long").alias("last_event"),
+                F.col("value").cast("double").alias("value"),
+                F.col("tmicros").cast("long").alias("tmicros"),
+                (F.col("event_type") == F.lit("purchase")).alias(
+                    "is_delete"
+                ),
+            )
+        )
+        # the ONLY collect: distinct bucket ids, bounded by n_buckets
+        touched = sorted(
+            r["b"]
+            for r in batch_last.select(
+                _bucket(F.col("user_id")).alias("b")
+            )
+            .distinct()
             .collect()
         )
-        cur: dict = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                cur = _json.load(f)
-        for r in last:
-            k = str(r["user_id"])
-            prev = cur.get(k)
-            newer = prev is None or (r["tmicros"], r["event_id"]) > (
-                prev[0], prev[1]
+        if not touched:
+            return
+        manifest: dict = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = _json.load(f)
+        existing_paths = [
+            manifest[str(b)] for b in touched if str(b) in manifest
+        ]
+        merged = batch_last
+        if existing_paths:
+            existing = sess.read.schema(state_schema).parquet(
+                *existing_paths
             )
-            if newer:
-                if r["event_type"] == "purchase":  # tombstone
-                    cur[k] = (r["tmicros"], r["event_id"], None)
-                else:
-                    cur[k] = (r["tmicros"], r["event_id"], r["value"])
-        tmp = path + ".tmp"
+            merged = batch_last.unionByName(existing)
+        w2 = Window.partitionBy("user_id").orderBy(
+            F.col("tmicros").desc(), F.col("last_event").desc()
+        )
+        out = (
+            merged.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("bucket", _bucket(F.col("user_id")))
+        )
+        vdir = os.path.join(root, f"v{batch_id}")
+        out.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        for b in touched:
+            manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+        tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump(cur, f)
-        os.replace(tmp, path)
+            _json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id",
@@ -1554,18 +1603,22 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         q = (
             ev.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+            .option("checkpointLocation", scratch_dir("ckpt_cdc_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    with open(path) as f:
-        final = _json.load(f)
-    rows = [
-        (int(k), int(eid), float(v))
-        for k, (tm, eid, v) in sorted(final.items(), key=lambda kv: int(kv[0]))
-        if v is not None
-    ]
-    return spark.createDataFrame(
-        rows, "user_id long, last_event long, value double"
-    ).orderBy("user_id")
+    manifest = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+    if not manifest:
+        return spark.createDataFrame(
+            [], "user_id long, last_event long, value double"
+        )
+    state = spark.read.schema(state_schema).parquet(*manifest.values())
+    return (
+        state.filter(~F.col("is_delete"))
+        .select("user_id", "last_event", "value")
+        .orderBy("user_id")
+    )

@@ -94,7 +94,11 @@ NULL_SWEEP = [
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
     "llm_multimodal_segments", "llm_corpus_shard",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
-    "llm_bpe_train",
+    "llm_bpe_train", "b17_explode_outer",
+    # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
+    # distinction: an upsert whose value is NULL must survive as a
+    # NULL-valued row, never be confused with a delete.
+    "b26_stream_cdc_apply",
 ]
 
 
@@ -132,15 +136,71 @@ def nulled_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+def _canon_cell(v):
+    import math
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, bytes):
+        return f"bytes:{v.hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(
+        tuple(_canon_cell(r[i]) for i in order) for r in rows
+    )
+
+
 @pytest.mark.parametrize("name", NULL_SWEEP)
 def test_query_survives_null_injection(spark, nulled_dir, name):
-    """Dirty-data robustness: null text/props/value rows must flow
-    through (filtered, nulled, or counted) — never crash the job."""
+    """Dirty-data robustness, oracle-grade: on the NULL-injected tables
+    the Spark result must still MATCH the DuckDB oracle bit-for-bit (not
+    merely avoid crashing) — this is what catches cross-engine NULL
+    divergences like legacy size(NULL) vs len(NULL)."""
+    import duckdb
+
     try:
         df = REGISTRY[name].fn(spark, nulled_dir)
-        assert df.count() >= 0
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
     finally:
         release_caches(spark)
+    oracle = REGISTRY[name].oracle
+    if oracle is None:
+        assert len(srows) >= 0
+        return
+    con = duckdb.connect()
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{nulled_dir}/{t}.parquet/*.parquet'"
+            )
+        cur = con.execute(oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+    assert _canon(scols, srows) == _canon(ocols, orows)
 
 
 DETERMINISM_SWEEP = [

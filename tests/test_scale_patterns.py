@@ -349,3 +349,34 @@ def test_nested_projection_prunes_to_leaf_paths(spark):
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" in rs and "chars" in rs
     assert "body" not in rs
+
+
+def test_cdc_apply_state_never_collects_keys(spark, monkeypatch):
+    """b26_stream_cdc_apply's keyed state is DISTRIBUTED: the only
+    driver-side collect inside the merge loop is the touched-bucket list
+    (bounded by the bucket count), never per-key rows.  Guards against
+    regressing to a driver-side state dict."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    n_buckets_bound = 16
+    sizes = []
+    orig = CDF.collect
+
+    def tracking_collect(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(CDF, "collect", tracking_collect)
+    try:
+        df = REGISTRY["b26_stream_cdc_apply"].fn(spark, SF_DIR)
+        # building the result must not have collected per-key state;
+        # every recorded collect is a touched-bucket list
+        assert sizes, "expected at least one touched-bucket collect"
+        assert max(sizes) <= n_buckets_bound, sizes
+    finally:
+        monkeypatch.undo()
+    n = df.count()
+    assert n > 0
