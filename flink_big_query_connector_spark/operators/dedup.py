@@ -440,8 +440,13 @@ def simhash_pairs(
 def embedding_neardup_pairs(
     emb_df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """Cosine >= threshold pairs (blocked quadratic join; correctness
-    baseline — the LSH-bucketed path lives in similarity.py)."""
+    """Cosine >= threshold pairs by blocked quadratic join.
+
+    TEST-ONLY oracle helper: exact all-pairs ground truth for measuring
+    the banded-LSH path's recall (tests/test_clustering.py).  It is NOT a
+    registry query — the advertised operator is
+    similarity.embedding_neardup_pairs_lsh, whose pair work scales with
+    LSH bucket size instead of O(corpus^2)."""
     a = spread(emb_df).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -119,6 +119,108 @@ def rp_signature_expr(vec):
     ).otherwise(sig)
 
 
+def band_signature_expr(vec, planes: list[int]):
+    """Sign signature over an explicit plane list (one LSH band).
+
+    Same construction as :func:`rp_signature_expr` but parameterized by
+    plane indices, so banded schemes can draw from a wider plane pool
+    (the md5 weight table is defined for every plane index)."""
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        sig = sig + F.when(
+            _plane_projection(vec, p) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return F.when(
+        F.size(vec) > MAX_DIM,
+        F.raise_error(
+            F.lit(f"band_signature_expr: vector dim exceeds MAX_DIM={MAX_DIM}")
+        ).cast("long"),
+    ).otherwise(sig)
+
+
+def sql_rp_band(vec_expr: str, dim: int, planes: list[int]) -> str:
+    """DuckDB twin of :func:`band_signature_expr`."""
+    terms = []
+    for j, p in enumerate(planes):
+        w = _plane_weights(p, dim)
+        arr = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def embedding_neardup_pairs_lsh(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bands: int = 4,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH — the
+    scale path that replaces the all-pairs crossJoin baseline.
+
+    Candidate generation: each vector gets ``n_bands`` sign signatures
+    (band b uses planes ``b*band_planes .. b*band_planes+band_planes-1``);
+    a pair is a candidate iff it collides on at least one band (the
+    classic banded-LSH contract, same recall semantics as the MinHash
+    band scheme in ``llm_dedup_minhash_lsh``); the cosine is then
+    verified only on candidates.  Deterministic md5-derived planes make
+    the whole pipeline hash-exact against a DuckDB oracle that mirrors
+    the identical bands.
+
+    Scale shape: the band shuffle carries (id, band, key) only — never
+    the vectors; after the candidate pairs are deduped across bands, the
+    embeddings are joined back by id for the cosine verify.  Pair work
+    scales with bucket size (corpus / 2^band_planes per band), not
+    corpus size; no CartesianProduct anywhere (plan-pinned in
+    tests/test_scale_patterns.py)."""
+    base = spread(emb_df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_signature_expr(
+                    F.col("v"),
+                    [b * band_planes + j for j in range(band_planes)],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    entries = base.select("vid", F.explode(bands).alias("bk")).select(
+        "vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = entries.select(F.col("vid").alias("id_a"), "band", "key")
+    b = entries.select(F.col("vid").alias("id_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb_df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = emb_df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos",
+            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def sql_rp_bucket(vec_expr: str, dim: int) -> str:
     """DuckDB twin of :func:`rp_signature_expr` for a ``dim``-wide DOUBLE[]
     expression — same md5-derived weight table, inlined as list literals."""
@@ -271,6 +373,59 @@ def kmeans_centroids(
     )
     model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def lloyd_kmeans_centroids(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = N_CENTROIDS,
+    iters: int = 3,
+) -> list[tuple[int, list]]:
+    """Deterministic distributed Lloyd iterations — hash-exact k-means.
+
+    Initialization is the fixed first-k-by-id centroid set (no RNG), and
+    every update computes per-cell per-dimension means with ORDER-FREE
+    arithmetic: components are summed in the decimal domain (exact, any
+    partitioning) and divided once in double.  Both choices make the
+    trained model bitwise-reproducible on any cluster size AND exactly
+    mirrorable in a DuckDB oracle (see llm_ops.llm_ann_ivf_kmeans) —
+    unlike MLlib's seeded k-means‖ init (:func:`kmeans_centroids`),
+    which is rows-only-checkable.
+
+    Scale shape per iteration: assignment is a map-side argmax against
+    plan-literal centroids (no join), the update is one distributed
+    partial aggregation over (cell, dim), and the collect is the
+    k x dim model — KB-sized by construction.
+    """
+    cents = fixed_centroids(emb_df, id_col, vec_col)
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        cells = ivf_cells_with(emb_df, id_col, vec_col, cents)
+        agg = (
+            cells.select(
+                "cell", F.posexplode(F.col("v")).alias("idx", "val")
+            )
+            .groupBy("cell", "idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "idx",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg.collect():  # k x dim rows — the model
+            by_cell.setdefault(r["cell"], {})[r["idx"]] = r["m"]
+        cents = sorted(
+            (c, [d[i] for i in range(dim)]) for c, d in by_cell.items()
+        )
+    return cents
 
 
 def ivf_cells_with(

@@ -204,22 +204,64 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_BANDS = 4
+_NEARDUP_BAND_PLANES = 4
+
+
+def _sql_neardup_bands() -> str:
+    """UNION ALL of the per-band (vec_id, band, key) signature relations —
+    the DuckDB mirror of similarity.embedding_neardup_pairs_lsh's
+    candidate generation."""
+    parts = []
+    for b in range(_NEARDUP_BANDS):
+        planes = [
+            b * _NEARDUP_BAND_PLANES + j
+            for j in range(_NEARDUP_BAND_PLANES)
+        ]
+        key = similarity.sql_rp_band("embedding::DOUBLE[]", _EMB_DIM, planes)
+        parts.append(
+            f"SELECT vec_id, {b} AS band, {key} AS key FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
 @register(
     "llm_dedup_embedding",
-    oracle="""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]), 6) >= 0.4
+    oracle=f"""
+        WITH bands AS ({_sql_neardup_bands()}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS cos
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+        WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 6) >= 0.4
     """,
     tags=("dedup",),
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (>= 0.4, rounded 6dp)."""
+    """Embedding cosine near-dup pairs (>= 0.4, rounded 6dp) via banded
+    RP-LSH candidate generation — pair work scales with LSH bucket size,
+    never O(corpus^2); the all-pairs crossJoin variant survives only as a
+    test oracle helper (operators/dedup.py::embedding_neardup_pairs).
+    The oracle mirrors the deterministic bands, so the banded recall
+    contract is hash-exact, exactly like llm_dedup_minhash_lsh."""
     t = load_tables(spark, sf_dir)
-    return dedup.embedding_neardup_pairs(t["embeddings"], "vec_id", "embedding", 0.4)
+    return similarity.embedding_neardup_pairs_lsh(
+        t["embeddings"],
+        "vec_id",
+        "embedding",
+        0.4,
+        n_bands=_NEARDUP_BANDS,
+        band_planes=_NEARDUP_BAND_PLANES,
+    )
 
 
 @register(
@@ -1133,17 +1175,77 @@ def llm_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_ivf_kmeans", oracle=None, tags=("similarity", "iterative"))
+_KMEANS_ITERS = 3
+
+
+def _sql_kmeans_oracle(iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB mirror of the deterministic Lloyd loop in
+    similarity.lloyd_kmeans_centroids: first-16-by-id init, per-iteration
+    argmax assignment (rounded-6dp cosine, lowest cell wins ties) and
+    decimal-domain per-dimension means — bitwise the same model."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell, v AS cvec FROM e "
+        "WHERE vec_id < 16)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY round(list_cosine_similarity(e.v, c.cvec),
+                                       6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN c{i - 1} c) s WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+          SELECT cell, t.i AS idx,
+                 CAST(SUM(CAST(v[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                     / COUNT(*) AS m
+          FROM a{i}, range(1, {_EMB_DIM + 1}) t(i)
+          GROUP BY cell, t.i)"""
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cell, list(m ORDER BY idx) AS cvec "
+            f"FROM u{i} GROUP BY cell)"
+        )
+    ctes.append(
+        f"""af AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY round(list_cosine_similarity(e.v, c.cvec),
+                                       6) DESC, c.cell) AS rn
+            FROM e CROSS JOIN c{iters} c) s WHERE rn = 1)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors "
+        "FROM af GROUP BY cell ORDER BY cell"
+    )
+
+
+@register(
+    "llm_ann_ivf_kmeans",
+    oracle=_sql_kmeans_oracle(),
+    tags=("similarity", "iterative"),
+)
 def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with TRAINED centroids: distributed Lloyd iterations (MLlib)
-    produce the coarse quantizer, then every vector is assigned by the
-    same literal-inline argmax as the fixed-centroid IVF.  Rows-only by
-    nature (k-means is iterative/seed-dependent; no SQL oracle), asserted
-    structurally in pytest: cells partition the corpus and within-cell
-    cohesion beats the untrained first-N-vectors quantizer."""
+    """IVF with TRAINED centroids: deterministic distributed Lloyd
+    iterations (first-16-by-id init, decimal-exact means — see
+    operators/similarity.py::lloyd_kmeans_centroids) produce the coarse
+    quantizer, then every vector is assigned by the same literal-inline
+    argmax as the fixed-centroid IVF.  The whole training loop is
+    mirrored in the DuckDB oracle, making the trained model HASH-EXACT —
+    no rows-only carve-out; the MLlib-seeded variant remains available as
+    similarity.kmeans_centroids for deployments that prefer k-means‖
+    init over reproducibility."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding")
+    cents = similarity.lloyd_kmeans_centroids(
+        emb, "vec_id", "embedding", iters=_KMEANS_ITERS
+    )
     cells = similarity.ivf_cells_with(emb, "vec_id", "embedding", cents)
     return (
         cells.groupBy("cell")

@@ -61,3 +61,32 @@ def test_random_graphs_match_union_find(spark):
             }
         )
         assert _run(spark, edges) == _cc_reference(edges)
+
+
+def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
+    """The banded-LSH near-dup pair set must be a SUBSET of the exact
+    all-pairs ground truth (no false positives survive the cosine
+    verify), and on the high-similarity regime (cos >= 0.7, where the
+    banded contract promises most of its recall) it must find a clear
+    majority of the true pairs."""
+    from flink_big_query_connector_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.embedding_neardup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    assert lsh <= exact
+    hi_exact = {p for p in exact if p[2] >= 0.7}
+    if hi_exact:
+        hi_found = {p for p in lsh if p[2] >= 0.7}
+        assert len(hi_found) >= 0.5 * len(hi_exact), (
+            len(hi_found), len(hi_exact))

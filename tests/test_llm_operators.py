@@ -840,3 +840,47 @@ def test_bpe_merge_fold_randomized_chains(spark):
         }
         for i, toks in enumerate(cases):
             assert got[i] == py_merge(toks, a, b), (a, b, i, toks)
+
+
+def test_lloyd_kmeans_is_deterministic_and_coherent(spark, sf_dir):
+    """The deterministic Lloyd trainer must (a) return bitwise-identical
+    centroids under a different partitioning (decimal-domain means are
+    order-free) and (b) not lose to the untrained first-N quantizer on
+    within-cell cohesion."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = similarity.lloyd_kmeans_centroids(emb, "vec_id", "embedding")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        c2 = similarity.lloyd_kmeans_centroids(
+            emb.repartition(5), "vec_id", "embedding"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert c1 == c2  # bitwise: exact decimal sums, single double divide
+
+    import numpy as np
+
+    def mean_best_cos(cells_df, cents):
+        by_id = {cid: np.array(cvec) for cid, cvec in cents}
+        tot, n = 0.0, 0
+        for r in cells_df.select("cell", "v").collect():
+            v = np.array(r["v"], dtype=float)
+            cv = by_id[r["cell"]]
+            tot += float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+            n += 1
+        return tot / n
+
+    fixed_cents = similarity.fixed_centroids(emb, "vec_id", "embedding")
+    fixed_cells = similarity.ivf_cells(emb, "vec_id", "embedding")
+    trained_cells = similarity.ivf_cells_with(
+        emb, "vec_id", "embedding", c1
+    )
+    assert trained_cells.count() == emb.count()
+    assert mean_best_cos(trained_cells, c1) >= mean_best_cos(
+        fixed_cells, fixed_cents
+    ) - 1e-6

@@ -380,3 +380,15 @@ def test_cdc_apply_state_never_collects_keys(spark, monkeypatch):
         monkeypatch.undo()
     n = df.count()
     assert n > 0
+
+
+def test_embedding_neardup_has_no_cartesian_product(spark):
+    """llm_dedup_embedding must generate candidates via the banded-LSH
+    equi-join — never an all-pairs CartesianProduct / unbounded
+    BroadcastNestedLoopJoin over the corpus side."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_dedup_embedding"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
