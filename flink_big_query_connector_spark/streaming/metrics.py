@@ -64,6 +64,118 @@ class SinkMetrics:
         }
 
 
+class StreamMetrics:
+    """Executor-side per-(table, stream, writer) gauge holder — the value
+    object of ``metric/BigQueryStreamMetrics.java:3-55``: ``stream_offset``
+    (always 0 for at-least-once, per the reference metrics table),
+    ``batch_count`` / ``batch_size_mb`` (LAST appended batch),
+    ``split_batch_count``, ``callback_timeouts``, plus the writer-level
+    ``inflight_wait_seconds`` gauge of
+    ``sink/BigQuerySinkWriter.java:72-78``.
+
+    ``seq`` orders snapshots so the driver-side merge keeps the newest
+    value for last-batch gauges while taking max for monotonic ones
+    (task-retry safe)."""
+
+    __slots__ = (
+        "table", "stream", "writer_id", "offset", "batch_count",
+        "batch_size_mb", "split_batch_count", "timeout_count",
+        "inflight_wait_seconds", "seq",
+    )
+
+    def __init__(self, table: str, stream: str, writer_id: str = "0"):
+        self.table = table
+        self.stream = stream
+        self.writer_id = writer_id
+        self.offset = 0
+        self.batch_count = 0
+        self.batch_size_mb = 0.0
+        self.split_batch_count = 0
+        self.timeout_count = 0
+        self.inflight_wait_seconds = 0.0
+        self.seq = 0
+
+    def record_append(self, n_rows: int, size_bytes: int, offset: int) -> None:
+        """After a successful append: last-batch gauges + offset.
+        ``updateSize`` divides by 1e6 exactly like the reference."""
+        self.seq += 1
+        self.batch_count = n_rows
+        self.batch_size_mb = size_bytes / 1_000_000.0
+        if offset >= 0:  # buffered/exactly-once streams track offsets
+            self.offset = offset + n_rows
+
+    def snapshot(self) -> dict:
+        return {
+            "offset": self.offset,
+            "batch_count": self.batch_count,
+            "batch_size_mb": self.batch_size_mb,
+            "split_batch_count": self.split_batch_count,
+            "callback_timeouts": self.timeout_count,
+            "inflight_wait_seconds": self.inflight_wait_seconds,
+            "seq": self.seq,
+        }
+
+
+def _merge_snapshots(cur: dict, new: dict) -> dict:
+    newest = new if new["seq"] >= cur["seq"] else cur
+    out = dict(newest)
+    # monotonic fields: max survives out-of-order/retried deliveries
+    for k in ("offset", "split_batch_count", "callback_timeouts", "seq"):
+        out[k] = max(cur[k], new[k])
+    out["inflight_wait_seconds"] = max(
+        cur["inflight_wait_seconds"], new["inflight_wait_seconds"]
+    )
+    return out
+
+
+class StreamMetricsRegistry:
+    """Per-(table, stream, writer_id) gauge registry, executor -> driver.
+
+    Spark-idiomatic stand-in for Flink's per-stream metric groups
+    (``sink/BigQuerySinkWriter.java:116-128``): executor writer tasks hold
+    a local :class:`StreamMetrics` and ``publish`` snapshots into a
+    dict-valued accumulator; the driver reads live gauges keyed exactly
+    like the reference's ``stream``/``writer_id`` metric-group path."""
+
+    def __init__(self, acc):
+        self._acc = acc
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "StreamMetricsRegistry":
+        from pyspark.accumulators import AccumulatorParam
+
+        class _GaugeDict(AccumulatorParam):
+            def zero(self, value):
+                return {}
+
+            def addInPlace(self, a, b):
+                for k, snap in b.items():
+                    cur = a.get(k)
+                    a[k] = snap if cur is None else _merge_snapshots(
+                        cur, snap
+                    )
+                return a
+
+        return cls(spark.sparkContext.accumulator({}, _GaugeDict()))
+
+    def publish(self, sm: StreamMetrics) -> None:
+        """Executor side: push the holder's current snapshot."""
+        self._acc.add({(sm.table, sm.stream, sm.writer_id): sm.snapshot()})
+
+    def gauges(self) -> dict[tuple, dict]:
+        """Driver side: {(table, stream, writer_id): gauge dict}."""
+        return {k: dict(v) for k, v in self._acc.value.items()}
+
+    def stream_gauges(self, table: str, stream: str) -> dict:
+        """Gauges for one stream, merged across its writers (round-robin
+        ``streams_per_table`` fan-out shows up as multiple writer ids)."""
+        out: dict | None = None
+        for (t, s, _w), snap in self._acc.value.items():
+            if t == table and s == stream:
+                out = snap if out is None else _merge_snapshots(out, snap)
+        return dict(out) if out else {}
+
+
 def with_observed_sink_metrics(
     df: DataFrame, name: str = "sink_metrics"
 ) -> DataFrame:

@@ -108,6 +108,7 @@ def write_with_retry(
     sleep=time.sleep,
     _depth: int = 0,
     metrics=None,
+    stream_metrics=None,
 ) -> int:
     """Append ``rows`` at ``offset`` (-1 for default stream), surviving the
     transient-status taxonomy; returns rows actually appended (post-trim)."""
@@ -119,6 +120,10 @@ def write_with_retry(
             if metrics is not None:
                 metrics.batch_count += 1
                 metrics.append_rows += len(rows)
+            if stream_metrics is not None:
+                stream_metrics.record_append(
+                    len(rows), sum(json_size_of(r) for r in rows), offset
+                )
             return len(rows)
         except MessageTooLargeError:
             # Oversized: split in half recursively, preserving offsets
@@ -132,14 +137,17 @@ def write_with_retry(
             first, second = rows[:mid], rows[mid:]
             if metrics is not None:
                 metrics.split_batch_count += 1
+            if stream_metrics is not None:
+                stream_metrics.split_batch_count += 1
             n1 = write_with_retry(
                 client, table, stream, first, offset, settings,
-                trace_id, sleep, _depth + 1, metrics,
+                trace_id, sleep, _depth + 1, metrics, stream_metrics,
             )
             n2 = write_with_retry(
                 client, table, stream, second,
                 offset + len(first) if offset >= 0 else -1,
                 settings, trace_id, sleep, _depth + 1, metrics,
+                stream_metrics,
             )
             return n1 + n2
         except OffsetAlreadyExistsError as e:
@@ -212,29 +220,41 @@ class DefaultStreamSink:
         settings: WriterSettings | None = None,
         trigger: BatchTriggerSettings | None = None,
         metrics=None,
+        stream_registry=None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
         self.trigger = trigger or BatchTriggerSettings()
         self.metrics = metrics
+        self.stream_registry = stream_registry
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
         root, table = self.backend_root, self.table
         settings, trigger = self.settings, self.trigger
         metrics = self.metrics
+        registry = self.stream_registry
 
         def write_partition(rows_iter):
+            from .metrics import StreamMetrics
+
             pool = WriterPool(
                 lambda: FakeBigQuery(root), settings.streams_per_table
             )
             stream = DEFAULT_STREAM
+            sm = (
+                StreamMetrics(table, stream, uuid.uuid4().hex[:8])
+                if registry is not None
+                else None
+            )
             for chunk in chunk_rows((r[0] for r in rows_iter), trigger):
                 write_with_retry(
                     pool.writer(stream), table, stream, chunk, -1, settings,
-                    metrics=metrics,
+                    metrics=metrics, stream_metrics=sm,
                 )
+                if registry is not None:
+                    registry.publish(sm)
 
         # Serialize JVM-side (codegen to_json, A17): Python tasks see one
         # pre-serialized string per row instead of Row->dict->json.dumps.
@@ -277,12 +297,14 @@ class BufferedStreamSink:
         table: str,
         settings: WriterSettings | None = None,
         metrics=None,
+        stream_registry=None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
         self.client = FakeBigQuery(backend_root)
         self.metrics = metrics
+        self.stream_registry = stream_registry
 
     # -- commit log --------------------------------------------------------
     def _commit_path(self, batch_id: int) -> str:
@@ -349,8 +371,11 @@ class BufferedStreamSink:
         ensure_package_on_executors(df.sparkSession)
         root, table, settings = self.backend_root, self.table, self.settings
         metrics = self.metrics
+        registry = self.stream_registry
 
         def write_partition(pid: int, rows_iter):
+            from .metrics import StreamMetrics
+
             rows = [r[0] for r in rows_iter]
             if not rows:
                 return iter(())
@@ -358,13 +383,22 @@ class BufferedStreamSink:
             stream = client.create_write_stream(
                 table, "BUFFERED", name=f"{table}/streams/b{batch_id}-p{pid}"
             )
+            sm = (
+                StreamMetrics(table, stream, str(pid))
+                if registry is not None
+                else None
+            )
             # Replay-safe: the stream's current end is our base offset; on a
             # clean first run it is 0, on replay the trim logic absorbs
             # whatever is already durable.
             write_with_retry(
-                client, table, stream, rows, 0, settings, metrics=metrics
+                client, table, stream, rows, 0, settings, metrics=metrics,
+                stream_metrics=sm,
             )
             end = client.get_write_stream(table, stream).offset
+            if registry is not None:
+                sm.offset = end  # post-trim truth from the backend
+                registry.publish(sm)
             return iter([(stream, end)])
 
         serialized = _serialized_json(df)
@@ -405,6 +439,7 @@ class AsyncSink:
         trigger: BatchTriggerSettings | None = None,
         max_inflight: int = 4,  # reference AsyncBigQuerySink default
         metrics=None,
+        stream_registry=None,
     ):
         self.backend_root = backend_root
         self.table = table
@@ -412,6 +447,7 @@ class AsyncSink:
         self.trigger = trigger or BatchTriggerSettings()
         self.max_inflight = max_inflight
         self.metrics = metrics
+        self.stream_registry = stream_registry
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
@@ -420,20 +456,34 @@ class AsyncSink:
         max_inflight = self.max_inflight
         threads = max(1, settings.writer_threads)
         metrics = self.metrics
+        registry = self.stream_registry
 
         def write_partition(rows_iter):
+            from .metrics import StreamMetrics
+
             client = FakeBigQuery(root)
             sem = BoundedSemaphore(max_inflight)
             futures = []
+            sm = (
+                StreamMetrics(table, DEFAULT_STREAM, uuid.uuid4().hex[:8])
+                if registry is not None
+                else None
+            )
             with ThreadPoolExecutor(max_workers=max(threads, max_inflight)) as pool:
                 for chunk in chunk_rows((r[0] for r in rows_iter), trigger):
+                    # inflight_wait_seconds (reference
+                    # BigQuerySinkWriter.java:72-78): cumulative time this
+                    # writer spent blocked on the in-flight quota.
+                    t0 = time.monotonic()
                     sem.acquire()
+                    if sm is not None:
+                        sm.inflight_wait_seconds += time.monotonic() - t0
 
                     def task(c=chunk):
                         try:
                             return write_with_retry(
                                 client, table, DEFAULT_STREAM, c, -1,
-                                settings, metrics=metrics,
+                                settings, metrics=metrics, stream_metrics=sm,
                             )
                         finally:
                             sem.release()
@@ -447,7 +497,12 @@ class AsyncSink:
                     except FuturesTimeoutError:
                         if metrics is not None:
                             metrics.callback_timeouts += 1
+                        if sm is not None:
+                            sm.timeout_count += 1
+                            registry.publish(sm)
                         raise
+            if registry is not None:
+                registry.publish(sm)
 
         _serialized_json(df).foreachPartition(write_partition)
 

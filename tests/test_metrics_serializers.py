@@ -121,3 +121,85 @@ def test_noop_serializer_requires_binary(spark):
     not_bin = spark.range(1).select(F.col("id").alias("raw"))
     with pytest.raises(TypeError):
         serializers.noop_rows(not_bin, "raw")
+
+
+def test_per_stream_gauges_multi_stream_buffered_write(spark, tmp_path):
+    """Reference metrics-table parity (README.md:129-162): after a
+    buffered (exactly-once) write fanned over several per-partition
+    streams, the registry exposes per-(table, stream) gauges with the
+    stream's own offset, last batch_count, and batch_size_mb."""
+    from flink_big_query_connector_spark.streaming.metrics import (
+        StreamMetricsRegistry,
+    )
+    from flink_big_query_connector_spark.streaming.sinks import (
+        BufferedStreamSink,
+    )
+
+    registry = StreamMetricsRegistry.create(spark)
+    df = spark.range(90).withColumnRenamed("id", "value").repartition(3)
+    sink = BufferedStreamSink(
+        str(tmp_path / "bq"), "p.d.t", stream_registry=registry
+    )
+    sink.write_batch(df, 0)
+
+    gauges = registry.gauges()
+    streams = {s for (t, s, _w) in gauges if t == "p.d.t"}
+    assert len(streams) == 3  # one buffered stream per partition
+    total_offset = 0
+    for s in streams:
+        g = registry.stream_gauges("p.d.t", s)
+        assert g["offset"] == g["batch_count"]  # one append per stream
+        assert g["batch_size_mb"] > 0
+        assert g["split_batch_count"] == 0
+        total_offset += g["offset"]
+    assert total_offset == 90
+
+
+def test_per_stream_gauges_default_stream_offset_zero(spark, tmp_path):
+    """At-least-once default-stream writes keep stream_offset at 0 —
+    'When using at least once, the offset is always 0' (reference
+    README metrics table) — while batch gauges still update."""
+    from flink_big_query_connector_spark.streaming.metrics import (
+        StreamMetricsRegistry,
+    )
+
+    registry = StreamMetricsRegistry.create(spark)
+    df = spark.range(50).withColumnRenamed("id", "value")
+    sink = DefaultStreamSink(
+        str(tmp_path / "bq"),
+        "p.d.t",
+        trigger=BatchTriggerSettings(max_count=20),
+        metrics=None,
+        stream_registry=registry,
+    )
+    sink.write_batch(df.coalesce(1), 0)
+    g = registry.stream_gauges("p.d.t", DEFAULT_STREAM)
+    assert g["offset"] == 0
+    assert g["batch_count"] == 10  # last chunk: 50 = 20+20+10
+    assert g["batch_size_mb"] > 0
+
+
+def test_inflight_wait_seconds_gauge_under_backpressure(spark, tmp_path):
+    """The async sink's writer-level inflight_wait_seconds gauge
+    (BigQuerySinkWriter.java:72-78) must accumulate real wall time when
+    the in-flight quota throttles submissions."""
+    from flink_big_query_connector_spark.streaming.metrics import (
+        StreamMetricsRegistry,
+    )
+    from flink_big_query_connector_spark.streaming.sinks import AsyncSink
+
+    registry = StreamMetricsRegistry.create(spark)
+    slow_root = str(tmp_path / "bq")
+    df = spark.range(80).withColumnRenamed("id", "value")
+    sink = AsyncSink(
+        slow_root,
+        "p.d.t",
+        trigger=BatchTriggerSettings(max_count=10),
+        max_inflight=1,  # every submit must wait for the prior append
+        stream_registry=registry,
+    )
+    sink.write_batch(df.coalesce(1), 0)
+    g = registry.stream_gauges("p.d.t", DEFAULT_STREAM)
+    assert g["inflight_wait_seconds"] > 0.0
+    assert g["callback_timeouts"] == 0
+    assert FakeBigQuery(slow_root).table_count("p.d.t") == 80
