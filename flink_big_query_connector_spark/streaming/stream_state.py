@@ -187,7 +187,10 @@ def keyed_offset_assignment_tws(
     Implementation note: uses ``applyInPandasWithState`` — Spark 4's newer
     ``transformWithStateInPandas`` runner needs the python protobuf stack,
     which this environment lacks; the state semantics are identical for a
-    single ValueState.
+    single ValueState.  The native-TTL TWS port (the reference's 7-day
+    stream expiry, ``process/StreamStateHandler.java:33``, as a state-store
+    TTL instead of hand-rolled deadline checks) is
+    :func:`keyed_offset_assignment_native_tws`, import-gated on protobuf.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -228,4 +231,101 @@ def keyed_offset_assignment_tws(
         "name string, next_offset long",
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+STREAM_TTL_MS = 7 * 24 * 3600 * 1000  # reference StreamStateHandler.java:33
+
+
+def tws_runtime_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` Python runner serializes
+    state through the google.protobuf runtime in the worker; without it
+    the query fails at the first state access.  Gate, don't crash."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def keyed_offset_assignment_native_tws(
+    stream_df,
+    key_col: str,
+    backend_root: str,
+    table: str,
+    ttl_ms: int = STREAM_TTL_MS,
+):
+    """A4 on the ``transformWithStateInPandas`` API with NATIVE state TTL.
+
+    The reference expires idle per-key write streams after 7 days
+    (``process/StreamStateHandler.java:33``); the TWS ValueState TTL maps
+    that 1:1 — an idle key's (stream, offset) entry is evicted by the
+    state store itself, and the next record for the key lazily recreates
+    a fresh stream, exactly the recovery path ``_verify_or_recreate``
+    implements for the directory-backed handler.  Semantics otherwise
+    identical to :func:`keyed_offset_assignment_tws` (gapless per-key
+    offsets, ALREADY_EXISTS trim on replay).
+
+    Requires the python protobuf stack in the workers
+    (:func:`tws_runtime_available`); callers fall back to the
+    ``applyInPandasWithState`` variant when absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..session import ensure_package_on_executors
+
+    if not tws_runtime_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python workers; use keyed_offset_assignment_tws instead"
+        )
+    ensure_package_on_executors(stream_df.sparkSession)
+
+    class OffsetAssigner(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stream_offset",
+                "name string, next_offset long",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            from ..sources.fake_bigquery import FakeBigQuery
+            from ..streaming.config import WriterSettings
+            from ..streaming.sinks import write_with_retry
+
+            client = FakeBigQuery(backend_root)
+            batch = pd.concat(list(rows), ignore_index=True)
+            cur = self._state.get()
+            if cur is not None:
+                stream, base = cur[0], int(cur[1])
+            else:  # first record for the key, or TTL-evicted entry
+                stream = client.create_write_stream(table, "BUFFERED")
+                base = 0
+            payload = batch.sort_values("event_id").to_dict("records")
+            write_with_retry(
+                client, table, stream, payload, base, WriterSettings()
+            )
+            self._state.update((stream, base + len(payload)))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "base_offset": [base],
+                    "n": [len(payload)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=OffsetAssigner(),
+        outputStructType=f"{key_col} long, base_offset long, n long",
+        outputMode="append",
+        timeMode="None",
     )

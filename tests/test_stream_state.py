@@ -96,3 +96,47 @@ def test_recovery_recreates_on_finalized(bq, tmp_path):
     s2, o2 = h2.acquire("k", "t", 1)
     assert s2 != s1
     assert o2 == 0
+
+
+def test_native_tws_gate_or_equivalence(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas port (native state TTL = the
+    reference's 7-day stream expiry) is gated on the worker protobuf
+    stack: without it the constructor refuses loudly; with it the
+    envelope stream must equal the applyInPandasWithState variant."""
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        ev = spark.readStream.format("rate").load()
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            ss.keyed_offset_assignment_native_tws(
+                ev.selectExpr("value AS user_id", "value AS event_id"),
+                "user_id",
+                str(tmp_path / "bq"),
+                "p.d.t",
+            )
+        return
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _events_stream,
+        _run_to_table,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    native = _run_to_table(
+        ss.keyed_offset_assignment_native_tws(
+            ev, "user_id", str(tmp_path / "bq_native"), "p.d.t"
+        ),
+        "append",
+    )
+    ev2 = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    classic = _run_to_table(
+        ss.keyed_offset_assignment_tws(
+            ev2, "user_id", str(tmp_path / "bq_classic"), "p.d.t"
+        ),
+        "append",
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
