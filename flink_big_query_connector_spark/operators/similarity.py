@@ -476,6 +476,146 @@ def ivf_cells_with(
     )
 
 
+# -- product quantization (PQ) ----------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+
+
+def pq_codebooks(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: subvectors of the first ``n_codes``
+    vectors by id, one codebook per contiguous subspace; code ids are
+    POSITIONAL (0..n_codes-1 in id order) so they double as distance-table
+    indices.  The collect IS the model (n_subspaces x n_codes x
+    dim/n_subspaces floats — KB-sized).  A trained upgrade runs
+    :func:`lloyd_kmeans_centroids` per subspace without changing any
+    downstream plan shape."""
+    rows = sorted(
+        (r[0], list(r[1]))
+        for r in emb_df.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not rows:
+        return [[] for _ in range(n_subspaces)]
+    dim = len(rows[0][1])
+    sub = dim // n_subspaces
+    return [
+        [
+            (i, vec[s * sub : (s + 1) * sub])
+            for i, (_cid, vec) in enumerate(rows)
+        ]
+        for s in range(n_subspaces)
+    ]
+
+
+def _l2sq_expr(a, c_vec: list[float]):
+    """||a - c||^2 via three sequential-fold dot products — EXACTLY the
+    arithmetic the DuckDB twin writes with ``list_dot_product``, so the
+    rounded values agree bitwise: dot(a,a) - 2*dot(a,c) + dot(c,c)."""
+    from ..functions.vectors import dot_product_expr
+
+    c = F.array(*[F.lit(float(x)) for x in c_vec])
+    return (
+        dot_product_expr(a, a)
+        - F.lit(2.0) * dot_product_expr(a, c)
+        + dot_product_expr(c, c)
+    )
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Encode every vector as one code per subspace (argmin rounded-6dp
+    squared L2, ties to the lowest code) — 64 floats become
+    ``n_subspaces`` small ints.  Pure map stage: codebooks are plan
+    literals, no join, no shuffle; the output is the compressed
+    representation ADC search reads INSTEAD of the embeddings."""
+    v = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for s, cb in enumerate(codebooks):
+        sublen = len(cb[0][1])
+        subv = F.slice(v, s * sublen + 1, sublen)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.round(_l2sq_expr(subv, cvec), 6).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cvec in cb
+            ]
+        )
+        cols.append(F.array_min(pairs)["code"].cast("long").alias(f"c{s}"))
+    return spread(emb_df).select(*cols)
+
+
+def pq_adc_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    Each query precomputes ONE distance table (n_subspaces x n_codes
+    rounded subdistances, an array column on the broadcast query side);
+    candidate distance is then 4 array lookups + 3 adds — the corpus side
+    touches only its code columns, never the embeddings.  At 100 TB this
+    is the PQ payoff: the scan reads ~4 bytes/vector instead of 256, and
+    the broadcast carries |Q| x 64 doubles."""
+    n_codes = len(codebooks[0])
+    codes = pq_encode(emb_df, id_col, vec_col, codebooks)
+    qv = F.col("qv")
+    entries = []
+    for s, cb in enumerate(codebooks):
+        sublen = len(cb[0][1])
+        subq = F.slice(qv, s * sublen + 1, sublen)
+        for _code, cvec in cb:  # positional order == table index
+            entries.append(F.round(_l2sq_expr(subq, cvec), 6))
+    dt = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).select("query_id", F.array(*entries).alias("dt"))
+    dist = (
+        F.element_at("dt", F.col("c0").cast("int") + 1)
+        + F.element_at("dt", F.lit(n_codes) + F.col("c1").cast("int") + 1)
+        + F.element_at(
+            "dt", F.lit(2 * n_codes) + F.col("c2").cast("int") + 1
+        )
+        + F.element_at(
+            "dt", F.lit(3 * n_codes) + F.col("c3").cast("int") + 1
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(dt))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            dist.alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist", "rank")
+    )
+
+
 # -- scalar quantization (SQ8) ----------------------------------------------
 
 

@@ -1775,6 +1775,131 @@ def llm_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUB = 4
+_PQ_CODES = 16
+_PQ_SUBLEN = _EMB_DIM // _PQ_SUB
+
+
+def _sql_pq_ctes() -> str:
+    """Shared PQ oracle CTEs: positional-code codebooks per subspace,
+    rounded-6dp squared-L2 (the dot-product identity, bitwise the Spark
+    fold arithmetic), argmin codes per vector."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v "
+        f"FROM e WHERE vec_id < {_PQ_CODES})",
+    ]
+    for s in range(_PQ_SUB):
+        lo, hi = s * _PQ_SUBLEN + 1, (s + 1) * _PQ_SUBLEN
+        parts.append(
+            f"cb{s} AS (SELECT code, v[{lo}:{hi}] AS c FROM cb)"
+        )
+        parts.append(
+            f"""d{s} AS (
+              SELECT e.vec_id, cb.code,
+                     round(list_dot_product(e.v[{lo}:{hi}], e.v[{lo}:{hi}])
+                           - 2.0 * list_dot_product(e.v[{lo}:{hi}], cb.c)
+                           + list_dot_product(cb.c, cb.c), 6) AS d
+              FROM e CROSS JOIN cb{s} cb)"""
+        )
+        parts.append(
+            f"""b{s} AS (
+              SELECT vec_id, code FROM (
+                SELECT vec_id, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d, code) AS rn
+                FROM d{s}) s WHERE rn = 1)"""
+        )
+    joins = " ".join(
+        f"JOIN b{s} ON b{s}.vec_id = e.vec_id" for s in range(_PQ_SUB)
+    )
+    sel = ", ".join(f"b{s}.code AS c{s}" for s in range(_PQ_SUB))
+    parts.append(
+        f"codes AS (SELECT e.vec_id, {sel} FROM e {joins})"
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "llm_ann_pq_encode",
+    oracle=f"""
+        WITH {_sql_pq_ctes()}
+        SELECT vec_id, {", ".join(
+            f"CAST(c{s} AS BIGINT) AS c{s}" for s in range(_PQ_SUB)
+        )}
+        FROM codes
+    """,
+    tags=("similarity", "compression"),
+)
+def llm_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 64 floats -> 4 codebook ids (argmin
+    rounded squared-L2 per contiguous subspace, deterministic first-16
+    codebooks).  Pure map stage — codebooks ship as plan literals; at
+    100 TB the encoded table is the 64x-smaller artifact every ADC query
+    scans instead of the embeddings.  Trained-codebook upgrade =
+    lloyd_kmeans_centroids per subspace, same plan shape."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cbs = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", _PQ_SUB, _PQ_CODES
+    )
+    return similarity.pq_encode(emb, "vec_id", "embedding", cbs)
+
+
+@register(
+    "llm_ann_pq_adc",
+    oracle=f"""
+        WITH {_sql_pq_ctes()},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        {",".join(
+            f'''dt{s} AS (
+              SELECT q.query_id, cb.code,
+                     round(list_dot_product(
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}],
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}])
+                           - 2.0 * list_dot_product(
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}],
+                               cb.c)
+                           + list_dot_product(cb.c, cb.c), 6) AS d
+              FROM q CROSS JOIN cb{s} cb)'''
+            for s in range(_PQ_SUB)
+        )},
+        scored AS (
+          SELECT dt0.query_id, c.vec_id AS cand_id,
+                 dt0.d + dt1.d + dt2.d + dt3.d AS dist
+          FROM codes c
+          JOIN dt0 ON dt0.code = c.c0
+          JOIN dt1 ON dt1.code = c.c1 AND dt1.query_id = dt0.query_id
+          JOIN dt2 ON dt2.code = c.c2 AND dt2.query_id = dt0.query_id
+          JOIN dt3 ON dt3.code = c.c3 AND dt3.query_id = dt0.query_id
+          WHERE c.vec_id <> dt0.query_id),
+        ranked AS (
+          SELECT query_id, cand_id, dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dist ASC, cand_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, cand_id, dist, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "compression"),
+)
+def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: each query precomputes one
+    64-entry distance table (broadcast array column); candidate distance
+    is 4 table lookups + 3 adds over the CODE columns — the corpus scan
+    never touches the embeddings.  Deterministic codebooks + the
+    dot-product identity make the approximate ranking hash-exact against
+    the mirrored oracle."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cbs = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", _PQ_SUB, _PQ_CODES
+    )
+    return similarity.pq_adc_topk(
+        emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 10), cbs, 5,
+    )
+
+
 @register(
     "llm_ann_filtered",
     oracle="""

@@ -884,3 +884,26 @@ def test_lloyd_kmeans_is_deterministic_and_coherent(spark, sf_dir):
     assert mean_best_cos(trained_cells, c1) >= mean_best_cos(
         fixed_cells, fixed_cents
     ) - 1e-6
+
+
+def test_pq_encode_partitioning_invariant_and_compact(spark, sf_dir):
+    """PQ codes are in [0, n_codes), one per subspace, and identical
+    under a different input partitioning (plan-literal codebooks, fold
+    arithmetic is row-local)."""
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding")
+    a = sorted(map(tuple, similarity.pq_encode(
+        emb, "vec_id", "embedding", cbs).collect()))
+    b = sorted(map(tuple, similarity.pq_encode(
+        emb.repartition(7), "vec_id", "embedding", cbs).collect()))
+    assert a == b and len(a) == emb.count()
+    for row in a:
+        assert all(0 <= c < similarity.PQ_CODES for c in row[1:])
+    # a codebook vector must encode to its own positional code in every
+    # subspace (distance 0 beats everything at the tie-broken argmin)
+    first16 = {r[0]: r[1:] for r in a if r[0] < similarity.PQ_CODES}
+    order = sorted(first16)
+    for pos, vid in enumerate(order):
+        assert first16[vid] == (pos,) * similarity.PQ_SUBSPACES

@@ -392,3 +392,16 @@ def test_embedding_neardup_has_no_cartesian_product(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_broadcasts_distance_tables_no_smj(spark):
+    """PQ ADC search must broadcast the per-query distance tables and
+    keep the corpus side a map stage over code columns — no sort-merge
+    join, no shuffle of embedding vectors into the join."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_ann_pq_adc"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
