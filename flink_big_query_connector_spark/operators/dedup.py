@@ -181,6 +181,122 @@ def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> Data
     return df.withColumns(cols).filter(F.size(sh) > 0)
 
 
+def lsh_band_entries(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) rows — one per LSH band per signed document."""
+    mh = [F.col(f"mh{i}") for i in range(len(MINHASH_SEEDS))]
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        band_key_expr(mh, j).alias("key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def incremental_neardup_flags(
+    existing_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document that near-duplicates the
+    EXISTING corpus (the don't-re-ingest pass every recurring crawl
+    refresh runs before appending a snapshot).
+
+    Asymmetric MinHash-LSH: both sides sign once; candidates come from a
+    new-side x existing-side band equi-join (never new x new — within-
+    snapshot dups are the ordinary dedup pass, not this one); candidates
+    are verified with exact shingle-set Jaccard, and each new doc reports
+    its best existing match (highest Jaccard, ties to the lowest existing
+    id) or survives with ``is_dup = false``.
+
+    Scale shape: the band join shuffles (id, band, key) rows only; the
+    verify join carries the 60-bit shingle-hash arrays for CANDIDATES
+    only (LSH-bucket-bounded).  The existing corpus is signed, not
+    re-read per batch — in production its band table is a materialized
+    artifact the refresh job appends to."""
+    from ..cache import scoped_persist
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        tok = with_token_boundary(df, id_col, text_col)
+        return scoped_persist(
+            tok.filter(F.size("toks") >= SHINGLE_K).select(
+                F.col(id_col).alias(out_id),
+                F.array_distinct(
+                    F.transform(
+                        shingles_expr(F.col("toks")),
+                        lambda s: hash60_expr(s),
+                    )
+                ).alias(f"sh_{out_id}"),
+            )
+        )
+
+    old_docs = prep(existing_df, "old_id")
+    new_docs = prep(new_df, "new_id")
+    old_bands = lsh_band_entries(
+        with_minhash_signature(
+            old_docs.withColumnRenamed("sh_old_id", "sh60"), "sh60"
+        ),
+        "old_id",
+    )
+    new_bands = lsh_band_entries(
+        with_minhash_signature(
+            new_docs.withColumnRenamed("sh_new_id", "sh60"), "sh60"
+        ),
+        "new_id",
+    )
+    cands = (
+        new_bands.join(old_bands, ["band", "key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(new_docs, "new_id")
+        .join(old_docs, "old_id")
+        .withColumn(
+            "i",
+            F.size(F.array_intersect("sh_new_id", "sh_old_id")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (
+                F.size("sh_new_id") + F.size("sh_old_id") - F.col("i")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "old_id", "jaccard")
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            id_col,
+            F.col("old_id").alias("dup_of"),
+            "jaccard",
+            F.col("old_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (a, b) candidate pairs sharing at least one LSH band."""
     mh = [F.col(f"mh{i}") for i in range(len(MINHASH_SEEDS))]

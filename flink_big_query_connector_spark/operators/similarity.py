@@ -541,6 +541,23 @@ def pq_encode(
     literals, no join, no shuffle; the output is the compressed
     representation ADC search reads INSTEAD of the embeddings."""
     v = F.col(vec_col)
+    n_subspaces = len(codebooks)
+    if any(not cb for cb in codebooks):
+        # Same contract as ivf_cells_with: an empty MODEL over real data
+        # must stay loud; only a genuinely empty corpus proceeds (empty
+        # frame of the right shape).
+        if not emb_df.isEmpty():
+            raise ValueError(
+                "pq_encode: empty codebook but the corpus has rows "
+                "(no ids < n_codes?)"
+            )
+        return emb_df.select(
+            F.col(id_col),
+            *[
+                F.lit(None).cast("long").alias(f"c{s}")
+                for s in range(n_subspaces)
+            ],
+        )
     cols = [F.col(id_col)]
     for s, cb in enumerate(codebooks):
         sublen = len(cb[0][1])

@@ -836,6 +836,82 @@ def _cluster_oracle() -> str:
     """
 
 
+def _incremental_oracle() -> str:
+    """Asymmetric (new snapshot vs existing corpus) MinHash-LSH dedup:
+    existing = even doc ids, new = odd; candidates from cross-side band
+    collisions only, verified with exact shingle-set Jaccard."""
+    mh_exprs = ",\n           ".join(
+        f"{sql_minhash_value('shingles', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    mh_cols = [f"mh{i}" for i in range(len(MINHASH_SEEDS))]
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {j} AS band, {sql_band_key(mh_cols, j)} AS key FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+        WITH {_SQL_JACCARD_CTES},
+        sig AS (SELECT doc_id, shingles,
+           {mh_exprs}
+           FROM nonempty),
+        bands AS (
+        {band_selects}
+        ),
+        cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+                 FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.key = b.key
+                 WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        inter2 AS (SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+                          COUNT(*) AS i
+                   FROM ex a JOIN ex b ON a.s = b.s
+                   WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                   GROUP BY 1, 2),
+        ver AS (SELECT c.new_id, c.old_id,
+                       CAST(i.i AS DOUBLE)
+                           / CAST(cb.n + ca.n - i.i AS DOUBLE) AS jaccard
+                FROM cand c
+                JOIN inter2 i ON i.new_id = c.new_id
+                             AND i.old_id = c.old_id
+                JOIN cnt ca ON ca.doc_id = c.old_id
+                JOIN cnt cb ON cb.doc_id = c.new_id),
+        hits AS (SELECT * FROM ver WHERE jaccard >= 0.8),
+        best AS (SELECT new_id, old_id, jaccard FROM (
+                   SELECT new_id, old_id, jaccard,
+                          ROW_NUMBER() OVER (PARTITION BY new_id
+                               ORDER BY jaccard DESC, old_id) AS rn
+                   FROM hits) s WHERE rn = 1)
+        SELECT d.doc_id, b.old_id AS dup_of, b.jaccard,
+               (b.old_id IS NOT NULL) AS is_dup
+        FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+    """
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "incremental"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW snapshot against the EXISTING corpus —
+    the don't-re-ingest pass a recurring crawl refresh runs before
+    appending (existing = even doc ids, new = odd, standing in for the
+    two snapshot versions).  Candidates come from asymmetric cross-side
+    LSH band collisions only; each new doc reports its best existing
+    match or survives.  See operators/dedup.py::incremental_neardup_flags
+    for the scale notes (band shuffle carries keys only; candidate-bound
+    verify)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return dedup.incremental_neardup_flags(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        0.8,
+    )
+
+
 @register("llm_dedup_cluster", oracle=_cluster_oracle(), tags=("dedup",))
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH pair

@@ -31,6 +31,7 @@ EMPTY_SWEEP = [
     "llm_curation_pipeline", "llm_multimodal_segments",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
     "b13_setops_all", "b01_schema_evolution_read", "llm_bpe_train",
+    "llm_dedup_incremental", "llm_ann_pq_encode",
 ]
 
 
@@ -94,7 +95,7 @@ NULL_SWEEP = [
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
     "llm_multimodal_segments", "llm_corpus_shard",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
-    "llm_bpe_train", "b17_explode_outer",
+    "llm_bpe_train", "b17_explode_outer", "llm_dedup_incremental",
     # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
     # distinction: an upsert whose value is NULL must survive as a
     # NULL-valued row, never be confused with a delete.
