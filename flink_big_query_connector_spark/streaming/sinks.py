@@ -72,20 +72,41 @@ class WriterPool:
     ``foreachPartition`` task — the per-subtask writer map analogue; raising
     ``streams_per_table`` fans appends for one stream over N client
     connections.  ``invalidate`` drops a handle so the next acquire rebuilds
-    it (reference A10 recreate-on-closed, ``:91-111``)."""
+    it (reference A10 recreate-on-closed, ``:91-111``).
 
-    def __init__(self, factory, streams_per_table: int = 1):
+    ``enable_connection_pool`` mirrors ``WriterSettings.java:102`` /
+    ``BigQueryProtoClientProvider.java:47-58`` (StreamWriter
+    ``setEnableConnectionPool``): pooled writers MULTIPLEX one shared
+    client connection instead of opening a dedicated connection per
+    cached handle — with it, a task holds 1 connection regardless of
+    streams_per_table; without it, connections scale with handles."""
+
+    def __init__(
+        self,
+        factory,
+        streams_per_table: int = 1,
+        enable_connection_pool: bool = False,
+    ):
         self._factory = factory
         self._n = max(1, streams_per_table)
+        self._pooled = enable_connection_pool
+        self._shared = None
         self._cache: dict = {}
         self._next_idx: dict = {}
+
+    def _connect(self):
+        if not self._pooled:
+            return self._factory()
+        if self._shared is None:
+            self._shared = self._factory()
+        return self._shared
 
     def writer(self, stream: str):
         i = self._next_idx.get(stream, 0)
         self._next_idx[stream] = (i + 1) % self._n
         key = (stream, i)
         if key not in self._cache:
-            self._cache[key] = self._factory()
+            self._cache[key] = self._connect()
         return self._cache[key]
 
     def invalidate(self, stream: str) -> None:
@@ -95,6 +116,11 @@ class WriterPool:
     @property
     def size(self) -> int:
         return len(self._cache)
+
+    @property
+    def connection_count(self) -> int:
+        """Distinct client connections held (the pool's whole point)."""
+        return len({id(c) for c in self._cache.values()})
 
 
 def write_with_retry(
@@ -240,7 +266,9 @@ class DefaultStreamSink:
             from .metrics import StreamMetrics
 
             pool = WriterPool(
-                lambda: FakeBigQuery(root), settings.streams_per_table
+                lambda: FakeBigQuery(root),
+                settings.streams_per_table,
+                settings.enable_connection_pool,
             )
             stream = DEFAULT_STREAM
             sm = (

@@ -347,3 +347,32 @@ def test_credentials_providers_resolve(tmp_path):
     s2 = pickle.loads(pickle.dumps(s))
     assert isinstance(s2.credentials, Credentials)
     assert s2.credentials.resolve() == key
+
+
+def test_connection_pool_multiplexes_one_connection():
+    """enable_connection_pool (WriterSettings.java:102, StreamWriter
+    setEnableConnectionPool): pooled writer handles multiplex ONE shared
+    client connection; unpooled handles each open their own."""
+    from flink_big_query_connector_spark.streaming.sinks import WriterPool
+
+    made = []
+
+    def factory():
+        made.append(object())
+        return made[-1]
+
+    pooled = WriterPool(factory, streams_per_table=3,
+                        enable_connection_pool=True)
+    for _ in range(3):
+        pooled.writer("s1")
+    pooled.writer("s2")
+    assert pooled.size == 4  # 4 cached handles...
+    assert pooled.connection_count == 1  # ...over one connection
+    assert len(made) == 1
+
+    made.clear()
+    unpooled = WriterPool(factory, streams_per_table=3)
+    for _ in range(3):
+        unpooled.writer("s1")
+    assert unpooled.connection_count == 3
+    assert len(made) == 3
