@@ -1000,6 +1000,80 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cms_oracle() -> str:
+    from ..operators.sketches import CMS_DEPTH, sql_cms_bucket
+
+    build = "\n    UNION ALL\n    ".join(
+        f"SELECT {d} AS depth, {sql_cms_bucket('key', d)} AS bucket FROM toks"
+        for d in range(CMS_DEPTH)
+    )
+    coords = "\n    UNION ALL\n    ".join(
+        f"SELECT key, {d} AS depth, {sql_cms_bucket('key', d)} AS bucket "
+        f"FROM exact"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT unnest({_SQL_TOKS}) AS key FROM documents),
+        exact AS (SELECT key, COUNT(*) AS exact_n FROM toks GROUP BY key),
+        total AS (SELECT COUNT(*) AS t FROM toks),
+        cms AS (SELECT depth, bucket, COUNT(*) AS n FROM (
+          {build}
+        ) b GROUP BY depth, bucket),
+        coords AS (
+          {coords}
+        ),
+        est AS (SELECT key, MIN(COALESCE(c.n, 0)) AS cms_est
+                FROM coords LEFT JOIN cms c USING (depth, bucket)
+                GROUP BY key)
+        SELECT e.key AS token, CAST(e.exact_n AS BIGINT) AS exact_n,
+               CAST(s.cms_est AS BIGINT) AS cms_est,
+               (s.cms_est >= e.exact_n) AS no_underestimate
+        FROM exact e JOIN est s USING (key), total
+        WHERE e.exact_n * 500 >= total.t
+    """
+
+
+@register(
+    "llm_heavy_hitters_cms",
+    oracle=_sql_cms_oracle(),
+    tags=("text", "sketch"),
+)
+def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream: build a
+    4 x 256 integer sketch in ONE bounded-shuffle aggregation (map-side
+    combine caps the exchange at depth x width cells per partition),
+    then point-estimate every token whose EXACT count clears the
+    heavy-hitter bar (>= 1/500 of the stream) and prove the sketch's
+    no-underestimate guarantee per token.  Deterministic md5-derived
+    pairwise hashes make the whole sketch hash-exact against the oracle
+    — the bounded-memory shape exact counting can't offer at 100 TB.
+    See operators/sketches.py."""
+    from ..operators import sketches
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(text.tokens_expr(F.col("text"))).alias("key")
+    )
+    exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    cms = sketches.cms_build(toks, "key")
+    est = sketches.cms_estimate(toks, "key", cms)
+    return (
+        exact.join(est, "key")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") * 500 >= F.col("t"))
+        .select(
+            F.col("key").alias("token"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_n")).alias(
+                "no_underestimate"
+            ),
+        )
+    )
+
+
 @register(
     "llm_sample_stratified",
     oracle=f"""

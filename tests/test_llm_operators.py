@@ -907,3 +907,34 @@ def test_pq_encode_partitioning_invariant_and_compact(spark, sf_dir):
     order = sorted(first16)
     for pos, vid in enumerate(order):
         assert first16[vid] == (pos,) * similarity.PQ_SUBSPACES
+
+
+def test_cms_no_underestimate_and_partitioning_invariant(spark, sf_dir):
+    """Count-min property: every estimate >= the exact count; bitwise
+    identical under a different partitioning (integer-only sketch)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import sketches
+    from flink_big_query_connector_spark.operators.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("key"))
+    exact = {
+        r["key"]: r["n"]
+        for r in toks.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cms = sketches.cms_build(toks, "key")
+    est = {
+        r["key"]: r["cms_est"]
+        for r in sketches.cms_estimate(toks, "key", cms).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    est2 = {
+        r["key"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            toks.repartition(7), "key",
+            sketches.cms_build(toks.repartition(5), "key"),
+        ).collect()
+    }
+    assert est2 == est

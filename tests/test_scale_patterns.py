@@ -405,3 +405,15 @@ def test_pq_adc_broadcasts_distance_tables_no_smj(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_build_has_partial_aggregation_and_broadcast_estimate(spark):
+    """The sketch build must partial-aggregate map-side (shuffle bounded
+    by depth x width cells per partition) and the estimate join must
+    broadcast the KB-sized sketch."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_heavy_hitters_cms"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
