@@ -2697,6 +2697,66 @@ def b10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b10_delete_propagation",
+    oracle="""
+        WITH keys AS (SELECT c_custkey AS k FROM customer
+                      WHERE c_custkey % 97 = 13),
+        ev AS (SELECT 'events' AS tbl, COUNT(*) AS rows_before,
+                      COUNT(*) FILTER (WHERE user_id IN
+                          (SELECT k FROM keys)) AS rows_purged
+               FROM events),
+        cu AS (SELECT 'customer' AS tbl, COUNT(*) AS rows_before,
+                      COUNT(*) FILTER (WHERE c_custkey IN
+                          (SELECT k FROM keys)) AS rows_purged
+               FROM customer),
+        od AS (SELECT 'orders' AS tbl, COUNT(*) AS rows_before,
+                      COUNT(*) FILTER (WHERE o_custkey IN
+                          (SELECT k FROM keys)) AS rows_purged
+               FROM orders)
+        SELECT tbl, CAST(rows_before AS BIGINT) AS rows_before,
+               CAST(rows_purged AS BIGINT) AS rows_purged,
+               CAST(rows_before - rows_purged AS BIGINT) AS rows_after
+        FROM (SELECT * FROM ev UNION ALL SELECT * FROM cu
+              UNION ALL SELECT * FROM od) u
+        ORDER BY tbl
+    """,
+    tags=("governance", "delete"),
+)
+def b10_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: one subject-key list propagates
+    through every table that references the subject (events by user_id,
+    customer by c_custkey, orders by o_custkey), reporting the audit
+    counts a deletion job must produce before rewriting.  The key list
+    broadcasts — each table pays ONE scan with a map-side membership
+    probe, no shuffle anywhere (the actual purge is the same plan with
+    the probe negated feeding an overwrite, cf. b01_compaction's rewrite
+    shape).  At 100 TB this is the only viable shape: N tables x one
+    linear pass each."""
+    t = load_tables(spark, sf_dir)
+    keys = t["customer"].filter(F.col("c_custkey") % 97 == 13).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def audit(df: DataFrame, col: str, tbl: str) -> DataFrame:
+        probed = df.join(
+            F.broadcast(keys), df[col] == F.col("k"), "left"
+        )
+        return probed.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count(F.col("k")).alias("rows_purged"),
+            (F.count(F.lit(1)) - F.count(F.col("k"))).alias("rows_after"),
+        )
+
+    return (
+        audit(t["events"], "user_id", "events")
+        .unionByName(audit(t["customer"], "c_custkey", "customer"))
+        .unionByName(audit(t["orders"], "o_custkey", "orders"))
+        .orderBy("tbl")
+    )
+
+
+@register(
     "b01_source_formats",
     oracle="""
         SELECT fmt,

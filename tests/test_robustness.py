@@ -209,6 +209,11 @@ DETERMINISM_SWEEP = [
     "llm_dedup_semantic", "llm_dedup_span_removal", "llm_corpus_shard",
     "llm_mix_temperature", "llm_sample_stratified", "llm_bpe_train",
     "llm_text_fingerprint", "b08_q1_pricing_summary", "b16_stats_corr",
+    # round-5 additions: banded-LSH near-dup, deterministic Lloyd k-means,
+    # PQ codes, incremental snapshot dedup, count-min sketch, GDPR audit
+    "llm_dedup_embedding", "llm_ann_ivf_kmeans", "llm_ann_pq_encode",
+    "llm_dedup_incremental", "llm_heavy_hitters_cms",
+    "b10_delete_propagation",
 ]
 
 
