@@ -152,6 +152,53 @@ def fake_feature_extract(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+PHASH_BITS = 60  # stays inside a signed 64-bit long (no 1<<63)
+PHASH_BANDS = 10  # 10 bands x 6 bits: hamming <= 9 always collides >= once
+
+
+def fake_phash(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic perceptual-hash stand-in over media payload bytes.
+
+    Arrow-batched ``mapInPandas``, same contract as the other fake media
+    stages: the inner function is what a real pHash (DCT over a decoded
+    grayscale grid) replaces; the stand-in samples ``PHASH_BITS`` evenly
+    spaced base64 character codes and thresholds each against their mean
+    — similar payloads produce nearby hashes, which is the property the
+    downstream banded Hamming join exploits.  Empty/NULL payloads hash
+    to 0.  Exactly mirrored in SQL by llm_ops._sql_phash (base64 keeps
+    both engines in the same ASCII domain, no multibyte divergence)."""
+    import base64 as _b64
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = f"{id_col} bigint, phash bigint"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[payload_col]:
+                buf = bytes(raw) if raw is not None else b""
+                b64 = _b64.b64encode(buf).decode("ascii")
+                n = len(b64)
+                if n == 0:
+                    out.append(0)
+                    continue
+                codes = [
+                    ord(b64[(j * n) // PHASH_BITS])
+                    for j in range(PHASH_BITS)
+                ]
+                mean = sum(codes) / float(PHASH_BITS)
+                v = 0
+                for j, c in enumerate(codes):
+                    if c >= mean:
+                        v |= 1 << j
+                out.append(v)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batch, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str,

@@ -1074,6 +1074,108 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_phash_pairs() -> str:
+    from ..operators.multimodal import PHASH_BANDS, PHASH_BITS
+
+    bits, bands = PHASH_BITS, PHASH_BANDS
+    width = bits // bands
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, base64(encode(COALESCE(text, ''))) AS b
+          FROM documents),
+        codes AS (
+          SELECT doc_id, length(b) AS n,
+                 list_transform(range(0, {bits}),
+                     j -> ascii(substr(b, ((j * length(b)) // {bits}) + 1,
+                                       1))) AS cl
+          FROM raw),
+        ph AS (
+          SELECT doc_id,
+                 CASE WHEN n = 0 THEN 0 ELSE CAST(list_sum(
+                     list_transform(range(0, {bits}),
+                         j -> CASE WHEN cl[j + 1] >= mean
+                              THEN (CAST(1 AS BIGINT) << j)
+                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                 END AS phash
+          FROM (SELECT doc_id, n, cl,
+                       list_sum(cl) / {bits}.0 AS mean FROM codes) x),
+        bands AS (
+          SELECT doc_id, phash, t.j AS band,
+                 (phash >> ({width} * t.j)) & {2 ** width - 1} AS key
+          FROM ph, range(0, {bands}) t(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, a.phash AS pa,
+                          b.doc_id AS id_b, b.phash AS pb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+    """
+
+
+@register(
+    "llm_multimodal_phash_dedup",
+    oracle=_sql_phash_pairs(),
+    tags=("multimodal", "dedup"),
+)
+def llm_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup for MEDIA payloads: the pHash stand-in
+    (operators/multimodal.py::fake_phash — Arrow-batched mapInPandas, the
+    real DCT hash swaps only the inner function) produces a 60-bit hash
+    per payload; pairs within Hamming distance 6 are found EXACTLY via
+    10-band pigeonhole blocking (any pair with hamming <= 9 shares at
+    least one unchanged 6-bit band), the same guarantee design as the
+    simhash text path.  Only (id, phash, band, key) rows shuffle — media
+    bytes stay in the hash stage.  This is image/video dedup's shape:
+    hash once per asset, join on bands, never compare pixels pairwise."""
+    from ..operators.multimodal import PHASH_BANDS, PHASH_BITS
+
+    width = PHASH_BITS // PHASH_BANDS
+    t = load_tables(spark, sf_dir)
+    payload = multimodal.attach_binary_payload(t["documents"], "text")
+    ph = multimodal.fake_phash(payload, "doc_id")
+    entries = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("phash"), width * j)
+                        .bitwiseAND(F.lit(2 ** width - 1))
+                        .alias("key"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    a = entries.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("pa"),
+        "band",
+        "key",
+    )
+    b = entries.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("pb"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "pa", "id_b", "pb")
+        .distinct()
+        .filter(ham <= 6)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
+
+
 @register(
     "llm_sample_stratified",
     oracle=f"""

@@ -938,3 +938,35 @@ def test_cms_no_underestimate_and_partitioning_invariant(spark, sf_dir):
         ).collect()
     }
     assert est2 == est
+
+
+def test_phash_banding_is_exact_by_pigeonhole(spark, sf_dir):
+    """The 10-band blocking must find EVERY pair within Hamming 6 (any
+    pair with <= 9 differing bits leaves at least one 6-bit band
+    untouched) — compare against the brute-force pair set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import multimodal
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.fake_phash(
+            multimodal.attach_binary_payload(docs, "text"), "doc_id"
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(ph[a] ^ ph[b]).count("1"))
+        for a, b in combinations(sorted(ph), 2)
+        if bin(ph[a] ^ ph[b]).count("1") <= 6
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in REGISTRY["llm_multimodal_phash_dedup"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert banded == brute
