@@ -417,3 +417,40 @@ def test_cms_build_has_partial_aggregation_and_broadcast_estimate(spark):
     plan = _plan(df)
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning — the shuffle reducer that
+    matters at 100 TB: a selective filter on the build side must inject a
+    might_contain() pre-filter into the probe side's scan stage, so the
+    big table's shuffle carries only keys that can match.  Local test
+    data sits under the default 10 GB application-side threshold, so the
+    thresholds are pinned to what a production cluster would see."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+        assert j.count() > 0  # and it still computes the right thing
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
