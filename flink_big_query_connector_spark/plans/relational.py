@@ -1081,6 +1081,83 @@ def b01_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_rolling_zscore",
+    oracle="""
+        WITH w AS (
+          SELECT event_id, user_id,
+                 CAST(value AS DECIMAL(14,4)) AS v,
+                 SUM(CAST(value AS DECIMAL(14,4))) OVER fr AS s,
+                 SUM(CAST(value AS DECIMAL(14,4))
+                     * CAST(value AS DECIMAL(14,4))) OVER fr AS sq,
+                 COUNT(*) OVER fr AS n
+          FROM events
+          WHERE user_id < 50
+          WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ),
+        stats AS (
+          SELECT event_id, user_id, v, n,
+                 CAST(s AS DOUBLE) / n AS mean,
+                 GREATEST(CAST(sq AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n)
+                            * (CAST(s AS DOUBLE) / n), 0.0) AS var
+          FROM w
+        )
+        SELECT event_id, user_id,
+               CASE WHEN n >= 4 AND sqrt(var) > 0.0
+                    THEN round((CAST(v AS DOUBLE) - mean) / sqrt(var), 6)
+                    ELSE NULL END AS z,
+               COALESCE(n >= 4 AND sqrt(var) > 0.0
+                        AND abs((CAST(v AS DOUBLE) - mean) / sqrt(var))
+                            > 2.0, FALSE) AS is_anomaly
+        FROM stats
+    """,
+    tags=("stats", "timeseries", "anomaly"),
+)
+def b16_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per-user 7-event sliding frame,
+    mean/variance from DECIMAL-domain rolling sums (exact under any frame
+    evaluation order — Spark walks frames, DuckDB uses segment trees;
+    float rolling sums would diverge in ulps between the two), one double
+    conversion at the end, identical IEEE arithmetic (sqrt is correctly
+    rounded in both engines) — hash-exact flags.  The per-user window is
+    the partition-parallel shape; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 50)
+    v_dec = dec("value", 14, 4)
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        v_dec.alias("v"),
+        F.sum(v_dec).over(fr).alias("s"),
+        F.sum(v_dec * v_dec).over(fr).alias("sq"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    )
+    mean = dbl(F.col("s")) / F.col("n")
+    var = F.greatest(
+        dbl(F.col("sq")) / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    z = (dbl(F.col("v")) - mean) / std
+    ok = (F.col("n") >= 4) & (std > 0.0)
+    return w.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.round(z, 6)).otherwise(F.lit(None)).alias("z"),
+        F.coalesce(ok & (F.abs(z) > 2.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@register(
     "b16_winsorized_stats",
     oracle="""
         WITH r AS (

@@ -31,7 +31,8 @@ EMPTY_SWEEP = [
     "llm_curation_pipeline", "llm_multimodal_segments",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
     "b13_setops_all", "b01_schema_evolution_read", "llm_bpe_train",
-    "llm_dedup_incremental", "llm_ann_pq_encode",
+    "llm_dedup_incremental", "llm_ann_pq_encode", "b16_rolling_zscore",
+    "llm_heavy_hitters_cms", "b10_delete_propagation",
 ]
 
 
@@ -96,6 +97,7 @@ NULL_SWEEP = [
     "llm_multimodal_segments", "llm_corpus_shard",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
     "llm_bpe_train", "b17_explode_outer", "llm_dedup_incremental",
+    "b16_rolling_zscore", "llm_multimodal_phash_dedup",
     # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
     # distinction: an upsert whose value is NULL must survive as a
     # NULL-valued row, never be confused with a delete.
@@ -213,7 +215,7 @@ DETERMINISM_SWEEP = [
     # PQ codes, incremental snapshot dedup, count-min sketch, GDPR audit
     "llm_dedup_embedding", "llm_ann_ivf_kmeans", "llm_ann_pq_encode",
     "llm_dedup_incremental", "llm_heavy_hitters_cms",
-    "b10_delete_propagation",
+    "b10_delete_propagation", "b16_rolling_zscore",
 ]
 
 
