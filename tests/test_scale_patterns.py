@@ -195,18 +195,25 @@ def test_tfidf_builds_without_running_jobs(spark):
 
     sc = spark.sparkContext
 
-    def jobs() -> int:
-        return len(sc.statusTracker().getJobIdsForGroup(None))
+    # Job-group-scoped counting: the global job-id list is bounded by
+    # spark.ui.retainedJobs, so absolute counts go backwards once a long
+    # suite has run enough jobs — group ids are immune to that.
+    def jobs_in(group: str, fn) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
 
-    # Every load_tables call costs a fixed set of parquet-footer schema
-    # jobs; measure that floor, then require fn() to add nothing beyond
-    # its own internal load_tables.
-    j0 = jobs()
-    load_tables(spark, SF_DIR)
-    j1 = jobs()
-    REGISTRY["llm_text_tfidf"].fn(spark, SF_DIR)
-    j2 = jobs()
-    assert j2 - j1 <= j1 - j0
+    # Every load_tables call costs at most a fixed set of parquet-footer
+    # schema jobs; measure that floor, then require fn() to add nothing
+    # beyond its own internal load_tables.
+    base = jobs_in("tfidf_base", lambda: load_tables(spark, SF_DIR))
+    built = jobs_in(
+        "tfidf_fn", lambda: REGISTRY["llm_text_tfidf"].fn(spark, SF_DIR)
+    )
+    assert built <= base
 
 
 def test_chunking_and_inverted_index_partial_aggregate(spark):
@@ -493,3 +500,32 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_cartesian_or_row_python_across_batch_registry(spark):
+    """Registry-wide anti-pattern guard: NO batch query's physical plan
+    may contain a CartesianProduct or a row-at-a-time Python eval
+    (BatchEvalPython) — Arrow-batched pandas stages (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) are the only Python allowed in a
+    data path.  Streaming families replay real streams on invocation and
+    are covered by their own pins."""
+    from flink_big_query_connector_spark.cache import release_caches
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    # the UDTF demonstration query IS the row-based-Python feature (B20's
+    # lateral-join table function) — the one legitimate appearance
+    allow_row_python = {"llm_udtf_sentences"}
+    skip_prefixes = ("b21_", "b22_", "b23_", "b24_", "b25_", "b26_")
+    violations = []
+    for name, qd in sorted(REGISTRY.items()):
+        if name.startswith(skip_prefixes):
+            continue
+        try:
+            plan = _plan(qd.fn(spark, SF_DIR))
+        finally:
+            release_caches(spark)
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan and name not in allow_row_python:
+            violations.append((name, "BatchEvalPython"))
+    assert not violations, violations
