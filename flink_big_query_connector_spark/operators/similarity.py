@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..cache import scoped_persist
-from ..functions.vectors import cosine_similarity_expr
+from ..functions.vectors import (
+    cosine_similarity_expr,
+    dot_product_expr,
+    norm_expr,
+)
 from .dedup import spread
 
 # Fixed random-hyperplane projections: NUM_PLANES x (index stride) pseudo
@@ -36,19 +40,26 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k neighbors (cosine, rounded to 6dp for cross-engine rank
-    stability; ties broken by candidate id)."""
+    stability; ties broken by candidate id).  Norms are materialized once
+    per side before the pair stage (bitwise the same cosine — identical
+    IEEE ops, just not recomputed per pair; 3x less pair arithmetic)."""
     q = query_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qn"),
     )
     c = spread(emb_df).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    pair_cos = dot_product_expr(F.col("qv"), F.col("cv")) / (
+        F.col("qn") * F.col("cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
-        )
+        .withColumn("cos", F.round(pair_cos, 6))
     )
     # Project vectors away BEFORE the ranking shuffle: the window exchange
     # then carries (query_id, cand_id, cos) only, not the embeddings.
@@ -247,19 +258,22 @@ def rp_lsh_bucketed_topk(
     c = spread(emb_df).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
         rp_signature_expr(F.col(vec_col)).alias("bucket"),
     )
     q = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         rp_signature_expr(F.col(vec_col)).alias("bucket"),
+    )
+    pair_cos = dot_product_expr(F.col("qv"), F.col("cv")) / (
+        F.col("qn") * F.col("cn")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cos", F.round(cosine_similarity_expr(F.col("qv"), F.col("cv")), 6)
-        )
+        .withColumn("cos", F.round(pair_cos, 6))
     )
     # Project vectors away BEFORE the ranking shuffle: the window exchange
     # then carries (query_id, cand_id, cos) only, not the embeddings.
@@ -818,20 +832,36 @@ def semantic_dedup(
     :func:`kmeans_centroids` with no plan-shape change.  Returns
     (id, cell, kept) for every input vector.
     """
-    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
+    from ..functions.vectors import dot_product_expr, norm_expr
+
+    # Per-row norms materialize ONCE into the persisted cells: the
+    # within-cell pair filter then computes dot/(na*nb) — bitwise the
+    # same value as cosine_similarity_expr (identical IEEE ops, the norms
+    # just aren't recomputed per pair), at a third of the pair work.
+    cells = scoped_persist(
+        ivf_cells(emb_df, id_col, vec_col).withColumn(
+            "vnorm", norm_expr(F.col("v"))
+        )
+    )
     a = cells.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell"
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vnorm").alias("na"),
+        "cell",
     )
     b = cells.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell"
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("vnorm").alias("nb"),
+        "cell",
+    )
+    pair_cos = dot_product_expr(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 6)
-            >= F.lit(threshold)
-        )
+        .filter(F.round(pair_cos, 6) >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
