@@ -32,10 +32,26 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# (applicationId, sf_dir) -> {table: DataFrame}.  Building the ten lazy
+# DataFrames costs ~0.7 s per call (a parquet-footer schema job each) —
+# pure fixed tax when a session runs many registry queries; the logical
+# plans are immutable and session-scoped, so reuse is free.  Keyed by
+# applicationId so a restarted session never sees stale plan objects.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every test table as a lazy DataFrame keyed by name."""
+    """Load every test table as a lazy DataFrame keyed by name (cached
+    per (session, directory) — see _TABLE_CACHE)."""
     tune_session(spark)
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = {
+            t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES
+        }
+        _TABLE_CACHE[key] = cached
+    return dict(cached)
 
 
 def ts_micros(df: DataFrame, col: str = "ts") -> Column:
