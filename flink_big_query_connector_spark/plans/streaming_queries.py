@@ -1517,24 +1517,19 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset-integrity spirit of ``process/StreamStateHandler.java:53-102``.
     Plan-pinned: tests/test_scale_patterns.py (no per-key collect).
     """
-    import json as _json
+    from ..streaming.keyed_state import BucketedKeyedState
 
     load_tables(spark, sf_dir)
-    n_buckets = 16
-    root = scratch_dir("cdc_apply_")
-    manifest_path = os.path.join(root, "manifest.json")
-    state_schema = (
+    state = BucketedKeyedState(
+        scratch_dir("cdc_apply_"),
+        "user_id",
         "user_id long, last_event long, value double, "
-        "tmicros long, is_delete boolean"
+        "tmicros long, is_delete boolean",
     )
-
-    def _bucket(col):
-        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
     def merge_batch(df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
-        sess = df.sparkSession
         w = Window.partitionBy("user_id").orderBy(
             F.col("tmicros").desc(), F.col("event_id").desc()
         )
@@ -1551,30 +1546,12 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        # the ONLY collect: distinct bucket ids, bounded by n_buckets
-        touched = sorted(
-            r["b"]
-            for r in batch_last.select(
-                _bucket(F.col("user_id")).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
+        touched = state.touched_buckets(batch_last)
         if not touched:
             return
-        manifest: dict = {}
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                manifest = _json.load(f)
-        existing_paths = [
-            manifest[str(b)] for b in touched if str(b) in manifest
-        ]
-        merged = batch_last
-        if existing_paths:
-            existing = sess.read.schema(state_schema).parquet(
-                *existing_paths
-            )
-            merged = batch_last.unionByName(existing)
+        merged = batch_last.unionByName(
+            state.read_buckets(df.sparkSession, touched)
+        )
         w2 = Window.partitionBy("user_id").orderBy(
             F.col("tmicros").desc(), F.col("last_event").desc()
         )
@@ -1582,16 +1559,8 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .withColumn("bucket", _bucket(F.col("user_id")))
         )
-        vdir = os.path.join(root, f"v{batch_id}")
-        out.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
-        for b in touched:
-            manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(manifest, f)
-        os.replace(tmp, manifest_path)
+        state.write_buckets(out, batch_id, touched)
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id",
@@ -1608,17 +1577,154 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    manifest = {}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = _json.load(f)
-    if not manifest:
-        return spark.createDataFrame(
-            [], "user_id long, last_event long, value double"
-        )
-    state = spark.read.schema(state_schema).parquet(*manifest.values())
     return (
-        state.filter(~F.col("is_delete"))
+        state.read_all(spark)
+        .filter(~F.col("is_delete"))
         .select("user_id", "last_event", "value")
         .orderBy("user_id")
+    )
+
+
+@register(
+    "b26_stream_scd2_history",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE user_id < 100),
+        o AS (
+          SELECT user_id, event_id, event_type, t,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS prev
+          FROM e),
+        chg AS (SELECT * FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+        iv AS (
+          SELECT user_id, event_type AS value, t AS valid_from,
+                 LEAD(t) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS valid_to
+          FROM chg)
+        SELECT user_id, value, valid_from, valid_to FROM iv
+    """,
+    tags=("sink", "streaming", "cdc", "scd2"),
+)
+def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 (slowly-changing-dimension type 2) history
+    maintenance: the changelog consumer that keeps a FULL validity-
+    interval history instead of last-op state.  Per micro-batch and per
+    key: detect in-batch attribute transitions with one window, stitch
+    them against the key's OPEN interval from the distributed bucketed
+    state table (streaming/keyed_state.py — the same copy-on-write MERGE
+    the CDC apply uses), append the intervals that CLOSED this batch to
+    an append-only parquet log, and keep exactly one open interval per
+    key as the new state.  After AvailableNow replay, closed + open
+    intervals equal the batch SCD2 computation exactly.
+
+    Scale shape: the per-batch shuffle carries transition rows only
+    (bounded by batch size), the state table holds ONE row per key, and
+    closed intervals stream out append-only — no history ever rewrites.
+    Per-key state never reaches the driver (the touched-bucket list is
+    the only collect)."""
+    from pyspark.sql.window import Window
+
+    from ..streaming.keyed_state import BucketedKeyedState
+
+    load_tables(spark, sf_dir)
+    root = scratch_dir("scd2_hist_")
+    closed_dir = os.path.join(root, "closed")
+    os.makedirs(closed_dir, exist_ok=True)
+    iv_schema = (
+        "user_id long, value string, valid_from long, "
+        "valid_from_eid long"
+    )
+    state = BucketedKeyedState(
+        os.path.join(root, "state"), "user_id", iv_schema
+    )
+    closed_schema = (
+        "user_id long, value string, valid_from long, valid_to long"
+    )
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        sess = df.sparkSession
+        rows = df.filter(F.col("user_id") < 100).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").alias("value"),
+            F.col("tmicros").cast("long").alias("t"),
+            F.col("event_id").cast("long").alias("eid"),
+        )
+        w = Window.partitionBy("user_id").orderBy("t", "eid")
+        batch_chg = (
+            rows.withColumn("prev", F.lag("value").over(w))
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("value")))
+            .select("user_id", "value", "t", "eid")
+        )
+        touched = state.touched_buckets(batch_chg)
+        if not touched:
+            return
+        existing = state.read_buckets(sess, touched)
+        batch_keys = batch_chg.select("user_id").distinct()
+        # open intervals of keys ACTIVE this batch join the stitch;
+        # same-bucket bystanders pass through untouched
+        active_state = existing.join(batch_keys, "user_id", "semi")
+        passthrough = existing.join(batch_keys, "user_id", "anti")
+        stitched = active_state.select(
+            "user_id", "value",
+            F.col("valid_from").alias("t"),
+            F.col("valid_from_eid").alias("eid"),
+        ).unionByName(batch_chg)
+        # re-run the transition filter across the stitch: a batch's first
+        # "change" that matches the open interval's value is no change
+        w2 = Window.partitionBy("user_id").orderBy("t", "eid")
+        effective = (
+            stitched.withColumn("prev", F.lag("value").over(w2))
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("value")))
+            .select("user_id", "value", "t", "eid")
+        )
+        nxt = F.lead("t").over(w2)
+        intervals = effective.select(
+            "user_id", "value", "t", "eid", nxt.alias("valid_to")
+        )
+        closed = intervals.filter(F.col("valid_to").isNotNull()).select(
+            "user_id", "value",
+            F.col("t").alias("valid_from"), "valid_to",
+        )
+        closed.write.mode("overwrite").parquet(
+            os.path.join(closed_dir, f"b{batch_id}")
+        )
+        new_open = intervals.filter(F.col("valid_to").isNull()).select(
+            "user_id", "value",
+            F.col("t").alias("valid_from"),
+            F.col("eid").alias("valid_from_eid"),
+        )
+        state.write_buckets(
+            passthrough.unionByName(new_open), batch_id, touched
+        )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("etime")).alias("tmicros"),
+    )
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", scratch_dir("ckpt_scd2_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    batch_dirs = [
+        os.path.join(closed_dir, d) for d in sorted(os.listdir(closed_dir))
+    ]
+    sess = spark
+    if batch_dirs:
+        closed_all = sess.read.schema(closed_schema).parquet(*batch_dirs)
+    else:
+        closed_all = sess.createDataFrame([], closed_schema)
+    open_iv = state.read_all(sess).select(
+        "user_id", "value", "valid_from",
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return closed_all.unionByName(open_iv).orderBy(
+        "user_id", "valid_from"
     )

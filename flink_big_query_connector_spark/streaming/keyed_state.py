@@ -1,0 +1,98 @@
+"""Distributed bucketed keyed state for ``foreachBatch`` consumers.
+
+The Delta-style copy-on-write MERGE primitive the streaming CDC apply and
+SCD2 history queries share: keyed state lives as hash-bucketed parquet on
+disk; each micro-batch reads back ONLY the buckets it touches, merges,
+and rewrites just those buckets into a new version directory.  A tiny
+bucket→path manifest (at most ``n_buckets`` entries — the moral
+equivalent of a Delta transaction-log entry) is the only driver-side
+bookkeeping; per-key state never reaches the driver (plan-pinned in
+tests/test_scale_patterns.py).
+
+Reference semantics preserved: the keyed-state discipline of
+``process/StreamStateHandler.java:53-102`` (newest-wins merges, durable
+per-key continuation across batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BucketedKeyedState:
+    """Hash-bucketed parquet keyed-state table with versioned rewrites."""
+
+    def __init__(
+        self, root: str, key_col: str, schema: str, n_buckets: int = 16
+    ):
+        self.root = root
+        self.key_col = key_col
+        self.schema = schema
+        self.n_buckets = n_buckets
+        self.manifest_path = os.path.join(root, "manifest.json")
+        os.makedirs(root, exist_ok=True)
+
+    def bucket_expr(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def touched_buckets(self, df: DataFrame) -> list[int]:
+        """Distinct bucket ids present in ``df`` — the ONLY driver-side
+        collect in the merge loop, bounded by ``n_buckets``."""
+        return sorted(
+            r["b"]
+            for r in df.select(
+                self.bucket_expr(F.col(self.key_col)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+
+    def read_buckets(self, spark, buckets: list[int]) -> DataFrame:
+        """Current state rows of the given buckets (empty frame if none
+        were ever written)."""
+        manifest = self._manifest()
+        paths = [
+            manifest[str(b)] for b in buckets if str(b) in manifest
+        ]
+        if not paths:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*paths)
+
+    def write_buckets(
+        self, df: DataFrame, batch_id: int, touched: list[int]
+    ) -> None:
+        """Rewrite the touched buckets from ``df`` (which must contain
+        ALL surviving rows for those buckets) into a fresh version
+        directory, then atomically advance the manifest.  Version dirs
+        are keyed by batch id, so a replayed batch overwrites its own
+        attempt — idempotent under checkpoint recovery."""
+        vdir = os.path.join(self.root, f"v{batch_id}")
+        (
+            df.withColumn("bucket", self.bucket_expr(F.col(self.key_col)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        manifest = self._manifest()
+        for b in touched:
+            manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)
+
+    def read_all(self, spark) -> DataFrame:
+        manifest = self._manifest()
+        if not manifest:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*manifest.values())

@@ -358,11 +358,18 @@ def test_nested_projection_prunes_to_leaf_paths(spark):
     assert "body" not in rs
 
 
-def test_cdc_apply_state_never_collects_keys(spark, monkeypatch):
-    """b26_stream_cdc_apply's keyed state is DISTRIBUTED: the only
-    driver-side collect inside the merge loop is the touched-bucket list
-    (bounded by the bucket count), never per-key rows.  Guards against
-    regressing to a driver-side state dict."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname", ["b26_stream_cdc_apply", "b26_stream_scd2_history"]
+)
+def test_keyed_state_queries_never_collect_keys(spark, monkeypatch, qname):
+    """The bucketed-keyed-state consumers (CDC apply, SCD2 history) keep
+    state DISTRIBUTED: the only driver-side collect inside the merge loop
+    is the touched-bucket list (bounded by the bucket count), never
+    per-key rows.  Guards against regressing to a driver-side state
+    dict."""
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
     from flink_big_query_connector_spark.plans import REGISTRY
@@ -378,7 +385,7 @@ def test_cdc_apply_state_never_collects_keys(spark, monkeypatch):
 
     monkeypatch.setattr(CDF, "collect", tracking_collect)
     try:
-        df = REGISTRY["b26_stream_cdc_apply"].fn(spark, SF_DIR)
+        df = REGISTRY[qname].fn(spark, SF_DIR)
         # building the result must not have collected per-key state;
         # every recorded collect is a touched-bucket list
         assert sizes, "expected at least one touched-bucket collect"
