@@ -51,6 +51,11 @@ HEADLINE = [
     "llm_dedup_semantic",
     "llm_dedup_span_removal",
     "llm_quality_classifier",
+    # round-5 additions (set grew 24 -> 27; cross-round totals compare on
+    # the shared keys)
+    "llm_ann_pq_adc",
+    "llm_heavy_hitters_cms",
+    "llm_dedup_incremental",
 ]
 
 

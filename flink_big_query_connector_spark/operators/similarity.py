@@ -529,17 +529,50 @@ def pq_codebooks(
     ]
 
 
-def _l2sq_expr(a, c_vec: list[float]):
-    """||a - c||^2 via three sequential-fold dot products — EXACTLY the
-    arithmetic the DuckDB twin writes with ``list_dot_product``, so the
-    rounded values agree bitwise: dot(a,a) - 2*dot(a,c) + dot(c,c)."""
+def _py_self_dot(v: list[float]) -> float:
+    """Sequential-fold dot(v, v) in Python — bitwise the engines' value
+    (Spark's aggregate fold and DuckDB's list_dot_product both accumulate
+    left-to-right; the oracle gate verifies this continuously)."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _cb_struct_array(cb: list[tuple[int, list]]):
+    """One literal array<struct<code, cvec, cc>> per codebook: distance
+    evaluation then runs as a SINGLE transform lambda over it, instead of
+    |codes| unrolled expression trees.  Built as ONE parsed SQL string —
+    a single py4j round-trip instead of ~1000 Column constructions
+    (repr() double literals round-trip bitwise through the SQL parser)."""
+
+    def darr(vals) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    structs = ",".join(
+        f"named_struct('code', {int(code)}, 'cvec', {darr(cvec)}, "
+        f"'cc', {_py_self_dot(cvec)!r}D)"
+        for code, cvec in cb
+    )
+    return F.expr(f"array({structs})")
+
+
+def _l2sq_to_codes(sub, cb_arr):
+    """Array of round-6dp ||sub - c||^2 per codebook entry (codebook
+    order) via the dot-product identity: dot(a,a) - 2*dot(a,c) + cc,
+    where cc is the precomputed literal dot(c,c) — the same arithmetic
+    the DuckDB twin writes with ``list_dot_product``."""
     from ..functions.vectors import dot_product_expr
 
-    c = F.array(*[F.lit(float(x)) for x in c_vec])
-    return (
-        dot_product_expr(a, a)
-        - F.lit(2.0) * dot_product_expr(a, c)
-        + dot_product_expr(c, c)
+    aa = dot_product_expr(sub, sub)
+    return F.transform(
+        cb_arr,
+        lambda c: F.round(
+            aa
+            - F.lit(2.0) * dot_product_expr(sub, c["cvec"])
+            + c["cc"],
+            6,
+        ),
     )
 
 
@@ -576,14 +609,13 @@ def pq_encode(
     for s, cb in enumerate(codebooks):
         sublen = len(cb[0][1])
         subv = F.slice(v, s * sublen + 1, sublen)
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.round(_l2sq_expr(subv, cvec), 6).alias("d"),
-                    F.lit(code).alias("code"),
-                )
-                for code, cvec in cb
-            ]
+        dists = _l2sq_to_codes(subv, _cb_struct_array(cb))
+        # argmin with ties to the lowest code: lexicographic array_min
+        # over (d, positional index) structs
+        pairs = F.zip_with(
+            dists,
+            F.array(*[F.lit(int(code)) for code, _ in cb]),
+            lambda d, code: F.struct(d.alias("d"), code.alias("code")),
         )
         cols.append(F.array_min(pairs)["code"].cast("long").alias(f"c{s}"))
     return spread(emb_df).select(*cols)
@@ -608,16 +640,18 @@ def pq_adc_topk(
     n_codes = len(codebooks[0])
     codes = pq_encode(emb_df, id_col, vec_col, codebooks)
     qv = F.col("qv")
-    entries = []
+    # per-subspace distance-table segments (codebook/positional order),
+    # flattened into the 64-entry lookup array — one transform lambda per
+    # subspace instead of 64 unrolled expressions
+    segments = []
     for s, cb in enumerate(codebooks):
         sublen = len(cb[0][1])
         subq = F.slice(qv, s * sublen + 1, sublen)
-        for _code, cvec in cb:  # positional order == table index
-            entries.append(F.round(_l2sq_expr(subq, cvec), 6))
+        segments.append(_l2sq_to_codes(subq, _cb_struct_array(cb)))
     dt = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-    ).select("query_id", F.array(*entries).alias("dt"))
+    ).select("query_id", F.flatten(F.array(*segments)).alias("dt"))
     dist = (
         F.element_at("dt", F.col("c0").cast("int") + 1)
         + F.element_at("dt", F.lit(n_codes) + F.col("c1").cast("int") + 1)
