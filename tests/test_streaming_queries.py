@@ -160,3 +160,41 @@ def test_neardup_history_is_chunking_independent(spark, sf_dir):
         for r in b24_stream_neardup_history(spark, sf_dir, n_chunks=4).collect()
     }
     assert one == four and len(one) > 0
+
+
+def test_bucketed_keyed_state_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch id after a crash between the
+    bucket write and the checkpoint commit) must leave the state table
+    exactly as the first attempt did: version dirs are keyed by batch id
+    and the manifest advance is atomic."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    state = BucketedKeyedState(
+        str(tmp_path / "ks"), "k", "k long, v long", n_buckets=4
+    )
+    b0 = spark.createDataFrame([(1, 10), (2, 20), (9, 90)], "k long, v long")
+
+    def merge(df, batch_id):
+        touched = state.touched_buckets(df)
+        merged = df.unionByName(
+            state.read_buckets(spark, touched)
+        ).groupBy("k").agg(F.max("v").alias("v"))
+        state.write_buckets(merged, batch_id, touched)
+        return touched
+
+    merge(b0, 0)
+    snap1 = sorted(map(tuple, state.read_all(spark).collect()))
+    merge(b0, 0)  # replay of the SAME batch
+    snap2 = sorted(map(tuple, state.read_all(spark).collect()))
+    assert snap1 == snap2 == [(1, 10), (2, 20), (9, 90)]
+
+    # a later batch updates one key and adds another; bystanders persist
+    b1 = spark.createDataFrame([(2, 25), (7, 70)], "k long, v long")
+    merge(b1, 1)
+    assert sorted(map(tuple, state.read_all(spark).collect())) == [
+        (1, 10), (2, 25), (7, 70), (9, 90),
+    ]
