@@ -2747,6 +2747,66 @@ _N_SHARDS = 8
 
 
 @register(
+    "llm_corpus_export",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                 ({_SQL_H60.format(x="'shard1:' || CAST(doc_id AS VARCHAR)")})
+                     % {_N_SHARDS} AS shard,
+                 {text.sql_fingerprint(_SQL_TOKS)} AS fp
+          FROM documents)
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_checksum
+        FROM base GROUP BY shard ORDER BY shard
+    """,
+    tags=("sampling", "layout", "export"),
+)
+def llm_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus EXPORT with a verified manifest — the step that actually
+    hands data to a trainer: shard-partitioned parquet is written to the
+    export root, then the manifest (per-shard doc count, token total, and
+    an order-free integer content checksum = sum of per-doc fingerprints
+    mod P) is computed by READING THE EXPORT BACK, so the manifest
+    certifies the files on disk rather than the plan that produced them.
+    A checksum mismatch against the source oracle means lost/duplicated
+    docs — exactly what a 100 TB export job must detect before training
+    starts.  All manifest arithmetic is exact integers, so any
+    partitioning gives the same manifest."""
+    from ..operators.hashing import hash60_expr
+    from ..scratch import scratch_dir
+
+    t = load_tables(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    toks = text.tokens_expr(F.col("text"))
+    base = t["documents"].select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            hash60_expr(F.concat(F.lit("shard1:"), sid)) % F.lit(_N_SHARDS)
+        ).alias("shard"),
+        text.fingerprint_expr(toks).alias("fp"),
+    )
+    out = scratch_dir("corpus_export_")
+    base.write.mode("overwrite").partitionBy("shard").parquet(out)
+    exported = spark.read.parquet(out)
+    return (
+        exported.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("fp") % F.lit(2147483647))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "llm_corpus_shard",
     oracle=f"""
         WITH base AS (

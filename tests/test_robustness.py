@@ -216,6 +216,7 @@ DETERMINISM_SWEEP = [
     "llm_dedup_embedding", "llm_ann_ivf_kmeans", "llm_ann_pq_encode",
     "llm_dedup_incremental", "llm_heavy_hitters_cms",
     "b10_delete_propagation", "b16_rolling_zscore",
+    "llm_corpus_export",
 ]
 
 
