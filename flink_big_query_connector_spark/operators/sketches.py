@@ -50,25 +50,43 @@ def sql_cms_bucket(expr: str, depth: int) -> str:
     return f"((({a} * {h} + {b}) % {P}) % {CMS_WIDTH})"
 
 
-def cms_build(keyed_df: DataFrame, key_col: str) -> DataFrame:
-    """Build the sketch: (depth, bucket, n) cells.
-
-    One explode of each key into its ``CMS_DEPTH`` bucket coordinates,
-    then a single hash aggregation — partial combine bounds the shuffle
-    at depth x width rows per map partition."""
-    coords = F.explode(
+def _coords_from_h(h):
+    """All CMS_DEPTH (depth, bucket) coordinates from ONE reduced hash —
+    md5 runs once per key occurrence, the per-depth transforms are two
+    integer ops each."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(d).alias("depth"),
-                    cms_bucket_expr(F.col(key_col), d).alias("bucket"),
+                    (
+                        (
+                            (F.lit(CMS_SEEDS[d][0]) * h
+                             + F.lit(CMS_SEEDS[d][1]))
+                            % F.lit(P)
+                        )
+                        % F.lit(CMS_WIDTH)
+                    ).alias("bucket"),
                 )
                 for d in range(CMS_DEPTH)
             ]
         )
     ).alias("c")
+
+
+def cms_build(keyed_df: DataFrame, key_col: str) -> DataFrame:
+    """Build the sketch: (depth, bucket, n) cells.
+
+    One explode of each key into its ``CMS_DEPTH`` bucket coordinates,
+    then a single hash aggregation — partial combine bounds the shuffle
+    at depth x width rows per map partition.  The md5 is projected ONCE
+    per key occurrence (the per-depth buckets are linear transforms of
+    the same reduced hash, identical to cms_bucket_expr's values)."""
+    hashed = keyed_df.select(
+        (hash60_expr(F.col(key_col)) % F.lit(P)).alias("_h")
+    )
     return (
-        keyed_df.select(coords)
+        hashed.select(_coords_from_h(F.col("_h")))
         .select("c.depth", "c.bucket")
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -85,18 +103,9 @@ def cms_estimate(
     cells count 0 (keys the sketch never saw)."""
     keys = keyed_df.select(F.col(key_col).alias("key")).distinct()
     coords = keys.select(
-        "key",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("depth"),
-                        cms_bucket_expr(F.col("key"), d).alias("bucket"),
-                    )
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("c"),
+        "key", (hash60_expr(F.col("key")) % F.lit(P)).alias("_h")
+    ).select(
+        "key", _coords_from_h(F.col("_h"))
     ).select("key", "c.depth", "c.bucket")
     return (
         coords.join(F.broadcast(cms_df), ["depth", "bucket"], "left")
