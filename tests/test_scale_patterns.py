@@ -536,3 +536,17 @@ def test_no_cartesian_or_row_python_across_batch_registry(spark):
         if "BatchEvalPython" in plan and name not in allow_row_python:
             violations.append((name, "BatchEvalPython"))
     assert not violations, violations
+
+
+def test_incremental_dedup_band_exchanges_carry_keys_not_shingles(spark):
+    """llm_dedup_incremental's candidate generation must shuffle on
+    (band, key) pairs — no exchange may partition by a shingle-hash ARRAY
+    column (the corpus content stays out of the band join)."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_dedup_incremental"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        key = frag.split(")")[0]
+        assert "sh_" not in key, key  # shingle arrays never partition
