@@ -115,12 +115,16 @@ def main() -> None:
         release_caches(spark)
 
     total = round(sum(timings.values()), 3)
+    # cross-round comparability: the original 21-key subtotal (the set
+    # BASELINE.md's recorded baseline covers; later rounds appended keys)
+    shared21 = round(sum(timings[k] for k in HEADLINE[:21]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "shared21_subtotal": shared21,
                 "queries": timings,
                 "sf": sf,
             }
