@@ -639,6 +639,12 @@ def pq_adc_topk(
     the broadcast carries |Q| x 64 doubles."""
     n_codes = len(codebooks[0])
     codes = pq_encode(emb_df, id_col, vec_col, codebooks)
+    if n_codes == 0:
+        # empty corpus -> empty model -> no candidates (pq_encode already
+        # rejected the non-empty-corpus/empty-model case loudly)
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, dist double, rank long"
+        )
     qv = F.col("qv")
     # per-subspace distance-table segments (codebook/positional order),
     # flattened into the 64-entry lookup array — one transform lambda per

@@ -2792,7 +2792,11 @@ def llm_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("corpus_export_")
     base.write.mode("overwrite").partitionBy("shard").parquet(out)
-    exported = spark.read.parquet(out)
+    # explicit schema: an empty export writes no data files and schema
+    # inference would fail; the manifest of an empty corpus is 0 rows
+    exported = spark.read.schema(
+        "doc_id long, text string, n_tokens long, fp long, shard long"
+    ).parquet(out)
     return (
         exported.groupBy("shard")
         .agg(

@@ -33,6 +33,7 @@ EMPTY_SWEEP = [
     "b13_setops_all", "b01_schema_evolution_read", "llm_bpe_train",
     "llm_dedup_incremental", "llm_ann_pq_encode", "b16_rolling_zscore",
     "llm_heavy_hitters_cms", "b10_delete_propagation",
+    "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
 ]
 
 
@@ -216,7 +217,7 @@ DETERMINISM_SWEEP = [
     "llm_dedup_embedding", "llm_ann_ivf_kmeans", "llm_ann_pq_encode",
     "llm_dedup_incremental", "llm_heavy_hitters_cms",
     "b10_delete_propagation", "b16_rolling_zscore",
-    "llm_corpus_export",
+    "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
 ]
 
 
