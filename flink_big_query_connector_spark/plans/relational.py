@@ -1158,6 +1158,87 @@ def b16_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b11_last_touch_attribution",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE user_id < 200),
+        w AS (
+          SELECT user_id, event_id, event_type, t,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_id END IGNORE NULLS)
+                     OVER fr AS attr_event,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                     OVER fr AS attr_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN t END IGNORE NULLS)
+                     OVER fr AS attr_t
+          FROM e
+          WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+        )
+        SELECT event_id AS purchase_event, user_id,
+               attr_event, attr_type,
+               CASE WHEN attr_t IS NOT NULL
+                         AND t - attr_t <= 604800000000
+                    THEN t - attr_t END AS gap_micros
+        FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("window", "attribution"),
+)
+def b11_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding non-purchase event within a 7-day lookback — the
+    conversion-analytics join expressed as ONE per-user ordered window
+    (last_value IGNORE NULLS over the preceding frame), no self-join, no
+    range join.  Out-of-window or first-touch purchases attribute to
+    NULL.  All arithmetic is integer micros, so the lookback cut is
+    exact; per-user windows keep it partition-parallel at any scale."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 200).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_micros(t["events"]).alias("t"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.last(F.when(non_purchase, F.col("event_id")), True)
+        .over(fr)
+        .alias("attr_event"),
+        F.last(F.when(non_purchase, F.col("event_type")), True)
+        .over(fr)
+        .alias("attr_type"),
+        F.last(F.when(non_purchase, F.col("t")), True)
+        .over(fr)
+        .alias("attr_t"),
+    )
+    gap = F.col("t") - F.col("attr_t")
+    return w.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        "attr_event",
+        "attr_type",
+        F.when(
+            F.col("attr_t").isNotNull() & (gap <= 604_800_000_000), gap
+        ).alias("gap_micros"),
+    )
+
+
+@register(
     "b16_winsorized_stats",
     oracle="""
         WITH r AS (

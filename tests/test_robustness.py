@@ -34,6 +34,7 @@ EMPTY_SWEEP = [
     "llm_dedup_incremental", "llm_ann_pq_encode", "b16_rolling_zscore",
     "llm_heavy_hitters_cms", "b10_delete_propagation",
     "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
+    "b11_last_touch_attribution",
 ]
 
 
@@ -219,7 +220,7 @@ DETERMINISM_SWEEP = [
     "b10_delete_propagation", "b16_rolling_zscore",
     # (phash dedup is determinism-covered by its pigeonhole-exactness
     # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
-    "llm_corpus_export", "llm_ann_pq_adc",
+    "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
 ]
 
 
