@@ -1239,6 +1239,78 @@ def b11_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b11_multi_touch_attribution",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE user_id < 200),
+        p AS (SELECT user_id, event_id AS purchase_event, t AS pt
+              FROM e WHERE event_type = 'purchase'),
+        touch AS (SELECT user_id, event_id AS touch_event,
+                         event_type AS attr_type, t AS tt
+                  FROM e WHERE event_type <> 'purchase'),
+        j AS (
+          SELECT p.purchase_event, p.user_id, touch.touch_event,
+                 touch.attr_type
+          FROM p JOIN touch ON p.user_id = touch.user_id
+          WHERE touch.tt < p.pt AND p.pt - touch.tt <= 604800000000),
+        n AS (SELECT purchase_event, COUNT(*) AS n_touches
+              FROM j GROUP BY purchase_event)
+        SELECT j.purchase_event, j.user_id, j.touch_event, j.attr_type,
+               n.n_touches, 1.0 / n.n_touches AS credit
+        FROM j JOIN n USING (purchase_event)
+    """,
+    tags=("join", "window", "attribution"),
+)
+def b11_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across ALL the user's non-purchase events in the
+    7-day lookback.  The purchase x touch pairing is an EQUI join on
+    user_id with the time range as a residual — pair work is bounded by
+    per-user activity within the window, never cross-user, so the join
+    scales with users x touches-per-week (the binned-interval trick of
+    b07 only becomes necessary when there is no equi key at all).  The
+    1/n credit is a single IEEE division — identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 200).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_micros(t["events"]).alias("t"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.col("t").alias("pt"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_event"),
+        F.col("event_type").alias("attr_type"),
+        F.col("t").alias("tt"),
+    )
+    j = (
+        p.join(touch, "user_id")
+        .filter(
+            (F.col("tt") < F.col("pt"))
+            & (F.col("pt") - F.col("tt") <= 604_800_000_000)
+        )
+        .select("purchase_event", "user_id", "touch_event", "attr_type")
+    )
+    from pyspark.sql.window import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("purchase_event"))
+    return j.select(
+        "purchase_event",
+        "user_id",
+        "touch_event",
+        "attr_type",
+        n.alias("n_touches"),
+        (F.lit(1.0) / n).alias("credit"),
+    )
+
+
+@register(
     "b16_winsorized_stats",
     oracle="""
         WITH r AS (

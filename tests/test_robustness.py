@@ -34,7 +34,7 @@ EMPTY_SWEEP = [
     "llm_dedup_incremental", "llm_ann_pq_encode", "b16_rolling_zscore",
     "llm_heavy_hitters_cms", "b10_delete_propagation",
     "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
-    "b11_last_touch_attribution",
+    "b11_last_touch_attribution", "b11_multi_touch_attribution",
 ]
 
 
