@@ -1623,7 +1623,14 @@ def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by batch size), the state table holds ONE row per key, and
     closed intervals stream out append-only — no history ever rewrites.
     Per-key state never reaches the driver (the touched-bucket list is
-    the only collect)."""
+    the only collect).
+
+    Assumes IN-ORDER event-time arrival per key (the replay's ordered
+    chunks guarantee it): an event older than a key's open interval
+    would require repairing already-closed history — a changelog source
+    with late data needs a watermark-delayed stitch or periodic interval
+    compaction on top of this operator, the caveat every append-only
+    SCD2 maintainer carries."""
     from pyspark.sql.window import Window
 
     from ..streaming.keyed_state import BucketedKeyedState
