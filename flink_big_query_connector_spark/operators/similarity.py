@@ -468,19 +468,35 @@ def ivf_cells_with(
             v.alias("v"),
             F.lit(None).cast("long").alias("cell"),
         )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity_expr(
-                        v, F.array(*[F.lit(float(x)) for x in cvec])
-                    ),
-                    6,
-                ).alias("c"),
-                F.lit(-cid).alias("nid"),
-            )
-            for cid, cvec in centroids
-        ]
+    # One literal array<struct<cvec, cn, nid>> + a single transform:
+    # the same plan-size/py4j discipline as the PQ codebooks (16 unrolled
+    # cosine trees recomputed norm(v) per centroid).  cn is the Python
+    # sequential-fold norm — bitwise the engine fold + correctly-rounded
+    # sqrt, so round(dot/(vn*cn), 6) equals the original
+    # cosine_similarity_expr value exactly.
+    import math
+
+    from ..functions.vectors import dot_product_expr, norm_expr
+
+    def darr(vals) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    structs = ",".join(
+        f"named_struct('cvec', {darr(cvec)}, "
+        f"'cn', {math.sqrt(_py_self_dot(cvec))!r}D, "
+        f"'nid', {-int(cid)}L)"
+        for cid, cvec in centroids
+    )
+    cents_arr = F.expr(f"array({structs})")
+    vn = norm_expr(v)
+    pairs = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            F.round(
+                dot_product_expr(v, c["cvec"]) / (vn * c["cn"]), 6
+            ).alias("c"),
+            c["nid"].alias("nid"),
+        ),
     )
     best = F.array_max(pairs)
     return spread(emb_df).select(
