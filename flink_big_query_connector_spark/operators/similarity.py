@@ -110,37 +110,57 @@ def _plane_projection(vec, plane: int):
 
 
 def rp_signature_expr(vec):
-    """NUM_PLANES-bit sign signature.
+    """NUM_PLANES-bit sign signature (bit p = plane p's projection sign).
 
     Hard-fails on vectors wider than MAX_DIM: beyond the weight table,
     zip_with would null-pad, every projection would go NULL, and all
     vectors would silently collapse into bucket 0 (degenerating the
     bucketed join to quadratic).  raise_error surfaces that instead.
     """
-    sig = F.lit(0).cast("long")
-    for p in range(NUM_PLANES):
-        sig = sig + F.when(
-            _plane_projection(vec, p) > 0, F.lit(1 << p).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return F.when(
-        F.size(vec) > MAX_DIM,
-        F.raise_error(
-            F.lit(f"rp_signature_expr: vector dim exceeds MAX_DIM={MAX_DIM}")
-        ).cast("long"),
-    ).otherwise(sig)
+    return band_signature_expr(vec, list(range(NUM_PLANES)))
 
 
 def band_signature_expr(vec, planes: list[int]):
     """Sign signature over an explicit plane list (one LSH band).
 
-    Same construction as :func:`rp_signature_expr` but parameterized by
-    plane indices, so banded schemes can draw from a wider plane pool
-    (the md5 weight table is defined for every plane index)."""
-    sig = F.lit(0).cast("long")
-    for j, p in enumerate(planes):
-        sig = sig + F.when(
-            _plane_projection(vec, p) > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    Built as ONE parsed weight-matrix literal + a single zip_with/fold
+    (instead of |planes| unrolled projection trees each carrying a
+    MAX_DIM-literal array — the same plan-size discipline as the PQ/IVF
+    literal arrays).  Per plane the projection is the identical
+    slice + zip_with + sequential fold, so signatures are bitwise
+    unchanged."""
+    rows = ",".join(
+        "array("
+        + ",".join(f"{x!r}D" for x in _plane_weights(p))
+        + ")"
+        for p in planes
+    )
+    weights = F.expr(f"array({rows})")
+    powers = F.expr(
+        "array(" + ",".join(f"{1 << j}L" for j in range(len(planes))) + ")"
+    )
+
+    def proj(w):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(w, 1, F.size(vec)),
+                lambda x, wi: x.cast("double") * wi,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    contribs = F.zip_with(
+        weights,
+        powers,
+        lambda w, p: F.when(proj(w) > 0, p).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    sig = F.aggregate(
+        contribs, F.lit(0).cast("long"), lambda a, x: a + x
+    )
     return F.when(
         F.size(vec) > MAX_DIM,
         F.raise_error(
@@ -214,19 +234,25 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    from ..functions.vectors import dot_product_expr, norm_expr
+
     va = emb_df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("na"),
     )
     vb = emb_df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("nb"),
+    )
+    pair_cos = dot_product_expr(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
     )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cos",
-            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 6),
-        )
+        .withColumn("cos", F.round(pair_cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
