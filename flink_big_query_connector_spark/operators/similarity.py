@@ -223,8 +223,15 @@ def embedding_neardup_pairs_lsh(
             for b in range(n_bands)
         ]
     )
-    entries = base.select("vid", F.explode(bands).alias("bk")).select(
-        "vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # persisted: the self-join consumes entries on BOTH sides — without
+    # the persist the full signature pipeline (16 projections/row) would
+    # evaluate twice, and the (id, band, key) relation is tiny
+    entries = scoped_persist(
+        base.select("vid", F.explode(bands).alias("bk")).select(
+            "vid",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
     )
     a = entries.select(F.col("vid").alias("id_a"), "band", "key")
     b = entries.select(F.col("vid").alias("id_b"), "band", "key")
