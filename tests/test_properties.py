@@ -253,3 +253,58 @@ def test_connector_roundtrip_preserves_values(rows):
     for g, r in zip(got, rows):
         for v_got, v_want in zip(g, (r["id"], r["name"], r["score"])):
             assert _same_value(v_got, v_want), (g, r)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    key=st.text(min_size=0, max_size=40),
+)
+def test_cms_buckets_in_range_and_python_mirror(key):
+    """Every CMS bucket lies in [0, WIDTH) at every depth, and the
+    Python-side arithmetic mirrors the engine formula exactly (the
+    property the count-min oracle depends on)."""
+    import hashlib
+
+    from flink_big_query_connector_spark.operators.hashing import P
+    from flink_big_query_connector_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_SEEDS,
+        CMS_WIDTH,
+    )
+
+    h60 = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    h = h60 % P
+    for d in range(CMS_DEPTH):
+        a, b = CMS_SEEDS[d]
+        bucket = ((a * h + b) % P) % CMS_WIDTH
+        assert 0 <= bucket < CMS_WIDTH
+        assert a * h + b < 2**63  # the no-overflow discipline
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=200))
+def test_phash_is_60_bits_and_stable(payload):
+    """The perceptual-hash stand-in stays inside 60 bits (signed-long
+    safe) for ANY payload and is a pure function of the bytes."""
+    import base64
+
+    from flink_big_query_connector_spark.operators.multimodal import (
+        PHASH_BITS,
+    )
+
+    def phash(buf: bytes) -> int:
+        b64 = base64.b64encode(buf).decode("ascii")
+        n = len(b64)
+        if n == 0:
+            return 0
+        codes = [ord(b64[(j * n) // PHASH_BITS]) for j in range(PHASH_BITS)]
+        mean = sum(codes) / float(PHASH_BITS)
+        v = 0
+        for j, c in enumerate(codes):
+            if c >= mean:
+                v |= 1 << j
+        return v
+
+    v = phash(payload)
+    assert 0 <= v < (1 << PHASH_BITS)
+    assert v == phash(payload)
