@@ -3287,3 +3287,228 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(a1 + " " + b1).alias("merge1"),
         F.lit(a2 + " " + b2).alias("merge2"),
     )
+
+
+# Fixed "pretrained" merge table for llm_bpe_encode: applying an
+# already-trained tokenizer to a corpus is the everyday production op
+# (training is rare; encoding happens on every ingest).  The merges are
+# ordered — later merges may consume symbols produced by earlier ones
+# (('tablehash', 'scan') only exists after ('table', 'hash') fires), which
+# exercises the hierarchical-vocab path.  The table ships as plan
+# literals on both engines, exactly like the IVF/SQ8/PQ models.
+_BPE_PRETRAINED_MERGES = (
+    ("table", "hash"),
+    ("part", "filter"),
+    ("slow", "key"),
+    ("merge", "group"),
+    ("customer", "join"),
+    ("vector", "small"),
+    ("filter", "hash"),
+    ("tablehash", "scan"),
+)
+
+
+def _bpe_encode_oracle() -> str:
+    """CTE chain applying the fixed merge table left-to-right (one
+    list_reduce fold per merge — the DuckDB twin of the Spark fold
+    chain)."""
+    stages = []
+    src = "s0"
+    for i, (a, b) in enumerate(_BPE_PRETRAINED_MERGES, start=1):
+        out = f"s{i}"
+        stages.append(
+            f"{out} AS (SELECT doc_id, n_tokens, "
+            f"{text.sql_bpe_merge('s', repr(a), repr(b))} AS s FROM {src})"
+        )
+        src = out
+    chain = ",\n        ".join(stages)
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        s0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CASE WHEN len(toks) > 0
+                           THEN chr(1) || array_to_string(toks, chr(1))
+                           ELSE '' END AS s
+               FROM t),
+        {chain},
+        fin AS (SELECT doc_id, n_tokens,
+                       CAST(len({text.sql_bpe_symbols('s')}) AS BIGINT)
+                           AS n_symbols,
+                       md5(s) AS sym_hash
+                FROM {src})
+        SELECT doc_id, n_tokens, n_symbols, sym_hash,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(n_symbols AS DOUBLE) /
+                               CAST(n_tokens AS DOUBLE), 6)
+               END AS compression
+        FROM fin
+    """
+
+
+@register(
+    "llm_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokenizer"),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a PRETRAINED BPE merge table to the corpus (the complement
+    of llm_bpe_train: train once, encode on every ingest).  The 8-merge
+    vocabulary is a plan literal; encoding is a chain of per-row greedy
+    folds (operators/text.py::bpe_merge_expr) inside ONE narrow
+    projection — zero shuffles, zero Python, scales as a single linear
+    pass over the corpus at 100 TB.  Later merges consume earlier
+    merges' output symbols, exercising hierarchical vocab entries."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    s = text.bpe_initial_expr(toks)
+    for a, b in _BPE_PRETRAINED_MERGES:
+        s = text.bpe_merge_expr(s, a, b)
+    enc = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(text.bpe_symbols_expr(s)).cast("long").alias("n_symbols"),
+        F.md5(s).alias("sym_hash"),
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_symbols",
+        "sym_hash",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_symbols").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("compression"),
+    )
+
+
+@register(
+    "llm_text_langid_confusion",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+        pred AS (SELECT lang AS labeled_lang,
+                        {{pred}} AS predicted_lang
+                 FROM d)
+        SELECT labeled_lang, predicted_lang,
+               COUNT(*) AS n_docs,
+               round(CAST(COUNT(*) AS DOUBLE) /
+                     CAST(SUM(COUNT(*)) OVER (PARTITION BY labeled_lang)
+                          AS DOUBLE), 6) AS frac_of_label
+        FROM pred
+        GROUP BY 1, 2
+    """.replace("{pred}", text.sql_lang_id("toks")),
+    tags=("text",),
+)
+def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion matrix of the stopword-argmax
+    heuristic against the labeled ``lang`` column, with each cell's
+    fraction of its true-label row.  The matrix is |langs|^2 cells
+    regardless of corpus size — one hash aggregation plus a window over
+    the tiny aggregate, so the 100 TB cost is the single linear scan."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pred = t["documents"].select(
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id_expr(text.tokens_expr(F.col("text"))).alias(
+            "predicted_lang"
+        ),
+    )
+    agg = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return agg.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("frac_of_label"),
+    )
+
+
+@register(
+    "llm_ann_recall_eval",
+    oracle="""
+        WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 20),
+        c0 AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+        ex_scored AS (SELECT query_id, cand_id,
+                             round(list_cosine_similarity(qv, cv), 6) AS cos
+                      FROM q0, c0 WHERE cand_id <> query_id),
+        ex_ranked AS (SELECT query_id, cand_id,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS r
+                      FROM ex_scored),
+        exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE r <= 10),
+        cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        ),
+        qi AS (SELECT vec_id AS query_id, v AS qv, cell
+               FROM assigned WHERE vec_id < 20),
+        iv_scored AS (
+          SELECT qi.query_id, a.vec_id AS cand_id,
+                 round(list_cosine_similarity(qi.qv, a.v), 6) AS cos
+          FROM qi JOIN assigned a
+            ON a.cell = qi.cell AND a.vec_id <> qi.query_id
+        ),
+        iv_ranked AS (SELECT query_id, cand_id,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS r
+                      FROM iv_scored),
+        ivf AS (SELECT query_id, cand_id FROM iv_ranked WHERE r <= 10)
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               round(CAST(SUM(CASE WHEN i.cand_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+        FROM exact e
+        LEFT JOIN ivf i
+          ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+        GROUP BY 1
+    """,
+    tags=("similarity", "evaluation"),
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index EVALUATION: per-query recall@10 of the single-probe IVF
+    index against exact brute-force top-10 — the standard acceptance
+    gate before swapping an approximate index into a retrieval pipeline.
+    Composes the two existing operators; the join/aggregate runs over
+    (query_set x k) rows only, so evaluation cost is dominated by the
+    exact arm (run it on a sampled query set at 100 TB, as here: the
+    query set IS a 20-vector sample)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", qs, 10)
+    approx = similarity.ivf_probe_topk(emb, "vec_id", "embedding", qs, 10)
+    hits = exact.select("query_id", "cand_id").join(
+        approx.select("query_id", "cand_id").withColumn("hit", F.lit(1)),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall_at_10"),
+    )

@@ -970,3 +970,39 @@ def test_phash_banding_is_exact_by_pigeonhole(spark, sf_dir):
         ).collect()
     }
     assert banded == brute
+
+
+def test_bpe_encode_hierarchical_merges(spark):
+    """The pretrained-merge chain applies merges IN ORDER, so a later
+    merge can consume an earlier merge's output symbol: 'table hash scan'
+    collapses to the single vocab entry 'tablehashscan' (merge 1 then
+    merge 8), and merge order — not corpus frequency — decides conflicts
+    ('table hash' fires before 'filter hash' can see its 'hash')."""
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _BPE_PRETRAINED_MERGES,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "table hash scan"),
+            (1, "filter table hash"),     # 'filter hash' must NOT fire
+            (2, "part filter hash"),      # 'part filter' wins the 'filter'
+            (3, "customer join vector small"),
+            (4, ""),
+        ],
+        ["doc_id", "t"],
+    )
+    s = text.bpe_initial_expr(text.tokens_expr(F.col("t")))
+    for a, b in _BPE_PRETRAINED_MERGES:
+        s = text.bpe_merge_expr(s, a, b)
+    got = {
+        r.doc_id: r.syms
+        for r in df.select(
+            "doc_id", text.bpe_symbols_expr(s).alias("syms")
+        ).collect()
+    }
+    assert got[0] == ["tablehashscan"]
+    assert got[1] == ["filter", "tablehash"]
+    assert got[2] == ["partfilter", "hash"]
+    assert got[3] == ["customerjoin", "vectorsmall"]
+    assert got[4] == []

@@ -35,6 +35,7 @@ EMPTY_SWEEP = [
     "llm_heavy_hitters_cms", "b10_delete_propagation",
     "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
     "b11_last_touch_attribution", "b11_multi_touch_attribution",
+    "llm_bpe_encode", "llm_text_langid_confusion", "llm_ann_recall_eval",
 ]
 
 
@@ -104,6 +105,9 @@ NULL_SWEEP = [
     # distinction: an upsert whose value is NULL must survive as a
     # NULL-valued row, never be confused with a delete.
     "b26_stream_cdc_apply",
+    # NULL text must tokenize to the empty list in the encode fold and
+    # to an unknowable-but-consistent langid class on both engines.
+    "llm_bpe_encode", "llm_text_langid_confusion",
 ]
 
 
@@ -221,6 +225,7 @@ DETERMINISM_SWEEP = [
     # (phash dedup is determinism-covered by its pigeonhole-exactness
     # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
     "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
+    "llm_bpe_encode", "llm_ann_recall_eval",
 ]
 
 
