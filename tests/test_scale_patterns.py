@@ -550,3 +550,16 @@ def test_incremental_dedup_band_exchanges_carry_keys_not_shingles(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         key = frag.split(")")[0]
         assert "sh_" not in key, key  # shingle arrays never partition
+
+
+def test_bpe_encode_is_single_stage_no_exchange(spark):
+    """Applying a pretrained BPE merge table is a pure map stage: the
+    8-merge vocab folds are plan literals chained inside ONE narrow
+    projection — no Exchange, no Python evaluation — so a 100 TB encode
+    pass is embarrassingly parallel."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_bpe_encode"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
