@@ -3512,3 +3512,95 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "llm_embedding_drift",
+    oracle=f"""
+        WITH e AS (SELECT label, vec_id % 2 AS half,
+                          embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        d AS (SELECT label, half, t.i AS idx, v[t.i] AS val
+              FROM e, range(1, {_EMB_DIM + 1}) t(i)),
+        m AS (SELECT label, half, idx,
+                     CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE)
+                         / COUNT(*) AS m
+              FROM d GROUP BY 1, 2, 3),
+        c AS (SELECT label, half, list(m ORDER BY idx) AS c
+              FROM m GROUP BY 1, 2),
+        n AS (SELECT label, half, COUNT(*) AS n FROM e GROUP BY 1, 2)
+        SELECT a.label,
+               na.n AS n_a, nb.n AS n_b,
+               round(list_cosine_similarity(a.c, b.c), 6) AS centroid_cos,
+               round(sqrt(list_dot_product(b.c, b.c)) /
+                     sqrt(list_dot_product(a.c, a.c)), 6) AS norm_ratio
+        FROM c a
+        JOIN c b ON b.label = a.label AND a.half = 0 AND b.half = 1
+        JOIN n na ON na.label = a.label AND na.half = 0
+        JOIN n nb ON nb.label = a.label AND nb.half = 1
+    """,
+    tags=("similarity", "evaluation"),
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT MONITOR: split the corpus into two
+    snapshots (even/odd vec_id — stand-ins for 'last week' vs 'this
+    week'), compute per-label per-dimension centroid means with
+    ORDER-FREE decimal-domain sums (the llm_ann_ivf_kmeans arithmetic —
+    bitwise-stable under any partitioning), and report the cosine between
+    the two half-centroids plus their norm ratio per label.  A drop in
+    centroid cosine flags upstream distribution shift before it poisons
+    training.  Scale shape: one linear pass into a (labels x 2 x dim)
+    partial aggregation; everything after operates on the model-sized
+    aggregate (KBs), so 100 TB costs one scan."""
+    from ..functions.vectors import cosine_similarity_expr, norm_expr
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").alias("v"),
+    )
+    dims = e.select(
+        "label", "half", F.posexplode(F.col("v")).alias("idx0", "val")
+    )
+    means = (
+        dims.groupBy("label", "half", "idx0")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label",
+            "half",
+            "idx0",
+            (F.col("s").cast("double") / F.col("cnt")).alias("m"),
+        )
+    )
+    cent = means.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx0", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    counts = e.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = cent.filter(F.col("half") == 0).select("label", F.col("c").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select("label", F.col("c").alias("cb"))
+    na = counts.filter(F.col("half") == 0).select("label", F.col("n").alias("n_a"))
+    nb = counts.filter(F.col("half") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                cosine_similarity_expr(F.col("ca"), F.col("cb")), 6
+            ).alias("centroid_cos"),
+            F.round(
+                norm_expr(F.col("cb")) / norm_expr(F.col("ca")), 6
+            ).alias("norm_ratio"),
+        )
+    )

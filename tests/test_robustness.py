@@ -36,6 +36,7 @@ EMPTY_SWEEP = [
     "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
     "b11_last_touch_attribution", "b11_multi_touch_attribution",
     "llm_bpe_encode", "llm_text_langid_confusion", "llm_ann_recall_eval",
+    "llm_embedding_drift",
 ]
 
 
@@ -225,7 +226,7 @@ DETERMINISM_SWEEP = [
     # (phash dedup is determinism-covered by its pigeonhole-exactness
     # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
     "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
-    "llm_bpe_encode", "llm_ann_recall_eval",
+    "llm_bpe_encode", "llm_ann_recall_eval", "llm_embedding_drift",
 ]
 
 
