@@ -3308,33 +3308,40 @@ _BPE_PRETRAINED_MERGES = (
 )
 
 
-def _bpe_encode_oracle() -> str:
-    """CTE chain applying the fixed merge table left-to-right (one
-    list_reduce fold per merge — the DuckDB twin of the Spark fold
-    chain)."""
+def _bpe_encode_ctes(carry: str = "doc_id") -> tuple[str, str]:
+    """(CTE text, final-stage name) applying the fixed merge table
+    left-to-right (one list_reduce fold per merge — the DuckDB twin of
+    the Spark fold chain), carrying ``carry`` columns through every
+    stage."""
     stages = []
     src = "s0"
     for i, (a, b) in enumerate(_BPE_PRETRAINED_MERGES, start=1):
         out = f"s{i}"
         stages.append(
-            f"{out} AS (SELECT doc_id, n_tokens, "
+            f"{out} AS (SELECT {carry}, n_tokens, "
             f"{text.sql_bpe_merge('s', repr(a), repr(b))} AS s FROM {src})"
         )
         src = out
     chain = ",\n        ".join(stages)
-    return f"""
-        WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-        s0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    ctes = f"""t AS (SELECT {carry}, {_SQL_TOKS} AS toks FROM documents),
+        s0 AS (SELECT {carry}, CAST(len(toks) AS BIGINT) AS n_tokens,
                       CASE WHEN len(toks) > 0
                            THEN chr(1) || array_to_string(toks, chr(1))
                            ELSE '' END AS s
                FROM t),
-        {chain},
+        {chain}"""
+    return ctes, src
+
+
+def _bpe_encode_oracle() -> str:
+    ctes, last = _bpe_encode_ctes()
+    return f"""
+        WITH {ctes},
         fin AS (SELECT doc_id, n_tokens,
                        CAST(len({text.sql_bpe_symbols('s')}) AS BIGINT)
                            AS n_symbols,
                        md5(s) AS sym_hash
-                FROM {src})
+                FROM {last})
         SELECT doc_id, n_tokens, n_symbols, sym_hash,
                CASE WHEN n_tokens > 0
                     THEN round(CAST(n_symbols AS DOUBLE) /
@@ -3603,4 +3610,69 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 norm_expr(F.col("cb")) / norm_expr(F.col("ca")), 6
             ).alias("norm_ratio"),
         )
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    ctes, last = _bpe_encode_ctes(carry="doc_id, lang")
+    return f"""
+        WITH {ctes},
+        fin AS (SELECT lang, n_tokens,
+                       CAST(len({text.sql_bpe_symbols('s')}) AS BIGINT)
+                           AS n_symbols
+                FROM {last})
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_symbols) AS BIGINT) AS total_symbols,
+               CASE WHEN SUM(n_tokens) > 0
+                    THEN round(CAST(SUM(n_symbols) AS DOUBLE) /
+                               CAST(SUM(n_tokens) AS DOUBLE), 6)
+               END AS fertility
+        FROM fin
+        GROUP BY 1
+    """
+
+
+@register(
+    "llm_bpe_fertility",
+    oracle=_bpe_fertility_oracle(),
+    tags=("text", "tokenizer", "evaluation"),
+)
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: symbols-per-word of the
+    pretrained BPE vocabulary per lang — the standard multilingual
+    tokenizer-equity metric (a vocabulary trained on one language
+    over-fragments the others; fertility near 1.0 = well covered).
+    The encode is the same zero-shuffle fold chain as llm_bpe_encode;
+    the rollup sums are integer (exact under any partitioning) with one
+    final double division."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    s = text.bpe_initial_expr(toks)
+    for a, b in _BPE_PRETRAINED_MERGES:
+        s = text.bpe_merge_expr(s, a, b)
+    enc = t["documents"].select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(text.bpe_symbols_expr(s)).cast("long").alias("n_symbols"),
+    )
+    agg = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_symbols").cast("long").alias("total_symbols"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_symbols",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(
+                F.col("total_symbols").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
     )

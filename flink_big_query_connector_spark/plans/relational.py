@@ -3048,3 +3048,40 @@ def b01_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("fmt")
+
+
+@register(
+    "b04_skew_profile",
+    oracle="""
+        WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+        SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket_log2,
+               COUNT(*) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               MAX(c) AS max_key_rows
+        FROM c
+        GROUP BY 1
+    """,
+    tags=("join", "diagnostics"),
+)
+def b04_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW PROFILE: the log2 histogram of per-key row counts
+    that decides whether a shuffle join needs salting (b04_salted_join)
+    or AQE skew splitting (pinned in test_scale_patterns.py).  Two-level
+    aggregation: the per-key count is the only pass over the fact table
+    (map-side partials), the histogram then aggregates the far smaller
+    per-key table.  All arithmetic is integer (length(bin(c)) - 1 ==
+    floor(log2(c)) with no float edge cases), so the profile is exact on
+    both engines at any scale.  At 100 TB this is the cheap pre-flight a
+    pipeline runs before choosing its join strategy; a long tail in the
+    top buckets = salt or skew-split before the big join."""
+    t = load_tables(spark, sf_dir)
+    counts = t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy(
+        (F.length(F.bin("c")) - 1).cast("long").alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+    )

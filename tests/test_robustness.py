@@ -36,7 +36,7 @@ EMPTY_SWEEP = [
     "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
     "b11_last_touch_attribution", "b11_multi_touch_attribution",
     "llm_bpe_encode", "llm_text_langid_confusion", "llm_ann_recall_eval",
-    "llm_embedding_drift",
+    "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
 ]
 
 
@@ -108,7 +108,7 @@ NULL_SWEEP = [
     "b26_stream_cdc_apply",
     # NULL text must tokenize to the empty list in the encode fold and
     # to an unknowable-but-consistent langid class on both engines.
-    "llm_bpe_encode", "llm_text_langid_confusion",
+    "llm_bpe_encode", "llm_text_langid_confusion", "llm_bpe_fertility",
 ]
 
 
@@ -226,7 +226,7 @@ DETERMINISM_SWEEP = [
     # (phash dedup is determinism-covered by its pigeonhole-exactness
     # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
     "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
-    "llm_bpe_encode", "llm_ann_recall_eval", "llm_embedding_drift",
+    "llm_bpe_encode", "llm_ann_recall_eval", "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
 ]
 
 
