@@ -31,6 +31,12 @@ PICKS = [
      "count-min sketch — partial aggregation + broadcast estimate join"),
     ("b16_rolling_zscore",
      "rolling z-score — per-user window, no global partition"),
+    ("llm_bpe_encode",
+     "pretrained-BPE encode — literal merge-table fold chain, zero "
+     "Exchange, zero Python"),
+    ("llm_embedding_drift",
+     "embedding drift monitor — one linear pass into a (label x half x "
+     "dim) partial aggregation; joins run on the model-sized aggregate"),
 ]
 
 
