@@ -147,9 +147,13 @@ def sql_lang_id(toks_expr: str) -> str:
 
 
 def sql_fingerprint(toks_expr: str) -> str:
+    """DuckDB twin of :func:`fingerprint_expr`.  ``list_sum([])`` is NULL
+    in DuckDB while the Spark fold's init value makes an empty document
+    sum to 0 — coalesce so BOTH engines fingerprint empty/NULL text as
+    0 (caught by the NULL-injection sweep, tests/test_robustness.py)."""
     return (
-        f"CAST(list_sum(list_transform({toks_expr}, "
-        f"(t, i) -> {sql_hash_mod_p('t')} * i)) % {P} AS BIGINT)"
+        f"CAST(COALESCE(list_sum(list_transform({toks_expr}, "
+        f"(t, i) -> {sql_hash_mod_p('t')} * i)), 0) % {P} AS BIGINT)"
     )
 
 

@@ -109,6 +109,12 @@ NULL_SWEEP = [
     # NULL text must tokenize to the empty list in the encode fold and
     # to an unknowable-but-consistent langid class on both engines.
     "llm_bpe_encode", "llm_text_langid_confusion", "llm_bpe_fertility",
+    # widened text-family coverage: every query below consumes document
+    # text and must agree with its oracle when every 7th text is NULL
+    "llm_text_langid", "llm_text_token_counts", "llm_text_fingerprint",
+    "llm_dedup_ngram_jaccard", "llm_text_repetition", "llm_doc_chunking",
+    "llm_text_inverted_index", "llm_pack_sequences", "llm_decontaminate",
+    "llm_quality_percentile",
 ]
 
 
