@@ -115,6 +115,12 @@ NULL_SWEEP = [
     "llm_dedup_ngram_jaccard", "llm_text_repetition", "llm_doc_chunking",
     "llm_text_inverted_index", "llm_pack_sequences", "llm_decontaminate",
     "llm_quality_percentile",
+    "llm_text_bigram_lm", "llm_text_logprob", "llm_vocab_coverage",
+    "llm_text_pii_scrub", "llm_heavy_hitters_cms", "llm_dedup_spans",
+    "llm_mix_token_budget", "llm_sample_stratified", "llm_corpus_audit",
+    "llm_split_leakage_safe", "llm_dedup_cluster", "llm_dedup_survivors",
+    "b15_time_bucket_rollup", "b16_user_entropy", "b22_batch_sessionize",
+    "b11_last_touch_attribution", "llm_pack_nextfit", "llm_mix_epochs",
 ]
 
 
