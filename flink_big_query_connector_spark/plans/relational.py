@@ -2041,7 +2041,12 @@ def b01_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = scratch_dir("events_by_type_")
     t["events"].write.partitionBy("event_type").mode("overwrite").parquet(out)
-    back = spark.read.parquet(out)
+    # Explicit schema on read-back: a zero-row source writes NO partition
+    # directories, and schema inference over the empty layout fails with
+    # UNABLE_TO_INFER_SCHEMA.  In production the layout's schema comes
+    # from the catalog for exactly this reason (caught by the empty-table
+    # sweep, tests/test_robustness.py).
+    back = spark.read.schema(t["events"].schema).parquet(out)
     pruned = back.filter(F.col("event_type").isin("click", "purchase"))
     # the pruning actually happening is asserted in tests/test_scale_patterns
     return (

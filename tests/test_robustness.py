@@ -10,9 +10,9 @@ from pyspark.sql import functions as F
 from flink_big_query_connector_spark.cache import release_caches
 from flink_big_query_connector_spark.plans import REGISTRY
 
-# Batch families across the registry; streaming/connector queries replay
-# chunk files and have their own machinery, and trained k-means cannot
-# fit on zero rows — both out of scope here.
+# Every batch-family query in the registry; streaming/connector queries
+# replay chunk files and have their own machinery, and b01_compaction's
+# >=64-row layout precondition raises loudly by design — both excluded.
 EMPTY_SWEEP = [
     "b01_scan_count", "b02_projection", "b03_filter",
     "b04_join_broadcast", "b04_salted_join", "b05_outer_join",
@@ -37,6 +37,104 @@ EMPTY_SWEEP = [
     "b11_last_touch_attribution", "b11_multi_touch_attribution",
     "llm_bpe_encode", "llm_text_langid_confusion", "llm_ann_recall_eval",
     "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
+    # widened to every batch-family query (streaming/connector replays and
+    # the by-design >=64-row b01_compaction precondition stay excluded)
+    "b01_partitioned_layout",
+    "b01_source_formats",
+    "b02_nested_projection",
+    "b04_bucketed_join",
+    "b06_anti_join",
+    "b07_asof_join",
+    "b07_asof_join_forward",
+    "b08_salted_agg",
+    "b08_unpivot",
+    "b09_cube",
+    "b09_grouping_sets",
+    "b10_dedup_keep_latest",
+    "b10_two_phase_count_distinct",
+    "b11_window_lag_lead",
+    "b11_window_ntile",
+    "b11_window_range_frame",
+    "b11_window_running_sum",
+    "b13_except",
+    "b13_intersect",
+    "b14_levenshtein",
+    "b15_cohort_retention",
+    "b15_datediff",
+    "b15_time_bucket_rollup",
+    "b16_math",
+    "b16_user_entropy",
+    "b17_array_setops",
+    "b17_explode_outer",
+    "b17_explode_tokens",
+    "b17_map_functions",
+    "b17_variant_json",
+    "b18_histogram",
+    "b18_median_manual",
+    "b19_q4_exists",
+    "b20_q2_min_supplier",
+    "b20_q5_local_supplier",
+    "b20_q6_forecast_revenue",
+    "b20_q7_volume_shipping",
+    "b20_q8_market_share",
+    "b20_q9_product_profit",
+    "b20_q10_returned_items",
+    "b20_q11_important_parts",
+    "b20_q12_late_priority",
+    "b20_q13_order_distribution",
+    "b20_q14_promo_revenue",
+    "b20_q15_top_supplier",
+    "b20_q16_part_supplier_count",
+    "b20_q18_large_volume",
+    "b20_q19_discounted_revenue",
+    "b20_q20_dominant_share",
+    "b20_q21_waiting_supplier",
+    "b20_q22_idle_balance",
+    "b22_batch_sessionize",
+    "b22_event_transitions",
+    "b22_session_funnel",
+    "b28_timeseries_similarity",
+    "llm_ann_filtered",
+    "llm_ann_ivf_multiprobe",
+    "llm_ann_ivf_probe",
+    "llm_ann_sq8",
+    "llm_ann_ivf_kmeans",
+    "llm_corpus_audit",
+    "llm_decontaminate",
+    "llm_dedup_cluster",
+    "llm_dedup_embedding",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_survivors",
+    "llm_doc_chunking",
+    "llm_mix_epochs",
+    "llm_mix_token_budget",
+    "llm_multimodal_meta",
+    "llm_multimodal_features",
+    "llm_multimodal_frame_sample",
+    "llm_multimodal_resize",
+    "llm_pack_nextfit",
+    "llm_pack_sequences",
+    "llm_quality_percentile",
+    "llm_sample_cluster_balanced",
+    "llm_sample_stratified",
+    "llm_split_leakage_safe",
+    "llm_text_bigram_lm",
+    "llm_text_fingerprint",
+    "llm_text_inverted_index",
+    "llm_text_langid",
+    "llm_text_logprob",
+    "llm_text_pii_scrub",
+    "llm_text_quality_filter",
+    "llm_text_repetition",
+    "llm_text_token_counts",
+    "llm_udf_grouped_agg",
+    "llm_udf_grouped_map",
+    "llm_udf_scalar_pandas",
+    "llm_udtf_sentences",
+    "llm_vocab_coverage",
+    "llm_ann_recall_eval",
+    "llm_ann_topk",
 ]
 
 
@@ -239,6 +337,104 @@ DETERMINISM_SWEEP = [
     # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
     "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
     "llm_bpe_encode", "llm_ann_recall_eval", "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
+    # widened to every batch-family query (streaming/connector replays and
+    # the by-design >=64-row b01_compaction precondition stay excluded)
+    "b01_partitioned_layout",
+    "b01_source_formats",
+    "b02_nested_projection",
+    "b04_bucketed_join",
+    "b06_anti_join",
+    "b07_asof_join",
+    "b07_asof_join_forward",
+    "b08_salted_agg",
+    "b08_unpivot",
+    "b09_cube",
+    "b09_grouping_sets",
+    "b10_dedup_keep_latest",
+    "b10_two_phase_count_distinct",
+    "b11_window_lag_lead",
+    "b11_window_ntile",
+    "b11_window_range_frame",
+    "b11_window_running_sum",
+    "b13_except",
+    "b13_intersect",
+    "b14_levenshtein",
+    "b15_cohort_retention",
+    "b15_datediff",
+    "b15_time_bucket_rollup",
+    "b16_math",
+    "b16_user_entropy",
+    "b17_array_setops",
+    "b17_explode_outer",
+    "b17_explode_tokens",
+    "b17_map_functions",
+    "b17_variant_json",
+    "b18_histogram",
+    "b18_median_manual",
+    "b19_q4_exists",
+    "b20_q2_min_supplier",
+    "b20_q5_local_supplier",
+    "b20_q6_forecast_revenue",
+    "b20_q7_volume_shipping",
+    "b20_q8_market_share",
+    "b20_q9_product_profit",
+    "b20_q10_returned_items",
+    "b20_q11_important_parts",
+    "b20_q12_late_priority",
+    "b20_q13_order_distribution",
+    "b20_q14_promo_revenue",
+    "b20_q15_top_supplier",
+    "b20_q16_part_supplier_count",
+    "b20_q18_large_volume",
+    "b20_q19_discounted_revenue",
+    "b20_q20_dominant_share",
+    "b20_q21_waiting_supplier",
+    "b20_q22_idle_balance",
+    "b22_batch_sessionize",
+    "b22_event_transitions",
+    "b22_session_funnel",
+    "b28_timeseries_similarity",
+    "llm_ann_filtered",
+    "llm_ann_ivf_multiprobe",
+    "llm_ann_ivf_probe",
+    "llm_ann_sq8",
+    "llm_ann_ivf_kmeans",
+    "llm_corpus_audit",
+    "llm_decontaminate",
+    "llm_dedup_cluster",
+    "llm_dedup_embedding",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_survivors",
+    "llm_doc_chunking",
+    "llm_mix_epochs",
+    "llm_mix_token_budget",
+    "llm_multimodal_meta",
+    "llm_multimodal_features",
+    "llm_multimodal_frame_sample",
+    "llm_multimodal_resize",
+    "llm_pack_nextfit",
+    "llm_pack_sequences",
+    "llm_quality_percentile",
+    "llm_sample_cluster_balanced",
+    "llm_sample_stratified",
+    "llm_split_leakage_safe",
+    "llm_text_bigram_lm",
+    "llm_text_fingerprint",
+    "llm_text_inverted_index",
+    "llm_text_langid",
+    "llm_text_logprob",
+    "llm_text_pii_scrub",
+    "llm_text_quality_filter",
+    "llm_text_repetition",
+    "llm_text_token_counts",
+    "llm_udf_grouped_agg",
+    "llm_udf_grouped_map",
+    "llm_udf_scalar_pandas",
+    "llm_udtf_sentences",
+    "llm_vocab_coverage",
+    "llm_ann_recall_eval",
+    "llm_ann_topk",
 ]
 
 
