@@ -10,35 +10,78 @@ from pyspark.sql import functions as F
 from flink_big_query_connector_spark.cache import release_caches
 from flink_big_query_connector_spark.plans import REGISTRY
 
-# Every batch-family query in the registry; streaming/connector queries
+# Every batch-family query in the registry, shared by the empty-table
+# and partitioning-invariance sweeps below; streaming/connector queries
 # replay chunk files and have their own machinery, and b01_compaction's
 # >=64-row layout precondition raises loudly by design — both excluded.
-EMPTY_SWEEP = [
-    "b01_scan_count", "b02_projection", "b03_filter",
-    "b04_join_broadcast", "b04_salted_join", "b05_outer_join",
-    "b05_merge_upsert", "b06_semi_join", "b07_range_join",
-    "b07_binned_range_join", "b08_q1_pricing_summary", "b08_pivot",
-    "b09_rollup", "b10_distinct", "b10_snapshot_diff",
-    "b11_window_rank", "b12_topk", "b13_union", "b14_string_funcs",
-    "b15_datetime", "b15_gap_fill_locf", "b16_stats_corr",
-    "b16_winsorized_stats", "b17_json_extract", "b17_bad_records",
-    "b18_approx_distinct", "b19_q17_subquery", "b20_q3_shipping",
-    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
-    "llm_dedup_semantic", "llm_dedup_span_removal", "llm_dedup_spans",
-    "llm_ann_topk", "llm_ann_lsh_bucketed", "llm_text_stats",
-    "llm_text_tfidf", "llm_text_novelty", "llm_quality_classifier",
-    "llm_mix_temperature", "llm_corpus_shard", "llm_batch_by_length",
-    "llm_curation_pipeline", "llm_multimodal_segments",
-    "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
-    "b13_setops_all", "b01_schema_evolution_read", "llm_bpe_train",
-    "llm_dedup_incremental", "llm_ann_pq_encode", "b16_rolling_zscore",
-    "llm_heavy_hitters_cms", "b10_delete_propagation",
-    "llm_corpus_export", "llm_multimodal_phash_dedup", "llm_ann_pq_adc",
-    "b11_last_touch_attribution", "b11_multi_touch_attribution",
-    "llm_bpe_encode", "llm_text_langid_confusion", "llm_ann_recall_eval",
-    "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
-    # widened to every batch-family query (streaming/connector replays and
-    # the by-design >=64-row b01_compaction precondition stay excluded)
+BATCH_SWEEP = [
+    "b01_scan_count",
+    "b02_projection",
+    "b03_filter",
+    "b04_join_broadcast",
+    "b04_salted_join",
+    "b05_outer_join",
+    "b05_merge_upsert",
+    "b06_semi_join",
+    "b07_range_join",
+    "b07_binned_range_join",
+    "b08_q1_pricing_summary",
+    "b08_pivot",
+    "b09_rollup",
+    "b10_distinct",
+    "b10_snapshot_diff",
+    "b11_window_rank",
+    "b12_topk",
+    "b13_union",
+    "b14_string_funcs",
+    "b15_datetime",
+    "b15_gap_fill_locf",
+    "b16_stats_corr",
+    "b16_winsorized_stats",
+    "b17_json_extract",
+    "b17_bad_records",
+    "b18_approx_distinct",
+    "b19_q17_subquery",
+    "b20_q3_shipping",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash",
+    "llm_dedup_semantic",
+    "llm_dedup_span_removal",
+    "llm_dedup_spans",
+    "llm_ann_topk",
+    "llm_ann_lsh_bucketed",
+    "llm_text_stats",
+    "llm_text_tfidf",
+    "llm_text_novelty",
+    "llm_quality_classifier",
+    "llm_mix_temperature",
+    "llm_corpus_shard",
+    "llm_batch_by_length",
+    "llm_curation_pipeline",
+    "llm_multimodal_segments",
+    "b05_scd2_intervals",
+    "b06_null_safe_join",
+    "b11_ratio_to_report",
+    "b13_setops_all",
+    "b01_schema_evolution_read",
+    "llm_bpe_train",
+    "llm_dedup_incremental",
+    "llm_ann_pq_encode",
+    "b16_rolling_zscore",
+    "llm_heavy_hitters_cms",
+    "b10_delete_propagation",
+    "llm_corpus_export",
+    "llm_multimodal_phash_dedup",
+    "llm_ann_pq_adc",
+    "b11_last_touch_attribution",
+    "b11_multi_touch_attribution",
+    "llm_bpe_encode",
+    "llm_text_langid_confusion",
+    "llm_ann_recall_eval",
+    "llm_embedding_drift",
+    "b04_skew_profile",
+    "llm_bpe_fertility",
     "b01_partitioned_layout",
     "b01_source_formats",
     "b02_nested_projection",
@@ -133,9 +176,9 @@ EMPTY_SWEEP = [
     "llm_udf_scalar_pandas",
     "llm_udtf_sentences",
     "llm_vocab_coverage",
-    "llm_ann_recall_eval",
-    "llm_ann_topk",
 ]
+
+EMPTY_SWEEP = BATCH_SWEEP
 
 
 @pytest.fixture(scope="module")
@@ -323,119 +366,19 @@ def test_query_survives_null_injection(spark, nulled_dir, name):
     assert _canon(scols, srows) == _canon(ocols, orows)
 
 
-DETERMINISM_SWEEP = [
-    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash_pairs",
-    "llm_dedup_semantic", "llm_dedup_span_removal", "llm_corpus_shard",
-    "llm_mix_temperature", "llm_sample_stratified", "llm_bpe_train",
-    "llm_text_fingerprint", "b08_q1_pricing_summary", "b16_stats_corr",
-    # round-5 additions: banded-LSH near-dup, deterministic Lloyd k-means,
-    # PQ codes, incremental snapshot dedup, count-min sketch, GDPR audit
-    "llm_dedup_embedding", "llm_ann_ivf_kmeans", "llm_ann_pq_encode",
-    "llm_dedup_incremental", "llm_heavy_hitters_cms",
-    "b10_delete_propagation", "b16_rolling_zscore",
-    # (phash dedup is determinism-covered by its pigeonhole-exactness
-    # test; at sf0.001 it finds zero pairs, under this sweep's nonempty bar)
-    "llm_corpus_export", "llm_ann_pq_adc", "b11_last_touch_attribution",
-    "llm_bpe_encode", "llm_ann_recall_eval", "llm_embedding_drift", "b04_skew_profile", "llm_bpe_fertility",
-    # widened to every batch-family query (streaming/connector replays and
-    # the by-design >=64-row b01_compaction precondition stay excluded)
-    "b01_partitioned_layout",
-    "b01_source_formats",
-    "b02_nested_projection",
-    "b04_bucketed_join",
-    "b06_anti_join",
-    "b07_asof_join",
-    "b07_asof_join_forward",
-    "b08_salted_agg",
-    "b08_unpivot",
-    "b09_cube",
-    "b09_grouping_sets",
-    "b10_dedup_keep_latest",
-    "b10_two_phase_count_distinct",
-    "b11_window_lag_lead",
-    "b11_window_ntile",
-    "b11_window_range_frame",
-    "b11_window_running_sum",
-    "b13_except",
-    "b13_intersect",
-    "b14_levenshtein",
-    "b15_cohort_retention",
-    "b15_datediff",
-    "b15_time_bucket_rollup",
-    "b16_math",
-    "b16_user_entropy",
-    "b17_array_setops",
-    "b17_explode_outer",
-    "b17_explode_tokens",
-    "b17_map_functions",
-    "b17_variant_json",
-    "b18_histogram",
-    "b18_median_manual",
-    "b19_q4_exists",
-    "b20_q2_min_supplier",
-    "b20_q5_local_supplier",
-    "b20_q6_forecast_revenue",
-    "b20_q7_volume_shipping",
-    "b20_q8_market_share",
-    "b20_q9_product_profit",
-    "b20_q10_returned_items",
-    "b20_q11_important_parts",
-    "b20_q12_late_priority",
-    "b20_q13_order_distribution",
-    "b20_q14_promo_revenue",
-    "b20_q15_top_supplier",
-    "b20_q16_part_supplier_count",
-    "b20_q18_large_volume",
-    "b20_q19_discounted_revenue",
-    "b20_q20_dominant_share",
-    "b20_q21_waiting_supplier",
-    "b20_q22_idle_balance",
-    "b22_batch_sessionize",
-    "b22_event_transitions",
-    "b22_session_funnel",
-    "b28_timeseries_similarity",
-    "llm_ann_filtered",
-    "llm_ann_ivf_multiprobe",
-    "llm_ann_ivf_probe",
-    "llm_ann_sq8",
-    "llm_ann_ivf_kmeans",
-    "llm_corpus_audit",
-    "llm_decontaminate",
-    "llm_dedup_cluster",
-    "llm_dedup_embedding",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash_pairs",
-    "llm_dedup_survivors",
-    "llm_doc_chunking",
-    "llm_mix_epochs",
-    "llm_mix_token_budget",
-    "llm_multimodal_meta",
-    "llm_multimodal_features",
-    "llm_multimodal_frame_sample",
-    "llm_multimodal_resize",
-    "llm_pack_nextfit",
-    "llm_pack_sequences",
-    "llm_quality_percentile",
-    "llm_sample_cluster_balanced",
-    "llm_sample_stratified",
-    "llm_split_leakage_safe",
-    "llm_text_bigram_lm",
-    "llm_text_fingerprint",
-    "llm_text_inverted_index",
-    "llm_text_langid",
-    "llm_text_logprob",
-    "llm_text_pii_scrub",
-    "llm_text_quality_filter",
-    "llm_text_repetition",
-    "llm_text_token_counts",
-    "llm_udf_grouped_agg",
-    "llm_udf_grouped_map",
-    "llm_udf_scalar_pandas",
-    "llm_udtf_sentences",
-    "llm_vocab_coverage",
-    "llm_ann_recall_eval",
-    "llm_ann_topk",
-]
+# Partitioning invariance runs over the same full batch surface: a
+# missed decimal-domain sum or unsorted collect_list anywhere would
+# surface as a bit difference under the prime shuffle layout.
+DETERMINISM_SWEEP = BATCH_SWEEP
+
+# Queries whose result is legitimately EMPTY at the sweep's sf0.001
+# scale (nation-pair trade / HAVING-threshold cuts select nothing):
+# the invariance assertion still runs; only the vacuity bar is waived.
+EMPTY_OK_AT_TEST_SCALE = {
+    "b20_q7_volume_shipping", "b20_q11_important_parts",
+    # zero phash pairs at sf0.001; exactness is pinned by the pigeonhole test
+    "llm_multimodal_phash_dedup",
+}
 
 
 def _canon_rows(df):
@@ -462,4 +405,5 @@ def test_result_is_partitioning_invariant(spark, sf_dir, name):
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
         release_caches(spark)
-    assert alt == baseline and len(baseline) > 0
+    assert alt == baseline
+    assert len(baseline) > 0 or name in EMPTY_OK_AT_TEST_SCALE
