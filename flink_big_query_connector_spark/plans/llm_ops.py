@@ -39,6 +39,17 @@ _EMB_DIM = 64
 
 _SQL_DOCS = f"SELECT doc_id, {_SQL_TOKS} AS toks FROM documents"
 
+def _emb(t) -> DataFrame:
+    """The embeddings table under the engine's VECTOR CONTRACT: a NULL
+    embedding (the failed-embed-job row every production corpus
+    contains) never enters a similarity operator — dropped identically
+    on both engines (every oracle filters `embedding IS NOT NULL`;
+    DuckDB's list_cosine_similarity hard-errors on NULL vectors, so the
+    contract is also what makes the oracles well-defined on dirty data;
+    exercised by the NULL-injection sweep in tests/test_robustness.py)."""
+    return t["embeddings"].filter(F.col("embedding").isNotNull())
+
+
 _SQL_SHINGLES = f"""
     SELECT doc_id,
            CASE WHEN len(toks) >= 3
@@ -220,7 +231,7 @@ def _sql_neardup_bands() -> str:
         ]
         key = similarity.sql_rp_band("embedding::DOUBLE[]", _EMB_DIM, planes)
         parts.append(
-            f"SELECT vec_id, {b} AS band, {key} AS key FROM embeddings"
+            f"SELECT vec_id, {b} AS band, {key} AS key FROM embx embeddings"
         )
     return " UNION ALL ".join(parts)
 
@@ -255,7 +266,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is hash-exact, exactly like llm_dedup_minhash_lsh."""
     t = load_tables(spark, sf_dir)
     return similarity.embedding_neardup_pairs_lsh(
-        t["embeddings"],
+        _emb(t),
         "vec_id",
         "embedding",
         0.4,
@@ -269,7 +280,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cents AS (
           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-          FROM embeddings WHERE vec_id < 16
+          FROM embx embeddings WHERE vec_id < 16
         ),
         assigned AS (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
@@ -278,7 +289,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         c.cvec), 6) DESC,
                            c.centroid_id
                   LIMIT 1) AS cell
-          FROM embeddings e
+          FROM embx e
         ),
         dropped AS (
           SELECT DISTINCT b.vec_id
@@ -302,7 +313,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.  Deterministic centroids make it hash-exact vs the
     oracle."""
     t = load_tables(spark, sf_dir)
-    return similarity.semantic_dedup(t["embeddings"], "vec_id", "embedding", 0.4)
+    return similarity.semantic_dedup(_emb(t), "vec_id", "embedding", 0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -314,9 +325,9 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ann_topk",
     oracle="""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                   FROM embeddings WHERE vec_id < 20),
+                   FROM embx embeddings WHERE vec_id < 20),
         c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
-              FROM embeddings),
+              FROM embx embeddings),
         scored AS (SELECT query_id, cand_id,
                           round(list_cosine_similarity(qv, cv), 6) AS cos
                    FROM q, c WHERE cand_id <> query_id),
@@ -332,7 +343,7 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for 20 query vectors (broadcast
     queries; corpus never shuffles)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     return similarity.brute_force_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
     )
@@ -344,7 +355,7 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                           {similarity.sql_rp_bucket('embedding::DOUBLE[]', _EMB_DIM)}
                               AS bucket
-                   FROM embeddings),
+                   FROM embx embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv, bucket
               FROM e WHERE vec_id < 20),
         c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM e),
@@ -367,7 +378,7 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join + rank pipeline now has a hash-exact DuckDB oracle (the
     approximation is deterministic, not random)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     return similarity.rp_lsh_bucketed_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
     ).orderBy("query_id", "rank")
@@ -559,7 +570,7 @@ def _ivf_oracle() -> str:
     return """
         WITH cents AS (
           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-          FROM embeddings WHERE vec_id < 16
+          FROM embx embeddings WHERE vec_id < 16
         ),
         assigned AS (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
@@ -568,7 +579,7 @@ def _ivf_oracle() -> str:
                                                         c.cvec), 6) DESC,
                            c.centroid_id
                   LIMIT 1) AS cell
-          FROM embeddings e
+          FROM embx e
         ),
         q AS (SELECT vec_id AS query_id, v AS qv, cell
               FROM assigned WHERE vec_id < 20),
@@ -593,7 +604,7 @@ def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell (the partition-pruned 100 TB layout); deterministic assignment so
     the DuckDB oracle reproduces the identical cells and ranking."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     return similarity.ivf_probe_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10
     )
@@ -604,7 +615,7 @@ def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cents AS (
           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-          FROM embeddings WHERE vec_id < 16
+          FROM embx embeddings WHERE vec_id < 16
         ),
         assigned AS (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
@@ -613,12 +624,12 @@ def llm_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         c.cvec), 6) DESC,
                            c.centroid_id
                   LIMIT 1) AS cell
-          FROM embeddings e
+          FROM embx e
         ),
         probes AS (
           SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv,
                  c.centroid_id AS cell
-          FROM embeddings q, cents c
+          FROM embx q, cents c
           WHERE q.vec_id < 20
           QUALIFY ROW_NUMBER() OVER (
               PARTITION BY q.vec_id
@@ -649,7 +660,7 @@ def llm_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid array per row — no model join; candidates join on cell as in
     single-probe and never duplicate (a candidate lives in one cell)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     return similarity.ivf_multiprobe_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 20), 10, 2
     )
@@ -1436,7 +1447,7 @@ def _sql_kmeans_oracle(iters: int = _KMEANS_ITERS) -> str:
     argmax assignment (rounded-6dp cosine, lowest cell wins ties) and
     decimal-domain per-dimension means — bitwise the same model."""
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embx embeddings)",
         "c0 AS (SELECT vec_id AS cell, v AS cvec FROM e "
         "WHERE vec_id < 16)",
     ]
@@ -1494,7 +1505,7 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.kmeans_centroids for deployments that prefer k-means‖
     init over reproducibility."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     cents = similarity.lloyd_kmeans_centroids(
         emb, "vec_id", "embedding", iters=_KMEANS_ITERS
     )
@@ -1977,7 +1988,7 @@ _SQL_SQ8_CTES = f"""
         SELECT dim, MIN(x) AS mn, MAX(x) AS mx
         FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
                      generate_subscripts(embedding, 1) AS dim
-              FROM embeddings)
+              FROM embx embeddings)
         GROUP BY dim),
     model AS (
         SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
@@ -1989,7 +2000,7 @@ _SQL_SQ8_CTES = f"""
                         ELSE CAST(least(255, greatest(0,
                              floor((embedding[i]::DOUBLE - mns[i]) * 255.0
                                    / (mxs[i] - mns[i])))) AS INT) END) AS qv
-        FROM embeddings, model)
+        FROM embx embeddings, model)
 """
 
 
@@ -2019,7 +2030,7 @@ def llm_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32), ranking on exact integer squared-L2 — no float rounding in
     the ranking, so the DuckDB oracle is hash-exact."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     mins, maxs = similarity.sq8_train(emb, "embedding")
     return similarity.sq8_topk(
         emb, "vec_id", "embedding",
@@ -2037,7 +2048,7 @@ def _sql_pq_ctes() -> str:
     rounded-6dp squared-L2 (the dot-product identity, bitwise the Spark
     fold arithmetic), argmin codes per vector."""
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embx embeddings)",
         f"cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v "
         f"FROM e WHERE vec_id < {_PQ_CODES})",
     ]
@@ -2091,7 +2102,7 @@ def llm_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans instead of the embeddings.  Trained-codebook upgrade =
     lloyd_kmeans_centroids per subspace, same plan shape."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     cbs = similarity.pq_codebooks(
         emb, "vec_id", "embedding", _PQ_SUB, _PQ_CODES
     )
@@ -2142,7 +2153,7 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot-product identity make the approximate ranking hash-exact against
     the mirrored oracle."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     cbs = similarity.pq_codebooks(
         emb, "vec_id", "embedding", _PQ_SUB, _PQ_CODES
     )
@@ -2156,7 +2167,7 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ann_filtered",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-                   FROM embeddings),
+                   FROM embx embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv, label FROM e
               WHERE vec_id < 20),
         c AS (SELECT vec_id AS cand_id, v AS cv, label FROM e),
@@ -2177,7 +2188,7 @@ def llm_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is the join key (not a post-filter), so a label-partitioned
     corpus layout partition-prunes each probe at scale."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     return similarity.filtered_topk(
         emb, "vec_id", "embedding", "label",
         emb.filter(F.col("vec_id") < 20), 5,
@@ -2691,7 +2702,7 @@ _CLUSTER_QUOTA = 12
     oracle=f"""
         WITH cents AS (
           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-          FROM embeddings WHERE vec_id < 16
+          FROM embx embeddings WHERE vec_id < 16
         ),
         assigned AS (
           SELECT e.vec_id,
@@ -2700,7 +2711,7 @@ _CLUSTER_QUOTA = 12
                                                         c.cvec), 6) DESC,
                            c.centroid_id
                   LIMIT 1) AS cell
-          FROM embeddings e
+          FROM embx e
         ),
         ranked AS (
           SELECT vec_id, cell,
@@ -2729,7 +2740,7 @@ def llm_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hashing import hash60_expr
 
     t = load_tables(spark, sf_dir)
-    cells = similarity.ivf_cells(t["embeddings"], "vec_id", "embedding")
+    cells = similarity.ivf_cells(_emb(t), "vec_id", "embedding")
     w = Window.partitionBy("cell").orderBy(
         hash60_expr(
             F.concat(F.lit("cb1:"), F.col("vec_id").cast("string"))
@@ -3443,9 +3454,9 @@ def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ann_recall_eval",
     oracle="""
         WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 20),
+                    FROM embx embeddings WHERE vec_id < 20),
         c0 AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
-               FROM embeddings),
+               FROM embx embeddings),
         ex_scored AS (SELECT query_id, cand_id,
                              round(list_cosine_similarity(qv, cv), 6) AS cos
                       FROM q0, c0 WHERE cand_id <> query_id),
@@ -3455,7 +3466,7 @@ def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       FROM ex_scored),
         exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE r <= 10),
         cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings WHERE vec_id < 16),
+                  FROM embx embeddings WHERE vec_id < 16),
         assigned AS (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
                  (SELECT c.centroid_id FROM cents c
@@ -3463,7 +3474,7 @@ def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         c.cvec), 6) DESC,
                            c.centroid_id
                   LIMIT 1) AS cell
-          FROM embeddings e
+          FROM embx e
         ),
         qi AS (SELECT vec_id AS query_id, v AS qv, cell
                FROM assigned WHERE vec_id < 20),
@@ -3501,7 +3512,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact arm (run it on a sampled query set at 100 TB, as here: the
     query set IS a 20-vector sample)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     qs = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, "vec_id", "embedding", qs, 10)
     approx = similarity.ivf_probe_topk(emb, "vec_id", "embedding", qs, 10)
@@ -3526,7 +3537,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH e AS (SELECT label, vec_id % 2 AS half,
                           embedding::DOUBLE[] AS v
-                   FROM embeddings),
+                   FROM embx embeddings),
         d AS (SELECT label, half, t.i AS idx, v[t.i] AS val
               FROM e, range(1, {_EMB_DIM + 1}) t(i)),
         m AS (SELECT label, half, idx,
@@ -3562,7 +3573,7 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_similarity_expr, norm_expr
 
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb(t)
     e = emb.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),

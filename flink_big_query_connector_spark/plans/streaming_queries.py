@@ -1279,9 +1279,9 @@ def b24_stream_neardup_history(
     "b28_stream_incremental_topk",
     oracle="""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                   FROM embeddings WHERE vec_id < 10),
+                   FROM embx embeddings WHERE vec_id < 10),
         c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
-              FROM embeddings),
+              FROM embx embeddings),
         scored AS (SELECT query_id, cand_id,
                           round(list_cosine_similarity(qv, cv), 6) AS cos
                    FROM q, c WHERE cand_id <> query_id),
@@ -1314,9 +1314,13 @@ def b28_stream_incremental_topk(
     chunk_dir = _write_ordered_chunks(sf_dir, "embeddings", "vec_id", n_chunks)
     store = scratch_dir("topk_store_")
     emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    # vector contract (see llm_ops._emb): NULL embeddings never enter a
+    # similarity operator — applied to the query set here and per-chunk
+    # inside process(), matching the oracle's IS NOT NULL filters.
     queries = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < 10)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
     stream = (
@@ -1330,7 +1334,8 @@ def b28_stream_incremental_topk(
         from pyspark.sql.window import Window as W
 
         chunk_topk = brute_force_topk(
-            batch_df.select("vec_id", "embedding"),
+            batch_df.filter(F.col("embedding").isNotNull())
+            .select("vec_id", "embedding"),
             "vec_id",
             "embedding",
             queries,

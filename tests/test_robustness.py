@@ -262,6 +262,12 @@ NULL_SWEEP = [
     "llm_split_leakage_safe", "llm_dedup_cluster", "llm_dedup_survivors",
     "b15_time_bucket_rollup", "b16_user_entropy", "b22_batch_sessionize",
     "b11_last_touch_attribution", "llm_pack_nextfit", "llm_mix_epochs",
+    # NULL embeddings (failed embed jobs) through the similarity family:
+    # both engines must agree on how a NULL vector ranks, buckets, and
+    # aggregates — or be filtered identically at the shared helpers
+    "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed",
+    "llm_ann_ivf_probe", "llm_embedding_drift", "llm_ann_recall_eval",
+    "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
 ]
 
 
@@ -269,7 +275,8 @@ NULL_SWEEP = [
 def nulled_dir(spark, sf_dir, tmp_path_factory):
     """Copies of the tables with nulls injected into the dirty-data-prone
     columns: every 7th document text, every 11th event props, every 5th
-    event value."""
+    event value, every 13th embedding (the failed-embed-job row every
+    production corpus contains)."""
     out = tmp_path_factory.mktemp("sf_nulled")
     for name in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -293,6 +300,13 @@ def nulled_dir(spark, sf_dir, tmp_path_factory):
                 "value",
                 F.when(F.col("event_id") % 5 == 1, F.lit(None)).otherwise(
                     F.col("value")
+                ),
+            )
+        if name == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 13 == 3, F.lit(None)).otherwise(
+                    F.col("embedding")
                 ),
             )
         df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
