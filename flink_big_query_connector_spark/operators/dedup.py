@@ -418,12 +418,13 @@ def candidate_jaccard_pairs(
     )
 
 
-def minhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
-) -> DataFrame:
-    """Full pipeline: shingle -> hash once -> minhash -> LSH bands ->
-    bucket join -> candidate-restricted exact Jaccard verification.  The
-    only quadratic work happens inside buckets."""
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(hashed-shingle docs, LSH candidate id pairs) — the candidate-
+    generation front of :func:`minhash_neardup_pairs`, exposed separately
+    so an index EVALUATION (llm_dedup_lsh_eval) can measure the candidate
+    set against exact-Jaccard ground truth."""
     tok = with_token_boundary(df, id_col, text_col)
     docs = scoped_persist(
         tok.filter(F.size("toks") >= SHINGLE_K)
@@ -442,7 +443,16 @@ def minhash_neardup_pairs(
         # Tracked via scoped_persist so harnesses release it per query.
     )
     sig = with_minhash_signature(docs, shingle_col="sh60")
-    cands = lsh_candidate_pairs(sig, id_col)
+    return docs, lsh_candidate_pairs(sig, id_col)
+
+
+def minhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """Full pipeline: shingle -> hash once -> minhash -> LSH bands ->
+    bucket join -> candidate-restricted exact Jaccard verification.  The
+    only quadratic work happens inside buckets."""
+    docs, cands = minhash_candidate_pairs(df, id_col, text_col)
     return candidate_jaccard_pairs(docs, cands, id_col, threshold)
 
 

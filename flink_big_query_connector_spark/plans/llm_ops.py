@@ -119,7 +119,11 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_jaccard_pairs(docs, "doc_id", "shingles", 0.8)
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """sig/bands/cand CTE text (MinHash signatures -> LSH band keys ->
+    distinct candidate pairs), shared by the near-dup oracle and the
+    candidate-recall evaluation oracle.  Assumes the `nonempty` CTE from
+    ``_SQL_JACCARD_CTES`` precedes it."""
     mh_exprs = ",\n           ".join(
         f"{sql_minhash_value('shingles', a, b)} AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
@@ -129,9 +133,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {j} AS band, {sql_band_key(mh_cols, j)} AS key FROM sig"
         for j in range(N_BANDS)
     )
-    return f"""
-        WITH {_SQL_JACCARD_CTES},
-        sig AS (SELECT doc_id, shingles,
+    return f"""sig AS (SELECT doc_id, shingles,
            {mh_exprs}
            FROM nonempty),
         bands AS (
@@ -140,7 +142,13 @@ def _minhash_oracle() -> str:
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a
                  JOIN bands b ON a.band = b.band AND a.key = b.key
-                              AND a.doc_id < b.doc_id)
+                              AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_SQL_JACCARD_CTES},
+        {_minhash_cand_ctes()}
         SELECT j.id_a, j.id_b, j.jaccard
         FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= 0.8
@@ -3686,4 +3694,80 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("fertility"),
+    )
+
+
+@register(
+    "llm_dedup_lsh_eval",
+    oracle=f"""
+        WITH {_SQL_JACCARD_CTES},
+        {_minhash_cand_ctes()},
+        truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        m AS (SELECT COALESCE(t.id_a, c.id_a) AS id_a,
+                     CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+                     CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+              FROM truth t
+              FULL OUTER JOIN cand c
+                ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT CAST(SUM(is_true) AS BIGINT) AS n_true,
+               CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+               CAST(SUM(is_true * is_cand) AS BIGINT) AS n_hits,
+               CASE WHEN SUM(is_true) > 0
+                    THEN round(CAST(SUM(is_true * is_cand) AS DOUBLE) /
+                               CAST(SUM(is_true) AS DOUBLE), 6)
+               END AS recall,
+               CASE WHEN SUM(is_cand) > 0
+                    THEN round(CAST(SUM(is_true * is_cand) AS DOUBLE) /
+                               CAST(SUM(is_cand) AS DOUBLE), 6)
+               END AS precision
+        FROM m
+    """,
+    tags=("dedup", "evaluation"),
+)
+def llm_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index EVALUATION: candidate-pair recall and precision of the
+    MinHash-LSH banding against exact-Jaccard ground truth at the 0.8
+    threshold — the acceptance gate for LSH banding parameters (bands x
+    rows trade recall against candidate volume).  Ground truth is the
+    shingle-blocked exact-Jaccard join (pairs sharing >= 1 shingle; never
+    all-pairs), so at 100 TB the evaluation runs the same way recall is
+    audited in practice: on a corpus slice, with both sides blocked."""
+    t = load_tables(spark, sf_dir)
+    tok = dedup.with_token_boundary(t["documents"], "doc_id")
+    docs_sh = tok.select(
+        "doc_id", dedup.shingles_expr(F.col("toks")).alias("shingles")
+    )
+    truth = dedup.exact_jaccard_pairs(docs_sh, "doc_id", "shingles", 0.8).select(
+        "id_a", "id_b", F.lit(1).alias("is_true")
+    )
+    _, cands = dedup.minhash_candidate_pairs(t["documents"], "doc_id")
+    m = truth.join(
+        cands.select("id_a", "id_b", F.lit(1).alias("is_cand")),
+        ["id_a", "id_b"],
+        "full",
+    ).select(
+        F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+    )
+    agg = m.agg(
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum("is_cand").cast("long").alias("n_cand"),
+        F.sum(F.col("is_true") * F.col("is_cand")).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "n_true",
+        "n_cand",
+        "n_hits",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_true").cast("double"), 6
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_cand").cast("double"), 6
+            ),
+        ).alias("precision"),
     )

@@ -176,6 +176,7 @@ BATCH_SWEEP = [
     "llm_udf_scalar_pandas",
     "llm_udtf_sentences",
     "llm_vocab_coverage",
+    "llm_dedup_lsh_eval",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -265,7 +266,7 @@ NULL_SWEEP = [
     # NULL embeddings (failed embed jobs) through the similarity family:
     # both engines must agree on how a NULL vector ranks, buckets, and
     # aggregates — or be filtered identically at the shared helpers
-    "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed",
+    "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_ann_recall_eval",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
 ]
