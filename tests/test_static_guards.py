@@ -45,3 +45,34 @@ def test_no_raw_ts_arithmetic_outside_tables_helpers():
         "raw events.ts arithmetic outside sources/tables.py — use "
         "ts_micros()/ts_event_time() instead:\n" + "\n".join(offenders)
     )
+
+
+def test_vector_contract_no_raw_embeddings_in_similarity_oracles():
+    """The vector contract (NULL embeddings never reach a similarity
+    operator; registry.py::_finalize_oracle) cannot be bypassed by a new
+    query: any registered oracle that touches the embeddings table must
+    read it through the materialized ``embx`` CTE, and any Spark query in
+    llm_ops must go through ``_emb(t)`` rather than ``t["embeddings"]``."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    offenders = [
+        name
+        for name, d in REGISTRY.items()
+        if d.oracle is not None
+        and re.search(r"\bFROM\s+embeddings\b", d.oracle)
+        and "embx" not in d.oracle
+    ]
+    assert offenders == [], offenders
+
+    src = (PKG / "plans" / "llm_ops.py").read_text()
+    raw_uses = [
+        lineno
+        for lineno, line in enumerate(src.splitlines(), 1)
+        if 't["embeddings"]' in line and "def _emb" not in line
+        # the helper's own body is the single allowed access
+        and "return t" not in line
+    ]
+    assert raw_uses == [], raw_uses
