@@ -269,6 +269,11 @@ NULL_SWEEP = [
     "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_ann_recall_eval",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
+    # streaming replays over dirty events: NULL value/props rows must
+    # aggregate and window identically to the batch oracle
+    "b21_stream_tumbling_window", "b21_stream_sliding_window",
+    "b22_stream_session_window", "b24_stream_dedup",
+    "b25_batch_assign_count", "b26_incremental_matview",
 ]
 
 
