@@ -427,3 +427,35 @@ def test_result_is_partitioning_invariant(spark, sf_dir, name):
         release_caches(spark)
     assert alt == baseline
     assert len(baseline) > 0 or name in EMPTY_OK_AT_TEST_SCALE
+
+# Streaming/connector replays must ALSO be layout-invariant: the chunked
+# replay fixes event-time order, so watermarks, session gaps, batch
+# triggers, and sink offsets may not depend on shuffle layout.  (The
+# exactly-once sinks are additionally replay-idempotent — covered in
+# test_sinks.py; here we pin result invariance under the prime layout.)
+STREAMING_DETERMINISM_SWEEP = [
+    "b21_stream_tumbling_window", "b21_stream_sliding_window",
+    "b22_stream_session_window",
+    "b21_stream_update_mode", "b21_stream_static_enrich",
+    "b21_stream_interval_join", "b21_stream_three_way_join",
+    "b23_stream_late_data_drop", "b24_stream_dedup",
+    "b24_stream_dedup_within_watermark", "b24_stream_neardup_history",
+    "b25_batch_assign_count", "b25_batch_assign_size",
+    "b25_stateful_batcher", "b26_incremental_matview",
+    "b26_stream_cdc_apply", "b26_stream_scd2_history",
+    "b26_stream_state_offsets", "b28_stream_incremental_topk",
+]
+
+
+@pytest.mark.parametrize("name", STREAMING_DETERMINISM_SWEEP)
+def test_streaming_result_is_partitioning_invariant(spark, sf_dir, name):
+    baseline = _canon_rows(REGISTRY[name].fn(spark, sf_dir))
+    release_caches(spark)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = _canon_rows(REGISTRY[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        release_caches(spark)
+    assert alt == baseline and len(baseline) > 0
