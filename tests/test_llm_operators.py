@@ -1006,3 +1006,52 @@ def test_bpe_encode_hierarchical_merges(spark):
     assert got[2] == ["partfilter", "hash"]
     assert got[3] == ["customerjoin", "vectorsmall"]
     assert got[4] == []
+
+
+def test_bpe_pretrained_chain_matches_python_greedy_randomized(spark):
+    """The FULL pretrained merge chain (llm_bpe_encode's 8 ordered
+    merges, incl. the hierarchical ('tablehash','scan') entry) equals
+    sequential Python greedy merging on 200 random sequences drawn from
+    the merge vocabulary itself — maximally collision- and chain-prone
+    input."""
+    import random
+
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _BPE_PRETRAINED_MERGES,
+    )
+
+    def py_merge(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    vocab = sorted({w for pair in _BPE_PRETRAINED_MERGES for w in pair})
+    rng = random.Random(29)
+    cases = [
+        [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        for _ in range(200)
+    ]
+    s = text.bpe_initial_expr(text.tokens_expr(F.col("t")))
+    for a, b in _BPE_PRETRAINED_MERGES:
+        s = text.bpe_merge_expr(s, a, b)
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(cases)],
+        ["doc_id", "t"],
+    )
+    got = {
+        r.doc_id: r.syms
+        for r in df.select(
+            "doc_id", text.bpe_symbols_expr(s).alias("syms")
+        ).collect()
+    }
+    for i, toks in enumerate(cases):
+        expect = toks
+        for a, b in _BPE_PRETRAINED_MERGES:
+            expect = py_merge(expect, a, b)
+        assert got[i] == expect, (i, toks, got[i], expect)
