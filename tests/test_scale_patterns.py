@@ -563,3 +563,25 @@ def test_bpe_encode_is_single_stage_no_exchange(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact_join(spark, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned fact table
+    with a filtered broadcast dimension plants a dynamicpruning subquery
+    in the fact scan's PartitionFilters — at 100 TB the fact side reads
+    only the partitions the dimension selects, decided at runtime.  This
+    is the runtime complement to the static pruning pinned in
+    test_partitioned_layout_prunes_event_type (and the partition-level
+    analogue of the row-level bloom pruning pinned below)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], ["event_type", "grp"]
+    ).filter(F.col("grp") == 1)
+    j = fact.join(dim.hint("broadcast"), "event_type").groupBy(
+        "event_type"
+    ).count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
