@@ -1740,3 +1740,111 @@ def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed_all.unionByName(open_iv).orderBy(
         "user_id", "valid_from"
     )
+
+
+@register(
+    "b26_stream_backfill",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("connector", "streaming", "backfill"),
+)
+def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa-style BACKFILL + streaming catch-up with an exact seam: a
+    batch job aggregates the historical chunks into a keyed serving
+    table and records its id high-watermark; the streaming tail then
+    replays the full chunk feed but admits only rows PAST the watermark,
+    merging per-batch partial aggregates into the serving table with a
+    distributed full-outer MERGE (versioned parquet + atomic pointer —
+    no driver-side state, unlike b26_incremental_matview's tiny-JSON
+    variant, so the key space can be millions of rows).  Decimal partial
+    sums make every merge order-free, so backfill + tail equals the
+    batch aggregate EXACTLY — the seam loses and duplicates nothing."""
+    load_tables(spark, sf_dir)
+    n_chunks = 4
+    chunk_dir = _write_ordered_chunks(sf_dir, "events", "event_id", n_chunks)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    state_root = scratch_dir("backfill_state_")
+    pointer = os.path.join(state_root, "CURRENT")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 14, 4))
+            .cast("decimal(20,4)")
+            .alias("tv"),
+        )
+
+    def read_state() -> DataFrame:
+        with open(pointer) as f:
+            return spark.read.parquet(f.read().strip())
+
+    def write_state(df: DataFrame, version: str) -> None:
+        path = os.path.join(state_root, f"v_{version}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(path)
+        os.replace(tmp, pointer)
+
+    # -- backfill: batch over the historical chunks (c0, c1) ---------------
+    history = spark.read.schema(schema).parquet(
+        os.path.join(chunk_dir, "c0.parquet"),
+        os.path.join(chunk_dir, "c1.parquet"),
+    )
+    write_state(partial(history), "backfill")
+    # the recorded handoff watermark — one scalar, the backfill's manifest
+    wm = history.agg(F.max("event_id")).collect()[0][0]
+    wm = -1 if wm is None else wm
+
+    # -- streaming tail: full feed, seam-filtered, MERGE per batch ---------
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        p = partial(df.filter(F.col("event_id") > wm))
+        cur = read_state()
+        merged = (
+            cur.alias("a")
+            .join(p.alias("b"), "event_type", "full")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("a.n"), F.lit(0))
+                    + F.coalesce(F.col("b.n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(
+                        F.col("a.tv"), F.lit(0).cast("decimal(20,4)")
+                    )
+                    + F.coalesce(
+                        F.col("b.tv"), F.lit(0).cast("decimal(20,4)")
+                    )
+                )
+                .cast("decimal(20,4)")
+                .alias("tv"),
+            )
+        )
+        # safe to write while reading: every version goes to a FRESH
+        # v_<id> directory and the pointer flips atomically afterwards,
+        # so the plan streaming from the current version is undisturbed
+        write_state(merged, f"b{batch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", scratch_dir("ckpt_bf_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_state().select(
+        "event_type", "n", dbl(F.col("tv")).alias("total_value")
+    ).orderBy("event_type")
