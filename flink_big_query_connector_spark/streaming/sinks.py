@@ -16,9 +16,10 @@ Spark-first port of the reference's three sink implementations:
   trims and re-flushes idempotently.
 
 - :class:`AsyncSink` — at-least-once with bounded in-flight async appends
-  (reference ``sink/async/``): a thread pool + semaphore replaces Flink's
-  AsyncSinkBase buffering; awaiting all futures before the micro-batch
-  returns replaces the Phaser barrier.
+  (reference ``sink/async/``): a thread pool + AIMD congestion-control
+  limiter (:class:`AIMDRateLimiter`, the RateLimitingStrategy analogue)
+  replaces Flink's AsyncSinkBase buffering; awaiting all futures before
+  the micro-batch returns replaces the Phaser barrier.
 
 The shared retry state machine (:func:`write_with_retry`) mirrors the
 reference's gRPC status branching (``sink/buffered/BigQueryBufferedSinkWriter
@@ -34,7 +35,7 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FuturesTimeoutError
-from threading import BoundedSemaphore
+from threading import BoundedSemaphore, Condition
 
 from pyspark.sql import DataFrame
 
@@ -135,6 +136,7 @@ def write_with_retry(
     _depth: int = 0,
     metrics=None,
     stream_metrics=None,
+    on_retryable=None,
 ) -> int:
     """Append ``rows`` at ``offset`` (-1 for default stream), surviving the
     transient-status taxonomy; returns rows actually appended (post-trim)."""
@@ -168,12 +170,13 @@ def write_with_retry(
             n1 = write_with_retry(
                 client, table, stream, first, offset, settings,
                 trace_id, sleep, _depth + 1, metrics, stream_metrics,
+                on_retryable,
             )
             n2 = write_with_retry(
                 client, table, stream, second,
                 offset + len(first) if offset >= 0 else -1,
                 settings, trace_id, sleep, _depth + 1, metrics,
-                stream_metrics,
+                stream_metrics, on_retryable,
             )
             return n1 + n2
         except OffsetAlreadyExistsError as e:
@@ -191,6 +194,8 @@ def write_with_retry(
         except BigQueryError as e:
             if e.code in RETRYABLE_PAUSE:
                 attempt += 1
+                if on_retryable is not None:
+                    on_retryable()
                 if metrics is not None:
                     metrics.retry_count += 1
                 if attempt > settings.retry_count:
@@ -201,6 +206,8 @@ def write_with_retry(
                 continue
             if e.code in RETRYABLE:
                 attempt += 1
+                if on_retryable is not None:
+                    on_retryable()
                 if metrics is not None:
                     metrics.retry_count += 1
                 if attempt > settings.retry_count:
@@ -214,6 +221,8 @@ def write_with_retry(
                 # then retry.  The fake client is connectionless, so this is
                 # just a bounded retry.
                 attempt += 1
+                if on_retryable is not None:
+                    on_retryable()
                 if metrics is not None:
                     metrics.retry_count += 1
                 if attempt > settings.retry_count:
@@ -449,6 +458,48 @@ class BufferedStreamSink:
 # ---------------------------------------------------------------------------
 
 
+class AIMDRateLimiter:
+    """Congestion-control in-flight limiter — the analogue of the
+    RateLimitingStrategy Flink's AsyncSinkBase applies to the reference's
+    async sink (`sink/async/AsyncBigQuerySink.java:30,47` wires the
+    configured strategy into AsyncSinkWriterConfiguration; Flink's
+    default is AIMD congestion control).  Request-granular here:
+    additive increase of the in-flight quota (+1) per successful append,
+    multiplicative decrease (x0.5, floor 1) whenever an append hits a
+    retryable/throttled status — so a backend signalling pressure
+    (UNAVAILABLE, INTERNAL, ...) immediately halves concurrency and the
+    quota ramps back as appends succeed.  Bounded by [1, max_inflight];
+    with no congestion it behaves exactly like the fixed semaphore."""
+
+    def __init__(self, max_inflight: int, decrease_factor: float = 0.5):
+        self.max = max(1, max_inflight)
+        self.decrease_factor = decrease_factor
+        self.limit = self.max
+        self.inflight = 0
+        self._cv = Condition()
+
+    def acquire(self) -> None:
+        with self._cv:
+            while self.inflight >= self.limit:
+                self._cv.wait()
+            self.inflight += 1
+
+    def release(self) -> None:
+        with self._cv:
+            self.inflight -= 1
+            self._cv.notify_all()
+
+    def report_success(self) -> None:
+        with self._cv:
+            if self.limit < self.max:
+                self.limit += 1
+                self._cv.notify_all()
+
+    def report_throttle(self) -> None:
+        with self._cv:
+            self.limit = max(1, int(self.limit * self.decrease_factor))
+
+
 class AsyncSink:
     """At-least-once with bounded async in-flight appends.
 
@@ -490,7 +541,9 @@ class AsyncSink:
             from .metrics import StreamMetrics
 
             client = FakeBigQuery(root)
-            sem = BoundedSemaphore(max_inflight)
+            # AIMD in place of the fixed quota: equal to it while the
+            # backend is healthy, halves under throttling statuses
+            sem = AIMDRateLimiter(max_inflight)
             futures = []
             sm = (
                 StreamMetrics(table, DEFAULT_STREAM, uuid.uuid4().hex[:8])
@@ -509,10 +562,13 @@ class AsyncSink:
 
                     def task(c=chunk):
                         try:
-                            return write_with_retry(
+                            n = write_with_retry(
                                 client, table, DEFAULT_STREAM, c, -1,
                                 settings, metrics=metrics, stream_metrics=sm,
+                                on_retryable=sem.report_throttle,
                             )
+                            sem.report_success()
+                            return n
                         finally:
                             sem.release()
 

@@ -376,3 +376,89 @@ def test_connection_pool_multiplexes_one_connection():
         unpooled.writer("s1")
     assert unpooled.connection_count == 3
     assert len(made) == 3
+
+
+# -- AIMD congestion control (AsyncSinkBase RateLimitingStrategy analogue) ---
+
+
+def test_aimd_limiter_halves_on_throttle_and_ramps_back():
+    """AIMDRateLimiter trajectory: x0.5 (floor 1) per throttle signal,
+    +1 per success up to the configured quota — Flink's default
+    congestion-control scaling at request granularity (the strategy the
+    reference wires in at sink/async/AsyncBigQuerySink.java:30,47)."""
+    from flink_big_query_connector_spark.streaming.sinks import AIMDRateLimiter
+
+    lim = AIMDRateLimiter(8)
+    assert lim.limit == 8
+    lim.report_throttle()
+    assert lim.limit == 4
+    lim.report_throttle()
+    lim.report_throttle()
+    lim.report_throttle()
+    assert lim.limit == 1  # floor, never 0
+    for _ in range(20):
+        lim.report_success()
+    assert lim.limit == 8  # capped at max_inflight
+
+
+def test_aimd_limiter_blocks_at_reduced_quota():
+    """After a throttle, acquire() admits only the reduced number of
+    concurrent holders until releases/successes reopen the window."""
+    from flink_big_query_connector_spark.streaming.sinks import AIMDRateLimiter
+
+    lim = AIMDRateLimiter(4)
+    lim.report_throttle()  # limit = 2
+    lim.acquire()
+    lim.acquire()
+    import threading
+
+    third_admitted = threading.Event()
+
+    def try_third():
+        lim.acquire()
+        third_admitted.set()
+        lim.release()
+
+    t = threading.Thread(target=try_third, daemon=True)
+    t.start()
+    assert not third_admitted.wait(0.15)  # blocked at quota 2
+    lim.release()  # frees a slot
+    assert third_admitted.wait(2.0)
+    lim.release()
+    t.join(2.0)
+
+
+def test_async_sink_under_throttling_still_lands_every_row(spark, sf_dir, tmp_path):
+    """End-to-end: a backend speaking UNAVAILABLE for the first appends
+    (scripted in the shared backend root, so executor-side clients honor
+    it) still lands every row at-least-once through the AIMD-limited
+    async path."""
+    root = str(tmp_path / "bq")
+    FakeBigQuery(root).script_append_failures(["UNAVAILABLE"] * 3)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    ).coalesce(1)
+    sink = AsyncSink(root, "events_aimd", FAST,
+                     BatchTriggerSettings(max_count=50, max_bytes=1 << 20),
+                     max_inflight=4)
+    sink.write_batch(events, 0)
+    assert FakeBigQuery(root).table_count("events_aimd") == events.count()
+
+
+def test_retry_loop_reports_throttle_to_aimd_limiter(tmp_path):
+    """The write_with_retry -> AIMD wiring: each retryable status pops the
+    quota (x0.5) exactly once, and the post-retry success ramps it back
+    +1 — observed on a directly driven limiter."""
+    from flink_big_query_connector_spark.streaming.sinks import AIMDRateLimiter
+
+    lim = AIMDRateLimiter(8)
+    c = CountingClient(str(tmp_path))
+    c.script_append_failures(["UNAVAILABLE", "INTERNAL"])
+    n = write_with_retry(
+        c, "t", DEFAULT_STREAM, rows(2), -1, FAST,
+        sleep=lambda s: None, on_retryable=lim.report_throttle,
+    )
+    assert n == 2
+    assert lim.limit == 2  # 8 -> 4 -> 2 across the two throttles
+    lim.report_success()
+    assert lim.limit == 3
