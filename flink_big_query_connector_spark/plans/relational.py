@@ -2332,7 +2332,14 @@ def b16_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b14_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit distance (both engines implement classic Levenshtein) — the
     fuzzy-matching primitive; distribution of distances between each name
-    and its zero->O homoglyph variant."""
+    and its zero->O homoglyph variant.
+
+    Cross-engine caveat (probed, not theoretical): Spark's levenshtein
+    counts CHARACTER edits while DuckDB's counts BYTE edits —
+    levenshtein('héllo','hallo') is 1 vs 2.  This query is immune by
+    construction (the pair differs only in single-byte ASCII chars, so
+    char edits == byte edits); do NOT extend it to arbitrary non-ASCII
+    pairs without normalizing, or the oracle comparison breaks."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]

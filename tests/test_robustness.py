@@ -461,3 +461,88 @@ def test_streaming_result_is_partitioning_invariant(spark, sf_dir, name):
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         release_caches(spark)
     assert alt == baseline and len(baseline) > 0
+
+
+# Unicode robustness: the generated corpus is pure ASCII, production
+# corpora are not.  Inject mixed-script text (accents, CJK, emoji,
+# NBSP, combining marks) and require oracle-grade agreement for the
+# text family — char-vs-byte semantics (length, substr, levenshtein,
+# regex classes) is where engines classically diverge.
+UNICODE_SWEEP = [
+    "llm_text_stats", "llm_text_token_counts", "llm_text_fingerprint",
+    "llm_text_langid", "llm_text_langid_confusion", "llm_text_tfidf",
+    "llm_text_repetition", "llm_text_novelty", "llm_text_pii_scrub",
+    "llm_text_inverted_index", "llm_text_bigram_lm", "llm_text_logprob",
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
+    "llm_dedup_ngram_jaccard", "llm_dedup_spans", "llm_dedup_span_removal",
+    "llm_bpe_train", "llm_bpe_encode", "llm_bpe_fertility",
+    "llm_doc_chunking", "llm_pack_sequences", "llm_quality_classifier",
+    "llm_quality_percentile", "llm_vocab_coverage", "llm_batch_by_length",
+    "llm_multimodal_meta", "llm_corpus_shard", "llm_text_quality_filter",
+]
+
+_UNICODE_SNIPPETS = [
+    "héllo wörld nb 中文 處理 🙂🙃 café",
+    "ẞharp ß and Ímpact — em—dash\ttab",
+    "русский текст și română 한국어 日本語です",
+    "é combining vs é precomposed 🧵🪡",
+    "  leading  　ideographic space　 trailing  ",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_unicode")
+    for name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "documents":
+            snip = F.array(*[F.lit(x) for x in _UNICODE_SNIPPETS])
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 1,
+                    F.concat(
+                        F.element_at(
+                            snip, (F.col("doc_id") % 5 + 1).cast("int")
+                        ),
+                        F.lit(" "),
+                        F.col("text"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", UNICODE_SWEEP)
+def test_query_agrees_on_unicode_text(spark, unicode_dir, name):
+    """Oracle-grade agreement on mixed-script text (same comparison as
+    the NULL sweep)."""
+    import duckdb
+
+    try:
+        df = REGISTRY[name].fn(spark, unicode_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+    finally:
+        release_caches(spark)
+    oracle = REGISTRY[name].oracle
+    con = duckdb.connect()
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{unicode_dir}/{t}.parquet/*.parquet'"
+            )
+        cur = con.execute(oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+    assert _canon(scols, srows) == _canon(ocols, orows)
