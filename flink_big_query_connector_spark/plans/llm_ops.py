@@ -3327,6 +3327,16 @@ _BPE_PRETRAINED_MERGES = (
 )
 
 
+def _pretrained_bpe_cols():
+    """(whitespace tokens, encoded symbol string) under the fixed merge
+    table — the shared front of llm_bpe_encode / llm_bpe_fertility."""
+    toks = text.tokens_expr(F.col("text"))
+    s = text.bpe_initial_expr(toks)
+    for a, b in _BPE_PRETRAINED_MERGES:
+        s = text.bpe_merge_expr(s, a, b)
+    return toks, s
+
+
 def _bpe_encode_ctes(carry: str = "doc_id") -> tuple[str, str]:
     """(CTE text, final-stage name) applying the fixed merge table
     left-to-right (one list_reduce fold per merge — the DuckDB twin of
@@ -3384,10 +3394,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus at 100 TB.  Later merges consume earlier
     merges' output symbols, exercising hierarchical vocab entries."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    s = text.bpe_initial_expr(toks)
-    for a, b in _BPE_PRETRAINED_MERGES:
-        s = text.bpe_merge_expr(s, a, b)
+    toks, s = _pretrained_bpe_cols()
     enc = t["documents"].select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -3667,10 +3674,7 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup sums are integer (exact under any partitioning) with one
     final double division."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    s = text.bpe_initial_expr(toks)
-    for a, b in _BPE_PRETRAINED_MERGES:
-        s = text.bpe_merge_expr(s, a, b)
+    toks, s = _pretrained_bpe_cols()
     enc = t["documents"].select(
         "lang",
         F.size(toks).cast("long").alias("n_tokens"),
