@@ -1104,6 +1104,16 @@ def _write_ordered_chunks(
     ids = tbl[id_col]
     lo = pc.min(ids).as_py()
     hi = pc.max(ids).as_py()
+    if lo is None:  # zero-row source: one empty chunk keeps the replay
+        # pipeline shape (schema'd file, one empty micro-batch) instead
+        # of None-arithmetic below — the empty-feed case every
+        # production stream eventually hits
+        out_dir = scratch_dir(f"{table}_ordered_")
+        path = os.path.join(out_dir, "c0.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000, 1_700_000_000))
+        _ordered_chunk_cache[key] = out_dir
+        return out_dir
     cuts = [lo - 1] + [
         lo + (i + 1) * (hi - lo) // n_chunks for i in range(n_chunks - 1)
     ] + [hi]
@@ -1793,10 +1803,17 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(tmp, pointer)
 
     # -- backfill: batch over the historical chunks (c0, c1) ---------------
-    history = spark.read.schema(schema).parquet(
-        os.path.join(chunk_dir, "c0.parquet"),
-        os.path.join(chunk_dir, "c1.parquet"),
-    )
+    # (a zero-row source materializes a single empty chunk — take what
+    # exists; the tail then replays the same feed)
+    hist_paths = [
+        p
+        for p in (
+            os.path.join(chunk_dir, "c0.parquet"),
+            os.path.join(chunk_dir, "c1.parquet"),
+        )
+        if os.path.exists(p)
+    ]
+    history = spark.read.schema(schema).parquet(*hist_paths)
     write_state(partial(history), "backfill")
     # the recorded handoff watermark — one scalar, the backfill's manifest
     wm = history.agg(F.max("event_id")).collect()[0][0]

@@ -546,3 +546,22 @@ def test_query_agrees_on_unicode_text(spark, unicode_dir, name):
     finally:
         con.close()
     assert _canon(scols, srows) == _canon(ocols, orows)
+
+
+# Streaming replays on a zero-row source: the empty-feed case every
+# production stream eventually hits (upstream outage, filtered topic).
+STREAMING_EMPTY_SWEEP = [
+    "b21_stream_tumbling_window", "b22_stream_session_window",
+    "b24_stream_dedup", "b25_batch_assign_count",
+    "b26_incremental_matview", "b26_stream_cdc_apply",
+    "b26_stream_backfill", "b28_stream_incremental_topk",
+]
+
+
+@pytest.mark.parametrize("name", STREAMING_EMPTY_SWEEP)
+def test_streaming_query_survives_empty_tables(spark, empty_dir, name):
+    try:
+        df = REGISTRY[name].fn(spark, empty_dir)
+        assert df.count() >= 0
+    finally:
+        release_caches(spark)
