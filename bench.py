@@ -56,6 +56,10 @@ HEADLINE = [
     "llm_ann_pq_adc",
     "llm_heavy_hitters_cms",
     "llm_dedup_incremental",
+    # late round-5 additions (set 27 -> 29): the zero-shuffle pretrained
+    # tokenizer encode and the snapshot drift monitor
+    "llm_bpe_encode",
+    "llm_embedding_drift",
 ]
 
 
