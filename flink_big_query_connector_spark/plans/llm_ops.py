@@ -3775,3 +3775,116 @@ def llm_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("precision"),
     )
+
+
+def _centrality_oracle() -> str:
+    """Two unrolled power iterations + connected components over the
+    verified near-dup pair graph (same CTE pattern as the BPE / k-means
+    oracles: the iteration count is a model constant, so the loop
+    unrolls into plain SQL)."""
+    it = """s{o} AS (
+          SELECT e.v AS u,
+                 0.15 + 0.85 * CAST(SUM(CAST(s.s / d.deg
+                                             AS DECIMAL(27,10)))
+                                    AS DOUBLE) AS s
+          FROM edges e
+          JOIN s{i} s ON s.u = e.u
+          JOIN deg d ON d.u = e.u
+          GROUP BY e.v
+        )"""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({_minhash_oracle()})
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+        s0 AS (SELECT u, 1.0 AS s FROM deg),
+        {it.format(i=0, o=1)},
+        {it.format(i=1, o=2)},
+        reach(u, v) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                 FROM reach GROUP BY u)
+        SELECT c.doc_id, c.cluster_id,
+               round(s2.s, 6) AS centrality,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY round(s2.s, 6) DESC, c.doc_id) AS BIGINT)
+                   AS rank,
+               (CAST(ROW_NUMBER() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY round(s2.s, 6) DESC, c.doc_id) AS BIGINT) = 1)
+                   AS is_canonical
+        FROM comp c JOIN s2 ON s2.u = c.doc_id
+    """
+
+
+@register(
+    "llm_dedup_canonical_centrality",
+    oracle=_centrality_oracle(),
+    tags=("dedup", "graph"),
+)
+def llm_dedup_canonical_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-document selection by similarity-graph centrality: two
+    deterministic power iterations (degree-normalized, 0.15/0.85
+    damping — the PageRank kernel) over the VERIFIED near-dup pair
+    graph, then rank within each connected component; rank 1 is the
+    canonical representative a dedup pipeline keeps.  Centrality picks
+    the member most similar to the rest of its clique — a better keeper
+    than min-id when near-dup clusters mix originals and mutations.
+
+    Iteration arithmetic is order-free (per-edge contributions cast to
+    decimal before the sum — the Lloyd-trainer pattern), so scores are
+    bitwise-stable under any partitioning and the unrolled SQL oracle
+    reproduces them.  Scale shape: each iteration is one shuffle join on
+    node id over the PAIR GRAPH (tiny vs the corpus — near-dup cliques),
+    exactly like the connected-components rounds."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(
+        t["documents"], "doc_id", "text", 0.8
+    ).select("id_a", "id_b")
+    from ..cache import scoped_persist
+
+    edges = scoped_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select("u", F.lit(1.0).alias("s"))
+    for _ in range(2):
+        contrib = (
+            edges.join(nodes, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("s") / F.col("deg")).cast("decimal(27,10)").alias("c"),
+            )
+        )
+        nodes = contrib.groupBy("node").agg(
+            (
+                F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")
+            ).alias("s")
+        ).select(F.col("node").alias("u"), "s")
+    comp = dedup.connected_components(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.round(F.col("s"), 6).desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(nodes, comp["doc_id"] == nodes["u"])
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round(F.col("s"), 6).alias("centrality"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .withColumn("is_canonical", F.col("rank") == 1)
+    )

@@ -177,6 +177,7 @@ BATCH_SWEEP = [
     "llm_udtf_sentences",
     "llm_vocab_coverage",
     "llm_dedup_lsh_eval",
+    "llm_dedup_canonical_centrality",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -254,6 +255,7 @@ NULL_SWEEP = [
     # widened text-family coverage: every query below consumes document
     # text and must agree with its oracle when every 7th text is NULL
     "llm_text_langid", "llm_text_token_counts", "llm_text_fingerprint",
+    "llm_dedup_canonical_centrality",
     "llm_dedup_ngram_jaccard", "llm_text_repetition", "llm_doc_chunking",
     "llm_text_inverted_index", "llm_pack_sequences", "llm_decontaminate",
     "llm_quality_percentile",
