@@ -1050,10 +1050,17 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(path):
             with open(path) as f:
                 cur = _json.load(f)
+        # replay idempotency: an additive merge double-counts if Spark
+        # re-delivers a batch after a crash between the state write and
+        # the checkpoint commit — record the last merged id and no-op on
+        # re-delivery (same discipline as VersionedServingTable.merge)
+        if cur.get("__last_batch") == batch_id:
+            return
         for r in partial:
             k = r["event_type"]
             n0, tv0 = cur.get(k, (0, "0"))
             cur[k] = (n0 + r["n"], str((__import__("decimal").Decimal(tv0) + r["tv"])))
+        cur["__last_batch"] = batch_id
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(cur, f)
@@ -1071,8 +1078,9 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path) as f:
         final = _json.load(f)
     rows = [
-        (k, int(n), float(__import__("decimal").Decimal(tv)))
-        for k, (n, tv) in sorted(final.items())
+        (k, int(v[0]), float(__import__("decimal").Decimal(v[1])))
+        for k, v in sorted(final.items())
+        if k != "__last_batch"
     ]
     return spark.createDataFrame(
         rows, "event_type string, n long, total_value double"
@@ -1752,6 +1760,67 @@ def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class VersionedServingTable:
+    """Keyed serving table maintained by distributed MERGE: every merge
+    writes a FRESH ``v_<id>`` parquet directory and atomically repoints
+    ``CURRENT``, so readers of the current version are never disturbed
+    and a crash leaves either the old or the new version — never a torn
+    table.  The version name records the last merged batch id, which
+    makes ``merge`` idempotent under foreachBatch replay (a re-delivered
+    batch id is a no-op — the already-merged discipline of the 2PC
+    sink's ALREADY_EXISTS trim).  At 100 TB the rewrite is scoped to the
+    partitions the MERGE touches (partition the version dirs by key
+    range); the single-directory rewrite here is the small-key-space
+    layout."""
+
+    def __init__(self, spark: SparkSession, root: str, key: str):
+        self.spark = spark
+        self.root = root
+        self.key = key
+        self.pointer = os.path.join(root, "CURRENT")
+
+    def _current(self) -> str:
+        with open(self.pointer) as f:
+            return f.read().strip()
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._current())
+
+    def write(self, df: DataFrame, version: str) -> None:
+        path = os.path.join(self.root, f"v_{version}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = self.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(path)
+        os.replace(tmp, self.pointer)
+
+    def merge(self, batch_id: int, p: DataFrame) -> None:
+        """Full-outer MERGE of a partial aggregate (columns: key, n, tv)
+        into the current version; no-op when ``batch_id`` was already
+        merged."""
+        if os.path.basename(self._current()) == f"v_b{batch_id}":
+            return
+        cur = self.read()
+        merged = (
+            cur.alias("a")
+            .join(p.alias("b"), self.key, "full")
+            .select(
+                self.key,
+                (
+                    F.coalesce(F.col("a.n"), F.lit(0))
+                    + F.coalesce(F.col("b.n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("a.tv"), F.lit(0).cast("decimal(20,4)"))
+                    + F.coalesce(F.col("b.tv"), F.lit(0).cast("decimal(20,4)"))
+                )
+                .cast("decimal(20,4)")
+                .alias("tv"),
+            )
+        )
+        self.write(merged, f"b{batch_id}")
+
+
 @register(
     "b26_stream_backfill",
     oracle="""
@@ -1779,8 +1848,9 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = 4
     chunk_dir = _write_ordered_chunks(sf_dir, "events", "event_id", n_chunks)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    state_root = scratch_dir("backfill_state_")
-    pointer = os.path.join(state_root, "CURRENT")
+    serving = VersionedServingTable(
+        spark, scratch_dir("backfill_state_"), "event_type"
+    )
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
@@ -1789,18 +1859,6 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(20,4)")
             .alias("tv"),
         )
-
-    def read_state() -> DataFrame:
-        with open(pointer) as f:
-            return spark.read.parquet(f.read().strip())
-
-    def write_state(df: DataFrame, version: str) -> None:
-        path = os.path.join(state_root, f"v_{version}")
-        df.write.mode("overwrite").parquet(path)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(path)
-        os.replace(tmp, pointer)
 
     # -- backfill: batch over the historical chunks (c0, c1) ---------------
     # (a zero-row source materializes a single empty chunk — take what
@@ -1814,40 +1872,14 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(p)
     ]
     history = spark.read.schema(schema).parquet(*hist_paths)
-    write_state(partial(history), "backfill")
+    serving.write(partial(history), "backfill")
     # the recorded handoff watermark — one scalar, the backfill's manifest
     wm = history.agg(F.max("event_id")).collect()[0][0]
     wm = -1 if wm is None else wm
 
     # -- streaming tail: full feed, seam-filtered, MERGE per batch ---------
     def merge_batch(df: DataFrame, batch_id: int) -> None:
-        p = partial(df.filter(F.col("event_id") > wm))
-        cur = read_state()
-        merged = (
-            cur.alias("a")
-            .join(p.alias("b"), "event_type", "full")
-            .select(
-                "event_type",
-                (
-                    F.coalesce(F.col("a.n"), F.lit(0))
-                    + F.coalesce(F.col("b.n"), F.lit(0))
-                ).alias("n"),
-                (
-                    F.coalesce(
-                        F.col("a.tv"), F.lit(0).cast("decimal(20,4)")
-                    )
-                    + F.coalesce(
-                        F.col("b.tv"), F.lit(0).cast("decimal(20,4)")
-                    )
-                )
-                .cast("decimal(20,4)")
-                .alias("tv"),
-            )
-        )
-        # safe to write while reading: every version goes to a FRESH
-        # v_<id> directory and the pointer flips atomically afterwards,
-        # so the plan streaming from the current version is undisturbed
-        write_state(merged, f"b{batch_id}")
+        serving.merge(batch_id, partial(df.filter(F.col("event_id") > wm)))
 
     stream = (
         spark.readStream.schema(schema)
@@ -1862,6 +1894,6 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return read_state().select(
+    return serving.read().select(
         "event_type", "n", dbl(F.col("tv")).alias("total_value")
     ).orderBy("event_type")

@@ -198,3 +198,32 @@ def test_bucketed_keyed_state_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, state.read_all(spark).collect())) == [
         (1, 10), (2, 25), (7, 70), (9, 90),
     ]
+
+
+def test_versioned_serving_table_merge_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch exactly-once: re-delivering an already-merged batch
+    id (the crash-between-state-write-and-checkpoint-commit replay) is a
+    no-op, while a new batch id applies once — so backfill + tail can
+    never double-count."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        VersionedServingTable,
+    )
+
+    t = VersionedServingTable(spark, str(tmp_path / "serve"), "event_type")
+    (tmp_path / "serve").mkdir()
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, "event_type string, n long, tv string")
+        return df.withColumn("tv", F.col("tv").cast("decimal(20,4)"))
+
+    t.write(frame([("click", 10, "5.0")]), "backfill")
+    p = frame([("click", 2, "1.5"), ("view", 1, "0.5")])
+    t.merge(0, p)
+    t.merge(0, p)  # replay of the same batch id — must be a no-op
+    got = {r["event_type"]: (r["n"], str(r["tv"])) for r in t.read().collect()}
+    assert got == {"click": (12, "6.5000"), "view": (1, "0.5000")}
+    t.merge(1, p)  # a NEW batch id applies once
+    got = {r["event_type"]: (r["n"], str(r["tv"])) for r in t.read().collect()}
+    assert got == {"click": (14, "8.0000"), "view": (2, "1.0000")}
