@@ -35,7 +35,7 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FuturesTimeoutError
-from threading import BoundedSemaphore, Condition
+from threading import Condition
 
 from pyspark.sql import DataFrame
 
