@@ -567,3 +567,78 @@ def test_streaming_query_survives_empty_tables(spark, empty_dir, name):
         assert df.count() >= 0
     finally:
         release_caches(spark)
+
+
+# Negative-numerics sweep: flipping signs exposes floor-vs-truncate
+# divergence (DuckDB CAST(double AS INT) rounds, Spark ANSI cast
+# truncates toward zero, floor() agrees — bucketing/histogram queries
+# must use the agreeing form) and any abs/sign assumptions in stats.
+NEGATIVE_SWEEP = [
+    "b08_q1_pricing_summary", "b11_ratio_to_report",
+    "b15_time_bucket_rollup", "b16_winsorized_stats",
+    "b16_rolling_zscore", "b16_user_entropy", "b16_stats_corr",
+    "b18_histogram", "b18_median_manual", "b16_math",
+    "b26_incremental_matview", "b26_stream_backfill",
+    "b21_stream_tumbling_window", "b10_delete_propagation",
+]
+
+
+@pytest.fixture(scope="module")
+def negated_dir(spark, sf_dir, tmp_path_factory):
+    """Copies with every 3rd event value negated and every 4th lineitem
+    quantity negated (returns/corrections — negative measures are
+    routine in event and ledger data)."""
+    out = tmp_path_factory.mktemp("sf_negated")
+    for name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 3 == 1, -F.col("value")).otherwise(
+                    F.col("value")
+                ),
+            )
+        if name == "lineitem":
+            df = df.withColumn(
+                "l_quantity",
+                F.when(
+                    (F.col("l_orderkey") + F.col("l_linenumber")) % 4 == 1,
+                    -F.col("l_quantity"),
+                ).otherwise(F.col("l_quantity")),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", NEGATIVE_SWEEP)
+def test_query_agrees_on_negative_values(spark, negated_dir, name):
+    """Oracle-grade agreement with sign-flipped measures (same
+    comparison as the NULL sweep)."""
+    import duckdb
+
+    try:
+        df = REGISTRY[name].fn(spark, negated_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+    finally:
+        release_caches(spark)
+    oracle = REGISTRY[name].oracle
+    con = duckdb.connect()
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{negated_dir}/{t}.parquet/*.parquet'"
+            )
+        cur = con.execute(oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+    assert _canon(scols, srows) == _canon(ocols, orows)
