@@ -642,3 +642,69 @@ def test_query_agrees_on_negative_values(spark, negated_dir, name):
     finally:
         con.close()
     assert _canon(scols, srows) == _canon(ocols, orows)
+
+
+# Pre-epoch timestamps: log data with clock bugs / historical imports
+# lands before 1970; date_trunc, windows, sessions, and LOCF must agree
+# across engines on negative epochs.
+PRE_EPOCH_SWEEP = [
+    "b15_datetime", "b15_time_bucket_rollup", "b22_batch_sessionize",
+    "b15_gap_fill_locf", "b11_last_touch_attribution",
+]
+
+
+@pytest.fixture(scope="module")
+def pre_epoch_dir(spark, sf_dir, tmp_path_factory):
+    """Copies with every 37th event shifted 100 years into the past
+    (pre-1970 = negative epoch)."""
+    out = tmp_path_factory.mktemp("sf_pre_epoch")
+    for name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # physical-type adaptive, like sources/tables.py's helpers:
+            # driver testdata has shipped ts as both timestamp and
+            # int64-nanos across rounds
+            back = (
+                F.col("ts") - F.expr("INTERVAL 100 YEARS")
+                if dict(df.dtypes)["ts"] != "bigint"
+                else F.col("ts") - F.lit(100 * 365 * 24 * 3600 * 10**9)
+            )
+            df = df.withColumn(
+                "ts",
+                F.when(F.col("event_id") % 37 == 5, back).otherwise(
+                    F.col("ts")
+                ),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", PRE_EPOCH_SWEEP)
+def test_query_agrees_on_pre_epoch_timestamps(spark, pre_epoch_dir, name):
+    import duckdb
+
+    try:
+        df = REGISTRY[name].fn(spark, pre_epoch_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+    finally:
+        release_caches(spark)
+    con = duckdb.connect()
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{pre_epoch_dir}/{t}.parquet/*.parquet'"
+            )
+        cur = con.execute(REGISTRY[name].oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    finally:
+        con.close()
+    assert _canon(scols, srows) == _canon(ocols, orows)
