@@ -3888,3 +3888,163 @@ def llm_dedup_canonical_centrality(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("is_canonical", F.col("rank") == 1)
     )
+
+
+def _recall_matrix_oracle() -> str:
+    """Exact top-10 vs each approximate index's top-10, macro-averaged
+    per index — CTE namespaces x_/i_/l_/s_ keep the four ranked
+    pipelines (copies of the individual queries' oracles) disjoint."""
+    rank10 = (
+        "SELECT query_id, cand_id FROM ({inner}) z "
+        "WHERE z.r <= 10"
+    )
+    x_inner = """
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                             cand_id) AS r
+        FROM x_q, x_c WHERE cand_id <> query_id
+    """
+    i_inner = """
+        SELECT i_q.query_id, a.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY i_q.query_id
+                    ORDER BY round(list_cosine_similarity(i_q.qv, a.v), 6)
+                             DESC, a.vec_id) AS r
+        FROM i_q JOIN assigned a
+          ON a.cell = i_q.cell AND a.vec_id <> i_q.query_id
+    """
+    l_inner = """
+        SELECT l_q.query_id, l_c.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY l_q.query_id
+                    ORDER BY round(list_cosine_similarity(l_q.qv, l_c.cv), 6)
+                             DESC, l_c.cand_id) AS r
+        FROM l_c JOIN l_q USING (bucket)
+        WHERE l_c.cand_id <> l_q.query_id
+    """
+    s_inner = f"""
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                             i -> CAST((qq[i] - cq[i]) * (qq[i] - cq[i])
+                                       AS BIGINT))) ASC, cand_id) AS r
+        FROM s_q, s_c WHERE cand_id <> query_id
+    """
+    recall = (
+        "SELECT '{name}' AS index_type, e.query_id,"
+        " CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) / COUNT(*) AS r"
+        " FROM exact e LEFT JOIN {tbl} a"
+        "   ON a.query_id = e.query_id AND a.cand_id = e.cand_id"
+        " GROUP BY e.query_id"
+    )
+    return f"""
+        WITH x_q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                     FROM embx embeddings WHERE vec_id < 20),
+        x_c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+                FROM embx embeddings),
+        exact AS ({rank10.format(inner=x_inner)}),
+        cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embx embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embx e
+        ),
+        i_q AS (SELECT vec_id AS query_id, v AS qv, cell
+                FROM assigned WHERE vec_id < 20),
+        ivf AS ({rank10.format(inner=i_inner)}),
+        l_e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       {similarity.sql_rp_bucket('embedding::DOUBLE[]', _EMB_DIM)}
+                           AS bucket
+                FROM embx embeddings),
+        l_q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                FROM l_e WHERE vec_id < 20),
+        l_c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM l_e),
+        lsh AS ({rank10.format(inner=l_inner)}),
+        {_SQL_SQ8_CTES},
+        s_q AS (SELECT vec_id AS query_id, qv AS qq FROM quant
+                WHERE vec_id < 20),
+        s_c AS (SELECT vec_id AS cand_id, qv AS cq FROM quant),
+        sq8 AS ({rank10.format(inner=s_inner)}),
+        rec AS (
+          {recall.format(name="ivf", tbl="ivf")}
+          UNION ALL
+          {recall.format(name="lsh", tbl="lsh")}
+          UNION ALL
+          {recall.format(name="sq8", tbl="sq8")}
+        )
+        SELECT index_type,
+               COUNT(*) AS n_queries,
+               round(CAST(SUM(CAST(round(r, 6) AS DECIMAL(27,10)))
+                          AS DOUBLE) / COUNT(*), 6) AS macro_recall
+        FROM rec
+        GROUP BY index_type
+    """
+
+
+@register(
+    "llm_ann_recall_matrix",
+    oracle=_recall_matrix_oracle(),
+    tags=("similarity", "evaluation"),
+)
+def llm_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN ACCEPTANCE MATRIX: macro-averaged recall@10 of every
+    approximate index family (single-probe IVF, RP-LSH buckets, SQ8
+    integer ranking) against exact brute-force top-10 over the same
+    query sample — the one-row-per-index report a retrieval platform
+    publishes before switching index types.  Composes the existing
+    operators; per-query recalls are rounded then summed in the decimal
+    domain, so the macro average is bitwise-stable under any layout."""
+    from ..cache import scoped_persist
+
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = scoped_persist(
+        similarity.brute_force_topk(emb, "vec_id", "embedding", qs, 10).select(
+            "query_id", "cand_id"
+        )
+    )
+    mins, maxs = similarity.sq8_train(emb, "embedding")
+    variants = {
+        "ivf": similarity.ivf_probe_topk(emb, "vec_id", "embedding", qs, 10),
+        "lsh": similarity.rp_lsh_bucketed_topk(
+            emb, "vec_id", "embedding", qs, 10
+        ),
+        "sq8": similarity.sq8_topk(
+            emb, "vec_id", "embedding", qs, mins, maxs, 10
+        ),
+    }
+    out = None
+    for name, approx in variants.items():
+        hits = exact.join(
+            approx.select("query_id", "cand_id").withColumn(
+                "hit", F.lit(1)
+            ),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        perq = hits.groupBy("query_id").agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("r")
+        )
+        agg = perq.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum(
+                    F.round(F.col("r"), 6).cast("decimal(27,10)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("macro_recall"),
+        ).select(
+            F.lit(name).alias("index_type"), "n_queries", "macro_recall"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

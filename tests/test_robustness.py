@@ -178,6 +178,7 @@ BATCH_SWEEP = [
     "llm_vocab_coverage",
     "llm_dedup_lsh_eval",
     "llm_dedup_canonical_centrality",
+    "llm_ann_recall_matrix",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -270,6 +271,7 @@ NULL_SWEEP = [
     # aggregates — or be filtered identically at the shared helpers
     "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_ann_recall_eval",
+    "llm_ann_recall_matrix",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
     # streaming replays over dirty events: NULL value/props rows must
     # aggregate and window identically to the batch oracle
