@@ -1897,3 +1897,96 @@ def b26_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.read().select(
         "event_type", "n", dbl(F.col("tv")).alias("total_value")
     ).orderBy("event_type")
+
+
+@register(
+    "b24_stream_decontaminate",
+    oracle="""
+        WITH t AS (SELECT doc_id, source,
+                          regexp_extract_all(COALESCE(text, ''), '\\S+')
+                              AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, source,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+                          ELSE []::VARCHAR[] END AS grams
+              FROM t),
+        ex AS (SELECT DISTINCT doc_id, source, s
+               FROM (SELECT doc_id, source, unnest(grams) AS s FROM g)),
+        bench AS (SELECT DISTINCT s FROM ex
+                  WHERE source IN ('src0', 'src1'))
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex e JOIN bench b ON e.s = b.s
+        WHERE e.source NOT IN ('src0', 'src1')
+        GROUP BY e.doc_id
+    """,
+    tags=("streaming", "decontamination"),
+)
+def b24_stream_decontaminate(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """INGEST-TIME decontamination: the benchmark gram set is computed
+    once from the fixed eval sources and broadcast; documents then
+    arrive as crawl-snapshot chunks and every micro-batch flags its own
+    docs' shared-gram counts against the static set — contaminated
+    documents are caught at ingest, before they ever reach a training
+    mix.  Each doc streams exactly once and the benchmark side is fixed,
+    so the union of per-batch results IS the batch answer
+    (llm_decontaminate's asymmetric broadcast join, chunked over
+    arrival).  At 100 TB the benchmark gram set is MBs (eval sets are
+    small by definition) and the per-batch work is one broadcast-hash
+    join over the new chunk only."""
+    from ..operators.dedup import shingles_expr, tokens_expr
+
+    chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
+    out_dir = scratch_dir("decon_out_")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    is_bench = F.col("source").isin("src0", "src1")
+    # the static benchmark gram set — computed ONCE, before the stream
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(is_bench)
+        .select(F.explode(shingles_expr(tokens_expr(F.col("text")))).alias("s"))
+        .distinct()
+    )
+    bench.persist().count()  # materialize once; every batch reuses it
+
+    def process(batch_df, batch_id: int) -> None:
+        flagged = (
+            batch_df.filter(~is_bench)
+            .select(
+                "doc_id",
+                F.explode(
+                    shingles_expr(tokens_expr(F.col("text")))
+                ).alias("s"),
+            )
+            .distinct()
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        # per-batchId dir + overwrite = replay-idempotent append
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", scratch_dir("ckpt_decon_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    bench.unpersist()
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "b*")))
+    out = spark.read.parquet(*parts)
+    return out.select("doc_id", F.col("n_shared").cast("long"))

@@ -278,7 +278,7 @@ NULL_SWEEP = [
     "b21_stream_tumbling_window", "b21_stream_sliding_window",
     "b22_stream_session_window", "b24_stream_dedup",
     "b25_batch_assign_count", "b26_incremental_matview",
-    "b26_stream_backfill",
+    "b26_stream_backfill", "b24_stream_decontaminate",
 ]
 
 
@@ -449,7 +449,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b25_stateful_batcher", "b26_incremental_matview",
     "b26_stream_cdc_apply", "b26_stream_scd2_history",
     "b26_stream_state_offsets", "b28_stream_incremental_topk",
-    "b26_stream_backfill",
+    "b26_stream_backfill", "b24_stream_decontaminate",
 ]
 
 
@@ -559,6 +559,7 @@ STREAMING_EMPTY_SWEEP = [
     "b24_stream_dedup", "b25_batch_assign_count",
     "b26_incremental_matview", "b26_stream_cdc_apply",
     "b26_stream_backfill", "b28_stream_incremental_topk",
+    "b24_stream_decontaminate",
 ]
 
 
