@@ -1990,3 +1990,123 @@ def b24_stream_decontaminate(
     parts = sorted(_glob.glob(os.path.join(out_dir, "b*")))
     out = spark.read.parquet(*parts)
     return out.select("doc_id", F.col("n_shared").cast("long"))
+
+
+@register(
+    "b25_stream_budget_admission",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM base)
+        SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+        FROM cum WHERE cum_before < 800
+    """,
+    tags=("streaming", "sampling"),
+)
+def b25_stream_budget_admission(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming QUOTA ADMISSION: documents arrive as ordered crawl
+    chunks and each source admits docs in ARRIVAL order until its
+    800-token budget is consumed — the ingest-side quota enforcement
+    twin of llm_mix_token_budget's batch mix construction (which orders
+    by hash instead).  Per batch the admission decision is a window
+    prefix-sum over the chunk plus each source's carried-over total; the
+    carried state is |sources| counters (model-sized by construction,
+    like the matview), guarded by __last_batch for replay idempotency.
+    The ordered replay makes the admitted set EXACTLY the batch
+    arrival-order prefix-sum answer, which is what the oracle checks."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    from ..operators.text import token_count_expr
+
+    budget = 800
+    chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
+    out_dir = scratch_dir("admit_out_")
+    state_path = os.path.join(scratch_dir("admit_state_"), "totals.json")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur: dict = {}
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                cur = _json.load(f)
+        if cur.get("__last_batch") == batch_id:
+            return
+        base = batch_df.select(
+            "doc_id", "source", token_count_expr(F.col("text")).alias("n_tokens")
+        )
+        carried = s.createDataFrame(
+            [(k, int(v)) for k, v in cur.items() if k != "__last_batch"]
+            or [("__none__", 0)],
+            "source string, carried long",
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cumulated = (
+            base.withColumn(
+                "in_batch_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+            .join(F.broadcast(carried), "source", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                (
+                    F.col("in_batch_before")
+                    + F.coalesce(F.col("carried"), F.lit(0))
+                ).cast("long").alias("cum_before"),
+            )
+        )
+        admitted = cumulated.filter(F.col("cum_before") < budget)
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+        # update carried totals with the batch's FULL per-source sums
+        # (the budget rule counts all prior arrivals, admitted or not)
+        batch_totals = (
+            base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        )
+        for r in batch_totals:
+            cur[r["source"]] = int(cur.get(r["source"], 0)) + int(r["t"])
+        cur["__last_batch"] = batch_id
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, state_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", scratch_dir("ckpt_admit_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "b*")))
+    return spark.read.parquet(*parts).select(
+        "doc_id", "source", "n_tokens", "cum_before"
+    )

@@ -279,6 +279,7 @@ NULL_SWEEP = [
     "b22_stream_session_window", "b24_stream_dedup",
     "b25_batch_assign_count", "b26_incremental_matview",
     "b26_stream_backfill", "b24_stream_decontaminate",
+    "b25_stream_budget_admission",
 ]
 
 
@@ -450,6 +451,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b26_stream_cdc_apply", "b26_stream_scd2_history",
     "b26_stream_state_offsets", "b28_stream_incremental_topk",
     "b26_stream_backfill", "b24_stream_decontaminate",
+    "b25_stream_budget_admission",
 ]
 
 
@@ -559,7 +561,7 @@ STREAMING_EMPTY_SWEEP = [
     "b24_stream_dedup", "b25_batch_assign_count",
     "b26_incremental_matview", "b26_stream_cdc_apply",
     "b26_stream_backfill", "b28_stream_incremental_topk",
-    "b24_stream_decontaminate",
+    "b24_stream_decontaminate", "b25_stream_budget_admission",
 ]
 
 
