@@ -3097,3 +3097,58 @@ def b04_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").alias("max_key_rows"),
     )
+
+
+@register(
+    "b14_fuzzy_join",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        dirty AS (
+          SELECT p_name AS dirty_src,
+                 substr(p_name, 1, 4) ||
+                     replace(substr(p_name, 5), 'e', '3') AS dirty_name
+          FROM names),
+        matched AS (
+          SELECT d.dirty_name, n.p_name AS clean_name,
+                 CAST(levenshtein(d.dirty_name, n.p_name) AS BIGINT) AS dist
+          FROM dirty d
+          JOIN names n
+            ON substr(d.dirty_name, 1, 4) = substr(n.p_name, 1, 4)
+           AND abs(length(d.dirty_name) - length(n.p_name)) <= 2
+          WHERE levenshtein(d.dirty_name, n.p_name) <= 2)
+        SELECT dirty_name, clean_name, dist FROM matched
+    """,
+    tags=("string", "join"),
+)
+def b14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED fuzzy string join (entity resolution): reconcile a dirty
+    name dictionary (deterministic '3'-for-'e' typos past the prefix)
+    against the clean dictionary by edit distance <= 2 — but only within
+    (4-char-prefix, length-band) blocks, so the quadratic levenshtein
+    work is confined to tiny buckets instead of |dirty| x |clean|.  At
+    100 TB the dictionaries join as any equi-join on the block key
+    (shuffle or broadcast), and block sizing (longer prefixes, q-gram
+    blocking) is the recall/cost knob.  ASCII-only corruption keeps the
+    char-vs-byte levenshtein caveat (see b14_levenshtein) inert."""
+    t = load_tables(spark, sf_dir)
+    names = t["part"].select("p_name").distinct()
+    dirty = names.select(
+        F.concat(
+            F.substring("p_name", 1, 4),
+            F.regexp_replace(F.expr("substring(p_name, 5)"), "e", "3"),
+        ).alias("dirty_name")
+    )
+    blocked = dirty.join(
+        names,
+        (F.substring("dirty_name", 1, 4) == F.substring("p_name", 1, 4))
+        & (
+            F.abs(F.length("dirty_name") - F.length("p_name")) <= 2
+        ),
+    )
+    return (
+        blocked.withColumn(
+            "dist", F.levenshtein("dirty_name", "p_name").cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("dirty_name", F.col("p_name").alias("clean_name"), "dist")
+    )

@@ -179,6 +179,7 @@ BATCH_SWEEP = [
     "llm_dedup_lsh_eval",
     "llm_dedup_canonical_centrality",
     "llm_ann_recall_matrix",
+    "b14_fuzzy_join",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
