@@ -357,16 +357,15 @@ def _canon(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", NULL_SWEEP)
-def test_query_survives_null_injection(spark, nulled_dir, name):
-    """Dirty-data robustness, oracle-grade: on the NULL-injected tables
-    the Spark result must still MATCH the DuckDB oracle bit-for-bit (not
-    merely avoid crashing) — this is what catches cross-engine NULL
-    divergences like legacy size(NULL) vs len(NULL)."""
+def _assert_oracle_agreement(spark, data_dir, name):
+    """The driver-identical comparison (sorted columns/rows, canonical
+    cells) of a registry query against its oracle over a perturbed copy
+    of the tables — shared by the null / unicode / negative / pre-epoch
+    sweeps."""
     import duckdb
 
     try:
-        df = REGISTRY[name].fn(spark, nulled_dir)
+        df = REGISTRY[name].fn(spark, data_dir)
         scols = df.columns
         srows = [tuple(r) for r in df.collect()]
     finally:
@@ -383,7 +382,7 @@ def test_query_survives_null_injection(spark, nulled_dir, name):
         ]:
             con.execute(
                 f"CREATE VIEW {t} AS "
-                f"SELECT * FROM '{nulled_dir}/{t}.parquet/*.parquet'"
+                f"SELECT * FROM '{data_dir}/{t}.parquet/*.parquet'"
             )
         cur = con.execute(oracle)
         ocols = [d[0] for d in cur.description]
@@ -391,6 +390,15 @@ def test_query_survives_null_injection(spark, nulled_dir, name):
     finally:
         con.close()
     assert _canon(scols, srows) == _canon(ocols, orows)
+
+
+@pytest.mark.parametrize("name", NULL_SWEEP)
+def test_query_survives_null_injection(spark, nulled_dir, name):
+    """Dirty-data robustness, oracle-grade: on the NULL-injected tables
+    the Spark result must still MATCH the DuckDB oracle bit-for-bit (not
+    merely avoid crashing) — this is what catches cross-engine NULL
+    divergences like legacy size(NULL) vs len(NULL)."""
+    _assert_oracle_agreement(spark, nulled_dir, name)
 
 
 # Partitioning invariance runs over the same full batch surface: a
@@ -526,33 +534,8 @@ def unicode_dir(spark, sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", UNICODE_SWEEP)
 def test_query_agrees_on_unicode_text(spark, unicode_dir, name):
-    """Oracle-grade agreement on mixed-script text (same comparison as
-    the NULL sweep)."""
-    import duckdb
-
-    try:
-        df = REGISTRY[name].fn(spark, unicode_dir)
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
-    finally:
-        release_caches(spark)
-    oracle = REGISTRY[name].oracle
-    con = duckdb.connect()
-    try:
-        for t in [
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ]:
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM '{unicode_dir}/{t}.parquet/*.parquet'"
-            )
-        cur = con.execute(oracle)
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
-    finally:
-        con.close()
-    assert _canon(scols, srows) == _canon(ocols, orows)
+    """Oracle-grade agreement on mixed-script text."""
+    _assert_oracle_agreement(spark, unicode_dir, name)
 
 
 # Streaming replays on a zero-row source: the empty-feed case every
@@ -621,33 +604,8 @@ def negated_dir(spark, sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", NEGATIVE_SWEEP)
 def test_query_agrees_on_negative_values(spark, negated_dir, name):
-    """Oracle-grade agreement with sign-flipped measures (same
-    comparison as the NULL sweep)."""
-    import duckdb
-
-    try:
-        df = REGISTRY[name].fn(spark, negated_dir)
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
-    finally:
-        release_caches(spark)
-    oracle = REGISTRY[name].oracle
-    con = duckdb.connect()
-    try:
-        for t in [
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ]:
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM '{negated_dir}/{t}.parquet/*.parquet'"
-            )
-        cur = con.execute(oracle)
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
-    finally:
-        con.close()
-    assert _canon(scols, srows) == _canon(ocols, orows)
+    """Oracle-grade agreement with sign-flipped measures."""
+    _assert_oracle_agreement(spark, negated_dir, name)
 
 
 # Pre-epoch timestamps: log data with clock bugs / historical imports
@@ -690,27 +648,5 @@ def pre_epoch_dir(spark, sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", PRE_EPOCH_SWEEP)
 def test_query_agrees_on_pre_epoch_timestamps(spark, pre_epoch_dir, name):
-    import duckdb
-
-    try:
-        df = REGISTRY[name].fn(spark, pre_epoch_dir)
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
-    finally:
-        release_caches(spark)
-    con = duckdb.connect()
-    try:
-        for t in [
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ]:
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM '{pre_epoch_dir}/{t}.parquet/*.parquet'"
-            )
-        cur = con.execute(REGISTRY[name].oracle)
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
-    finally:
-        con.close()
-    assert _canon(scols, srows) == _canon(ocols, orows)
+    """Oracle-grade agreement on negative-epoch timestamps."""
+    _assert_oracle_agreement(spark, pre_epoch_dir, name)
