@@ -37,6 +37,12 @@ PICKS = [
     ("llm_embedding_drift",
      "embedding drift monitor — one linear pass into a (label x half x "
      "dim) partial aggregation; joins run on the model-sized aggregate"),
+    ("b14_fuzzy_join",
+     "blocked fuzzy join — levenshtein confined to (prefix, length-band) "
+     "equi-join blocks"),
+    ("llm_dedup_canonical_centrality",
+     "similarity-graph centrality — power iterations as shuffle joins on "
+     "node ids over the pair graph"),
 ]
 
 
