@@ -1093,15 +1093,49 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_media(docs: DataFrame) -> DataFrame:
+    """Derive the (doc_id, text) media fixture for the pHash dedup query:
+    the base corpus plus, for every 97th doc, an exact copy (+1_000_000)
+    and a same-length single-char edit (+2_000_000).  Shared by the
+    registry query and the pigeonhole test so brute-force and banded
+    paths hash the exact same payload set; the oracle SQL in
+    :func:`_sql_phash_pairs` mirrors this derivation verbatim."""
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    sample = base.filter(F.col("doc_id") % 97 == 3)
+    copies = sample.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    edits = sample.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, greatest(length(text) - 1, 0))"),
+            F.lit("#"),
+        ).alias("text"),
+    )
+    return base.unionByName(copies).unionByName(edits)
+
+
 def _sql_phash_pairs() -> str:
     from ..operators.multimodal import PHASH_BANDS, PHASH_BITS
 
     bits, bands = PHASH_BITS, PHASH_BANDS
     width = bits // bands
     return f"""
-        WITH raw AS (
-          SELECT doc_id, base64(encode(COALESCE(text, ''))) AS b
-          FROM documents),
+        WITH media AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, COALESCE(text, '')
+          FROM documents WHERE doc_id % 97 = 3
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 substr(COALESCE(text, ''), 1,
+                        greatest(length(COALESCE(text, '')) - 1, 0)) || '#'
+          FROM documents WHERE doc_id % 97 = 3),
+        raw AS (
+          SELECT doc_id, base64(encode(text)) AS b
+          FROM media),
         codes AS (
           SELECT doc_id, length(b) AS n,
                  list_transform(range(0, {bits}),
@@ -1148,12 +1182,22 @@ def llm_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one unchanged 6-bit band), the same guarantee design as the
     simhash text path.  Only (id, phash, band, key) rows shuffle — media
     bytes stay in the hash stage.  This is image/video dedup's shape:
-    hash once per asset, join on bands, never compare pixels pairwise."""
+    hash once per asset, join on bands, never compare pixels pairwise.
+
+    The raw corpus has NO duplicate texts at any verification scale, so a
+    plain run would certify an empty-vs-empty comparison.  The media
+    fixture is therefore DERIVED in-query on both engines: every 97th doc
+    contributes an exact copy (Hamming 0 — guaranteed pairs) and a
+    same-length single-char edit (the evenly spaced sampler keeps every
+    other position, so Hamming stays small), making the banded pair set
+    provably non-empty at sf0.001/0.01/0.1."""
     from ..operators.multimodal import PHASH_BANDS, PHASH_BITS
 
     width = PHASH_BITS // PHASH_BANDS
     t = load_tables(spark, sf_dir)
-    payload = multimodal.attach_binary_payload(t["documents"], "text")
+    payload = multimodal.attach_binary_payload(
+        _phash_media(t["documents"]), "text"
+    )
     ph = multimodal.fake_phash(payload, "doc_id")
     entries = ph.select(
         "doc_id",

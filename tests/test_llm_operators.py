@@ -940,65 +940,29 @@ def test_cms_no_underestimate_and_partitioning_invariant(spark, sf_dir):
     assert est2 == est
 
 
-def test_phash_banding_is_exact_by_pigeonhole(spark, sf_dir, tmp_path):
+def test_phash_banding_is_exact_by_pigeonhole(spark, sf_dir):
     """The 10-band blocking must find EVERY pair within Hamming 6 (any
     pair with <= 9 differing bits leaves at least one 6-bit band
     untouched) — compare against the brute-force pair set.
 
     The raw corpus has NO exact-duplicate texts at any scale, so the
-    sampling-hash stand-in yields zero qualifying pairs on it and the
-    comparison would be vacuous ({} == {}).  Augment with exact copies
-    (Hamming 0) and same-length single-char edits (the evenly spaced
-    sampler keeps every other position, so Hamming stays tiny) — the
-    asserted pair set is then NON-empty and the banded join's recall is
-    actually exercised."""
-    import shutil
+    registry query derives its media fixture in-query (llm_ops._phash_media:
+    exact copies at +1_000_000, same-length single-char edits at
+    +2_000_000).  Brute force here hashes the SAME derived set, so the
+    asserted pair set is provably non-empty and the banded join's recall
+    is actually exercised against exhaustive comparison."""
     from itertools import combinations
-
-    from pyspark.sql import functions as F
 
     from flink_big_query_connector_spark.operators import multimodal
     from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.plans.llm_ops import _phash_media
 
-    aug_dir = str(tmp_path / "sf_phash")
-    __import__("os").makedirs(aug_dir, exist_ok=True)
-    for name in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "embeddings",
-    ]:
-        src = f"{sf_dir}/{name}.parquet"
-        dst = f"{aug_dir}/{name}.parquet"
-        if __import__("os").path.isdir(src):
-            shutil.copytree(src, dst)
-        else:
-            shutil.copy(src, dst)
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sample = base.orderBy("doc_id").limit(4)
-    copies = sample.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        *[c for c in base.columns if c != "doc_id"],
-    )
-    edits = sample.select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        *[
-            F.concat(
-                F.expr("substring(text, 1, length(text) - 1)"), F.lit("#")
-            ).alias("text")
-            if c == "text"
-            else F.col(c)
-            for c in base.columns
-            if c != "doc_id"
-        ],
-    )
-    base.unionByName(copies).unionByName(edits).write.mode(
-        "overwrite"
-    ).parquet(f"{aug_dir}/documents.parquet")
-
-    docs = spark.read.parquet(f"{aug_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ph = {
         r["doc_id"]: r["phash"]
         for r in multimodal.fake_phash(
-            multimodal.attach_binary_payload(docs, "text"), "doc_id"
+            multimodal.attach_binary_payload(_phash_media(docs), "text"),
+            "doc_id",
         ).collect()
     }
     brute = {
@@ -1009,11 +973,12 @@ def test_phash_banding_is_exact_by_pigeonhole(spark, sf_dir, tmp_path):
     banded = {
         (r["id_a"], r["id_b"], r["hamming"])
         for r in REGISTRY["llm_multimodal_phash_dedup"].fn(
-            spark, aug_dir
+            spark, sf_dir
         ).collect()
     }
     assert banded == brute
-    assert len(brute) >= 4  # the exact copies alone guarantee 4 pairs
+    # the exact copies alone guarantee one Hamming-0 pair per sampled doc
+    assert len(brute) >= 6
 
 
 def test_bpe_encode_hierarchical_merges(spark):
