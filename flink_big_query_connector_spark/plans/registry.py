@@ -67,9 +67,60 @@ def register(
     return deco
 
 
+# The external correctness driver samples the FIRST 50 entries of
+# ``queries()`` each round.  Registration order had kept the same 50
+# early relational queries in that window for five rounds, so the
+# newest (least externally proven) operators were only ever checked by
+# the in-repo harness.  The surface functions therefore emit these
+# priority keys first — newest/least-driver-checked queries — followed
+# by everything else in registration order.  tools/check_correctness.py
+# and the test sweeps run the FULL registry either way.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    "llm_multimodal_phash_dedup",
+    "b14_fuzzy_join",
+    "llm_dedup_canonical_centrality",
+    "b26_stream_backfill",
+    "llm_ann_pq_encode",
+    "llm_ann_pq_adc",
+    "llm_ann_recall_matrix",
+    "llm_ann_recall_eval",
+    "llm_ann_sq8",
+    "llm_heavy_hitters_cms",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "llm_bpe_fertility",
+    "llm_text_langid_confusion",
+    "llm_embedding_drift",
+    "llm_dedup_lsh_eval",
+    "b04_skew_profile",
+    "b24_stream_decontaminate",
+    "b25_stream_budget_admission",
+    "b26_stream_cdc_apply",
+    "b26_stream_scd2_history",
+    "b24_stream_neardup_history",
+    "b28_stream_incremental_topk",
+    "b21_stream_three_way_join",
+    "llm_dedup_incremental",
+    "llm_dedup_cluster",
+    "llm_ann_ivf_kmeans",
+    "llm_dedup_span_removal",
+    "llm_mix_token_budget",
+    "b26_incremental_matview",
+)
+
+
+def _surface_order() -> list[str]:
+    rest = [n for n in REGISTRY if n not in DRIVER_PRIORITY]
+    return [n for n in DRIVER_PRIORITY if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {n: d.fn for n, d in REGISTRY.items()}
+    return {n: REGISTRY[n].fn for n in _surface_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: d.oracle for n, d in REGISTRY.items() if d.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _surface_order()
+        if REGISTRY[n].oracle is not None
+    }

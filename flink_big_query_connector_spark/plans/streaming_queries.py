@@ -1608,73 +1608,27 @@ def b26_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "b26_stream_scd2_history",
-    oracle="""
-        WITH e AS (
-          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
-          FROM events WHERE user_id < 100),
-        o AS (
-          SELECT user_id, event_id, event_type, t,
-                 LAG(event_type) OVER (PARTITION BY user_id
-                      ORDER BY t, event_id) AS prev
-          FROM e),
-        chg AS (SELECT * FROM o
-                WHERE prev IS NULL OR prev <> event_type),
-        iv AS (
-          SELECT user_id, event_type AS value, t AS valid_from,
-                 LEAD(t) OVER (PARTITION BY user_id
-                      ORDER BY t, event_id) AS valid_to
-          FROM chg)
-        SELECT user_id, value, valid_from, valid_to FROM iv
-    """,
-    tags=("sink", "streaming", "cdc", "scd2"),
-)
-def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming SCD2 (slowly-changing-dimension type 2) history
-    maintenance: the changelog consumer that keeps a FULL validity-
-    interval history instead of last-op state.  Per micro-batch and per
-    key: detect in-batch attribute transitions with one window, stitch
-    them against the key's OPEN interval from the distributed bucketed
-    state table (streaming/keyed_state.py — the same copy-on-write MERGE
-    the CDC apply uses), append the intervals that CLOSED this batch to
-    an append-only parquet log, and keep exactly one open interval per
-    key as the new state.  After AvailableNow replay, closed + open
-    intervals equal the batch SCD2 computation exactly.
+def _scd2_merge(state, closed_dir: str):
+    """Per-micro-batch SCD2 interval stitch against a
+    :class:`~..streaming.keyed_state.BucketedKeyedState` of open
+    intervals.  Module-level so the crash-replay test can drive batches
+    directly.
 
-    Scale shape: the per-batch shuffle carries transition rows only
-    (bounded by batch size), the state table holds ONE row per key, and
-    closed intervals stream out append-only — no history ever rewrites.
-    Per-key state never reaches the driver (the touched-bucket list is
-    the only collect).
-
-    Assumes IN-ORDER event-time arrival per key (the replay's ordered
-    chunks guarantee it): an event older than a key's open interval
-    would require repairing already-closed history — a changelog source
-    with late data needs a watermark-delayed stitch or periodic interval
-    compaction on top of this operator, the caveat every append-only
-    SCD2 maintainer carries."""
+    Replay contract: the stitch is NOT idempotent — re-running a batch
+    after the open-interval state already advanced would stitch against
+    its own output and overwrite ``closed/b{batch_id}`` without the
+    pre-batch open interval's closure, silently losing a history row.
+    The state-manifest advance is the final step of the merge, so
+    ``batch_id <= state.last_batch()`` detects re-delivery after
+    checkpoint recovery and no-ops (the sibling guard to
+    ``_admission_process``; a crash BEFORE the manifest advance replays
+    against unchanged state and rewrites identical output)."""
     from pyspark.sql.window import Window
-
-    from ..streaming.keyed_state import BucketedKeyedState
-
-    load_tables(spark, sf_dir)
-    root = scratch_dir("scd2_hist_")
-    closed_dir = os.path.join(root, "closed")
-    os.makedirs(closed_dir, exist_ok=True)
-    iv_schema = (
-        "user_id long, value string, valid_from long, "
-        "valid_from_eid long"
-    )
-    state = BucketedKeyedState(
-        os.path.join(root, "state"), "user_id", iv_schema
-    )
-    closed_schema = (
-        "user_id long, value string, valid_from long, valid_to long"
-    )
 
     def merge_batch(df: DataFrame, batch_id: int) -> None:
         sess = df.sparkSession
+        if batch_id <= state.last_batch():
+            return
         rows = df.filter(F.col("user_id") < 100).select(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_type").alias("value"),
@@ -1728,6 +1682,73 @@ def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.write_buckets(
             passthrough.unionByName(new_open), batch_id, touched
         )
+
+    return merge_batch
+
+
+@register(
+    "b26_stream_scd2_history",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events WHERE user_id < 100),
+        o AS (
+          SELECT user_id, event_id, event_type, t,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS prev
+          FROM e),
+        chg AS (SELECT * FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+        iv AS (
+          SELECT user_id, event_type AS value, t AS valid_from,
+                 LEAD(t) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS valid_to
+          FROM chg)
+        SELECT user_id, value, valid_from, valid_to FROM iv
+    """,
+    tags=("sink", "streaming", "cdc", "scd2"),
+)
+def b26_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 (slowly-changing-dimension type 2) history
+    maintenance: the changelog consumer that keeps a FULL validity-
+    interval history instead of last-op state.  Per micro-batch and per
+    key: detect in-batch attribute transitions with one window, stitch
+    them against the key's OPEN interval from the distributed bucketed
+    state table (streaming/keyed_state.py — the same copy-on-write MERGE
+    the CDC apply uses), append the intervals that CLOSED this batch to
+    an append-only parquet log, and keep exactly one open interval per
+    key as the new state.  After AvailableNow replay, closed + open
+    intervals equal the batch SCD2 computation exactly.
+
+    Scale shape: the per-batch shuffle carries transition rows only
+    (bounded by batch size), the state table holds ONE row per key, and
+    closed intervals stream out append-only — no history ever rewrites.
+    Per-key state never reaches the driver (the touched-bucket list is
+    the only collect).
+
+    Assumes IN-ORDER event-time arrival per key (the replay's ordered
+    chunks guarantee it): an event older than a key's open interval
+    would require repairing already-closed history — a changelog source
+    with late data needs a watermark-delayed stitch or periodic interval
+    compaction on top of this operator, the caveat every append-only
+    SCD2 maintainer carries."""
+    from ..streaming.keyed_state import BucketedKeyedState
+
+    load_tables(spark, sf_dir)
+    root = scratch_dir("scd2_hist_")
+    closed_dir = os.path.join(root, "closed")
+    os.makedirs(closed_dir, exist_ok=True)
+    iv_schema = (
+        "user_id long, value string, valid_from long, "
+        "valid_from_eid long"
+    )
+    state = BucketedKeyedState(
+        os.path.join(root, "state"), "user_id", iv_schema
+    )
+    closed_schema = (
+        "user_id long, value string, valid_from long, valid_to long"
+    )
+    merge_batch = _scd2_merge(state, closed_dir)
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id",
@@ -1992,6 +2013,80 @@ def b24_stream_decontaminate(
     return out.select("doc_id", F.col("n_shared").cast("long"))
 
 
+def _admission_process(state, out_dir: str, budget: int):
+    """Per-micro-batch quota-admission merge against a
+    :class:`~..streaming.keyed_state.BucketedKeyedState` of per-source
+    carried token totals.  Module-level (not a closure inside the query)
+    so the crash-replay test can drive individual batches directly.
+
+    Replay contract: the state-manifest advance is the FINAL step, so
+    ``batch_id <= state.last_batch()`` means this batch already merged —
+    re-delivery after checkpoint recovery no-ops (running totals are not
+    idempotent under re-addition).  A crash between the output write and
+    the manifest advance replays with unchanged carried totals and
+    overwrites ``out_dir/b{batch_id}`` with identical rows.  No per-key
+    row ever reaches the driver: carried totals join distributed, and
+    the only collect is the bucket-id list (bounded by n_buckets)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import token_count_expr
+
+    def process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if batch_id <= state.last_batch():
+            return
+        base = batch_df.select(
+            "doc_id", "source", token_count_expr(F.col("text")).alias("n_tokens")
+        )
+        totals = base.groupBy("source").agg(
+            F.sum("n_tokens").cast("long").alias("t")
+        )
+        touched = state.touched_buckets(totals)
+        prior = state.read_buckets(s, touched)
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cumulated = (
+            base.withColumn(
+                "in_batch_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+            .join(prior, "source", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                (
+                    F.col("in_batch_before")
+                    + F.coalesce(F.col("carried"), F.lit(0))
+                ).cast("long").alias("cum_before"),
+            )
+        )
+        admitted = cumulated.filter(F.col("cum_before") < budget)
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+        # advance carried totals with the batch's FULL per-source sums
+        # (the budget rule counts all prior arrivals, admitted or not);
+        # prior rows of touched buckets whose source is absent from this
+        # batch survive via the full outer join
+        merged = (
+            totals.join(prior, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce(F.col("carried"), F.lit(0))
+                    + F.coalesce(F.col("t"), F.lit(0))
+                ).cast("long").alias("carried"),
+            )
+        )
+        state.write_buckets(merged, batch_id, touched)
+
+    return process
+
+
 @register(
     "b25_stream_budget_admission",
     oracle="""
@@ -2021,75 +2116,23 @@ def b25_stream_budget_admission(
     twin of llm_mix_token_budget's batch mix construction (which orders
     by hash instead).  Per batch the admission decision is a window
     prefix-sum over the chunk plus each source's carried-over total; the
-    carried state is |sources| counters (model-sized by construction,
-    like the matview), guarded by __last_batch for replay idempotency.
-    The ordered replay makes the admitted set EXACTLY the batch
-    arrival-order prefix-sum answer, which is what the oracle checks."""
-    import json as _json
-
-    from pyspark.sql.window import Window
-
-    from ..operators.text import token_count_expr
+    carried totals live in a BucketedKeyedState parquet table (the same
+    durable, bucket-merged pattern as the CDC/SCD2 state), so admission
+    state survives driver failure and never sits on one machine's local
+    disk; re-delivered batches are detected via the state manifest's
+    last-written version and no-op.  The ordered replay makes the
+    admitted set EXACTLY the batch arrival-order prefix-sum answer,
+    which is what the oracle checks."""
+    from ..streaming.keyed_state import BucketedKeyedState
 
     budget = 800
     chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
     out_dir = scratch_dir("admit_out_")
-    state_path = os.path.join(scratch_dir("admit_state_"), "totals.json")
+    state = BucketedKeyedState(
+        scratch_dir("admit_state_"), "source", "source string, carried long"
+    )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-
-    def process(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        cur: dict = {}
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                cur = _json.load(f)
-        if cur.get("__last_batch") == batch_id:
-            return
-        base = batch_df.select(
-            "doc_id", "source", token_count_expr(F.col("text")).alias("n_tokens")
-        )
-        carried = s.createDataFrame(
-            [(k, int(v)) for k, v in cur.items() if k != "__last_batch"]
-            or [("__none__", 0)],
-            "source string, carried long",
-        )
-        w = (
-            Window.partitionBy("source")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        cumulated = (
-            base.withColumn(
-                "in_batch_before",
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
-            )
-            .join(F.broadcast(carried), "source", "left")
-            .select(
-                "doc_id",
-                "source",
-                "n_tokens",
-                (
-                    F.col("in_batch_before")
-                    + F.coalesce(F.col("carried"), F.lit(0))
-                ).cast("long").alias("cum_before"),
-            )
-        )
-        admitted = cumulated.filter(F.col("cum_before") < budget)
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"b{batch_id}")
-        )
-        # update carried totals with the batch's FULL per-source sums
-        # (the budget rule counts all prior arrivals, admitted or not)
-        batch_totals = (
-            base.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-        )
-        for r in batch_totals:
-            cur[r["source"]] = int(cur.get(r["source"], 0)) + int(r["t"])
-        cur["__last_batch"] = batch_id
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(cur, f)
-        os.replace(tmp, state_path)
+    process = _admission_process(state, out_dir, budget)
 
     stream = (
         spark.readStream.schema(schema)

@@ -75,7 +75,13 @@ class BucketedKeyedState:
         ALL surviving rows for those buckets) into a fresh version
         directory, then atomically advance the manifest.  Version dirs
         are keyed by batch id, so a replayed batch overwrites its own
-        attempt — idempotent under checkpoint recovery."""
+        attempt — idempotent under checkpoint recovery.
+
+        A touched bucket whose merged output has ZERO rows produces no
+        ``bucket=b`` directory under ``vdir`` (partitionBy writes no
+        empty partitions), so its manifest entry is DELETED rather than
+        advanced — pointing it at the nonexistent path would make the
+        next read fail with PATH_NOT_FOUND."""
         vdir = os.path.join(self.root, f"v{batch_id}")
         (
             df.withColumn("bucket", self.bucket_expr(F.col(self.key_col)))
@@ -83,13 +89,38 @@ class BucketedKeyedState:
             .partitionBy("bucket")
             .parquet(vdir)
         )
+        present = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("bucket=")
+        }
         manifest = self._manifest()
         for b in touched:
-            manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+            if b in present:
+                manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+            else:
+                manifest.pop(str(b), None)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self.manifest_path)
+
+    def last_batch(self) -> int:
+        """Largest batch id the manifest points at, or -1 if never
+        written.  Because the manifest advance is the final atomic step
+        of :meth:`write_buckets`'s callers, ``batch_id <= last_batch()``
+        identifies a RE-DELIVERED micro-batch after checkpoint recovery:
+        non-idempotent merges (running totals, interval stitching) must
+        no-op instead of re-applying the batch."""
+        versions = [-1]
+        for path in self._manifest().values():
+            name = os.path.basename(os.path.dirname(path))
+            if name.startswith("v"):
+                try:
+                    versions.append(int(name[1:]))
+                except ValueError:
+                    pass
+        return max(versions)
 
     def read_all(self, spark) -> DataFrame:
         manifest = self._manifest()

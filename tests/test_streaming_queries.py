@@ -227,3 +227,144 @@ def test_versioned_serving_table_merge_is_replay_idempotent(spark, tmp_path):
     t.merge(1, p)  # a NEW batch id applies once
     got = {r["event_type"]: (r["n"], str(r["tv"])) for r in t.read().collect()}
     assert got == {"click": (14, "8.0000"), "view": (2, "1.0000")}
+
+
+def test_budget_admission_replay_and_restart(spark, tmp_path):
+    """Crash-replay contract of the quota-admission merge: re-delivering
+    an already-merged batch id must not re-add carried totals (running
+    sums are not idempotent), and a fresh `process` closure built over
+    the SAME durable state (a driver restart) must continue from the
+    carried totals rather than from zero."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _admission_process,
+    )
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    state = BucketedKeyedState(
+        str(tmp_path / "st"), "source", "source string, carried long"
+    )
+    out = str(tmp_path / "out")
+    process = _admission_process(state, out, budget=5)
+
+    # batch 0: src a spends 3 of its 5-token budget
+    b0 = docs([(1, "a", "w w w"), (2, "b", "x x x x")])
+    process(b0, 0)
+    carried = {r["source"]: r["carried"] for r in state.read_all(spark).collect()}
+    assert carried == {"a": 3, "b": 4}
+    process(b0, 0)  # replay after crash-before-checkpoint-commit: no-op
+    carried = {r["source"]: r["carried"] for r in state.read_all(spark).collect()}
+    assert carried == {"a": 3, "b": 4}
+
+    # driver restart: NEW closure over the same durable state
+    process2 = _admission_process(state, out, budget=5)
+    b1 = docs([(3, "a", "w w w"), (4, "b", "x")])
+    process2(b1, 1)
+    admitted = {
+        (r["doc_id"], r["cum_before"])
+        for r in spark.read.parquet(f"{out}/b1").collect()
+    }
+    # a carried 3 -> doc 3 admitted at cum_before=3; b carried 4 -> doc 4
+    # admitted at cum_before=4 (both still under the 5-token budget)
+    assert admitted == {(3, 3), (4, 4)}
+    carried = {r["source"]: r["carried"] for r in state.read_all(spark).collect()}
+    assert carried == {"a": 6, "b": 5}
+
+    # batch 2: both sources exhausted -> zero admissions
+    b2 = docs([(5, "a", "w"), (6, "b", "x")])
+    process2(b2, 2)
+    assert spark.read.schema(
+        "doc_id long, source string, n_tokens long, cum_before long"
+    ).parquet(f"{out}/b2").count() == 0
+    carried = {r["source"]: r["carried"] for r in state.read_all(spark).collect()}
+    assert carried == {"a": 7, "b": 6}
+
+
+def test_keyed_state_drained_bucket_drops_manifest_entry(spark, tmp_path):
+    """A touched bucket whose merged output is EMPTY gets its manifest
+    entry deleted (partitionBy writes no empty dirs) — a stale entry
+    would make the next read fail with PATH_NOT_FOUND."""
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    state = BucketedKeyedState(
+        str(tmp_path / "ks"), "k", "k long, v long", n_buckets=4
+    )
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    t0 = state.touched_buckets(b0)
+    state.write_buckets(b0, 0, t0)
+    assert state.last_batch() == 0
+
+    # batch 1 deletes every row of key 1's bucket: rewrite those buckets
+    # with zero surviving rows
+    only_k1 = state.read_all(spark).filter("k = 1")
+    t1 = state.touched_buckets(only_k1)
+    survivors = state.read_buckets(spark, t1).filter("k != 1")
+    state.write_buckets(survivors, 1, t1)
+    # read_all must NOT raise and key 1 must be gone, key 2 intact
+    rows = sorted(map(tuple, state.read_all(spark).collect()))
+    assert rows == [(2, 20)]
+    assert state.last_batch() >= 0
+
+
+def test_scd2_merge_replay_does_not_lose_closures(spark, tmp_path):
+    """Re-delivering an already-merged SCD2 micro-batch (crash between
+    the state-manifest advance and the checkpoint commit) must be a
+    no-op: an unguarded re-run stitches against the ALREADY-advanced
+    open interval and overwrites closed/b{id} without the pre-batch
+    interval's closure — silently losing a history row."""
+    import os
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _scd2_merge,
+    )
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    state = BucketedKeyedState(
+        str(tmp_path / "st"), "user_id",
+        "user_id long, value string, valid_from long, valid_from_eid long",
+    )
+    closed_dir = str(tmp_path / "closed")
+    os.makedirs(closed_dir)
+    merge = _scd2_merge(state, closed_dir)
+
+    def events(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, tmicros long, event_id long"
+        )
+
+    # batch 0 opens (u1, 'a'); batch 1 transitions to 'b', closing it
+    merge(events([(1, "a", 100, 1)]), 0)
+    merge(events([(1, "b", 200, 2)]), 1)
+
+    def closed_rows():
+        return sorted(
+            map(tuple, spark.read.schema(
+                "user_id long, value string, valid_from long, valid_to long"
+            ).parquet(f"{closed_dir}/b*").collect())
+        )
+
+    expect = [(1, "a", 100, 200)]
+    assert closed_rows() == expect
+    # replay batch 1: without the guard the stitch sees open=('b',200),
+    # treats the batch row as no-change, and rewrites b1 EMPTY
+    merge(events([(1, "b", 200, 2)]), 1)
+    assert closed_rows() == expect
+    opens = [(r["user_id"], r["value"], r["valid_from"])
+             for r in state.read_all(spark).collect()]
+    assert opens == [(1, "b", 200)]
+
+    # a genuinely new batch still applies
+    merge(events([(1, "c", 300, 3)]), 2)
+    assert closed_rows() == [(1, "a", 100, 200), (1, "b", 200, 300)]
