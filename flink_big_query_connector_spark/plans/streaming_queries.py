@@ -176,10 +176,14 @@ class _stream_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
-def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
-    """Run the streaming DataFrame to completion into a memory sink."""
+def _run_to_table(
+    df: DataFrame, mode: str, checkpoint: str | None = None
+) -> DataFrame:
+    """Run the streaming DataFrame to completion into a memory sink.
+    Pass ``checkpoint`` to resume the same query across calls (restart
+    tests); default is a fresh scratch checkpoint per run."""
     name = f"stream_result_{os.getpid()}_{next(_name_counter)}"
-    ckpt = scratch_dir("ckpt_")
+    ckpt = checkpoint or scratch_dir("ckpt_")
     with _stream_partitions(df.sparkSession):
         q = (
             df.writeStream.format("memory")

@@ -53,6 +53,13 @@ class WriterSettings:
     # A24: how the writer authenticates (None = DefaultCredentials
     # semantics — resolution delegated to the client environment).
     credentials: "Credentials | None" = None
+    # ExecutorProvider parity (reference sink/ExecutorProvider.java:1-9,
+    # wired via BigQueryStreamSink.java:20): callers may supply the
+    # executor the async sink runs appends on.  A factory taking the
+    # worker count and returning a concurrent.futures.Executor; None =
+    # the sink's own ThreadPoolExecutor.  Must be PICKLABLE (module-level
+    # function or class) — settings travel inside executor closures.
+    executor_provider: "object | None" = None
 
 
 @dataclass(frozen=True)

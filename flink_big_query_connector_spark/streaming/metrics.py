@@ -18,6 +18,7 @@ Spark-idiomatic re-expression:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,7 +81,7 @@ class StreamMetrics:
     __slots__ = (
         "table", "stream", "writer_id", "offset", "batch_count",
         "batch_size_mb", "split_batch_count", "timeout_count",
-        "inflight_wait_seconds", "seq",
+        "inflight_wait_seconds", "seq", "_lock",
     )
 
     def __init__(self, table: str, stream: str, writer_id: str = "0"):
@@ -94,26 +95,40 @@ class StreamMetrics:
         self.timeout_count = 0
         self.inflight_wait_seconds = 0.0
         self.seq = 0
+        # One instance is shared by every task of AsyncSink's per-partition
+        # thread pool: seq/gauge updates are read-modify-writes, so they
+        # must be serialized or up to max_inflight concurrent appends can
+        # lose increments (metrics fidelity, not data path).
+        self._lock = threading.Lock()
 
     def record_append(self, n_rows: int, size_bytes: int, offset: int) -> None:
         """After a successful append: last-batch gauges + offset.
         ``updateSize`` divides by 1e6 exactly like the reference."""
-        self.seq += 1
-        self.batch_count = n_rows
-        self.batch_size_mb = size_bytes / 1_000_000.0
-        if offset >= 0:  # buffered/exactly-once streams track offsets
-            self.offset = offset + n_rows
+        with self._lock:
+            self.seq += 1
+            self.batch_count = n_rows
+            self.batch_size_mb = size_bytes / 1_000_000.0
+            if offset >= 0:  # buffered/exactly-once streams track offsets
+                self.offset = offset + n_rows
+
+    def add(self, gauge: str, delta) -> None:
+        """Atomically increment a monotonic counter gauge
+        (``split_batch_count`` / ``timeout_count`` /
+        ``inflight_wait_seconds``) from concurrent writer tasks."""
+        with self._lock:
+            setattr(self, gauge, getattr(self, gauge) + delta)
 
     def snapshot(self) -> dict:
-        return {
-            "offset": self.offset,
-            "batch_count": self.batch_count,
-            "batch_size_mb": self.batch_size_mb,
-            "split_batch_count": self.split_batch_count,
-            "callback_timeouts": self.timeout_count,
-            "inflight_wait_seconds": self.inflight_wait_seconds,
-            "seq": self.seq,
-        }
+        with self._lock:  # consistent cut across the gauge set
+            return {
+                "offset": self.offset,
+                "batch_count": self.batch_count,
+                "batch_size_mb": self.batch_size_mb,
+                "split_batch_count": self.split_batch_count,
+                "callback_timeouts": self.timeout_count,
+                "inflight_wait_seconds": self.inflight_wait_seconds,
+                "seq": self.seq,
+            }
 
 
 def _merge_snapshots(cur: dict, new: dict) -> dict:

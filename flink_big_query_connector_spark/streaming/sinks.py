@@ -31,6 +31,7 @@ split in half recursively, OUT_OF_RANGE and everything else fail the batch.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -166,7 +167,7 @@ def write_with_retry(
             if metrics is not None:
                 metrics.split_batch_count += 1
             if stream_metrics is not None:
-                stream_metrics.split_batch_count += 1
+                stream_metrics.add("split_batch_count", 1)
             n1 = write_with_retry(
                 client, table, stream, first, offset, settings,
                 trace_id, sleep, _depth + 1, metrics, stream_metrics,
@@ -500,6 +501,33 @@ class AIMDRateLimiter:
             self.limit = max(1, int(self.limit * self.decrease_factor))
 
 
+class RecordingExecutorProvider:
+    """Executor factory that leaves one marker file per submitted append
+    task — the injectable-executor seam of the reference's
+    ``sink/ExecutorProvider.java:1-9`` (wired through
+    ``BigQueryStreamSink.java:20``), whose whole purpose is letting the
+    caller substitute/observe the executor appends run on.  The marker
+    directory is the cross-process evidence channel (executors are
+    separate Python workers), the same shared-filesystem technique the
+    FakeBigQuery backend uses for scripted failures.  Picklable by
+    construction so it can ride inside ``WriterSettings`` to executors."""
+
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+
+    def __call__(self, n_workers: int):
+        marker_dir = self.marker_dir
+
+        class _Recording(ThreadPoolExecutor):
+            def submit(self, fn, /, *args, **kwargs):
+                fname = f"{uuid.uuid4().hex}.task"
+                with open(os.path.join(marker_dir, fname), "w") as f:
+                    f.write(str(os.getpid()))
+                return super().submit(fn, *args, **kwargs)
+
+        return _Recording(max_workers=n_workers)
+
+
 class AsyncSink:
     """At-least-once with bounded async in-flight appends.
 
@@ -550,7 +578,14 @@ class AsyncSink:
                 if registry is not None
                 else None
             )
-            with ThreadPoolExecutor(max_workers=max(threads, max_inflight)) as pool:
+            n_workers = max(threads, max_inflight)
+            # ExecutorProvider parity (sink/ExecutorProvider.java:1-9 via
+            # BigQueryStreamSink.java:20): the caller-supplied factory
+            # owns the append executor; default is the sink's own pool.
+            make_pool = settings.executor_provider or (
+                lambda n: ThreadPoolExecutor(max_workers=n)
+            )
+            with make_pool(n_workers) as pool:
                 for chunk in chunk_rows((r[0] for r in rows_iter), trigger):
                     # inflight_wait_seconds (reference
                     # BigQuerySinkWriter.java:72-78): cumulative time this
@@ -558,7 +593,7 @@ class AsyncSink:
                     t0 = time.monotonic()
                     sem.acquire()
                     if sm is not None:
-                        sm.inflight_wait_seconds += time.monotonic() - t0
+                        sm.add("inflight_wait_seconds", time.monotonic() - t0)
 
                     def task(c=chunk):
                         try:
@@ -582,7 +617,7 @@ class AsyncSink:
                         if metrics is not None:
                             metrics.callback_timeouts += 1
                         if sm is not None:
-                            sm.timeout_count += 1
+                            sm.add("timeout_count", 1)
                             registry.publish(sm)
                         raise
             if registry is not None:

@@ -323,9 +323,12 @@ def keyed_offset_assignment_native_tws(
         def close(self) -> None:
             pass
 
+    # Spark only honors state TTL under processing-time mode: with
+    # timeMode="None" the ValueState registration with ttlDurationMs
+    # raises at first use, so the advertised 7-day expiry never ran.
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=OffsetAssigner(),
         outputStructType=f"{key_col} long, base_offset long, n long",
         outputMode="append",
-        timeMode="None",
+        timeMode="ProcessingTime",
     )

@@ -140,3 +140,59 @@ def test_native_tws_gate_or_equivalence(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, native.collect())) == sorted(
         map(tuple, classic.collect())
     )
+
+
+def test_native_tws_ttl_evicts_idle_key(spark, sf_dir, tmp_path):
+    """Native-path TTL contract (reference: 7-day stream expiry,
+    process/StreamStateHandler.java:33): an idle key's (stream, offset)
+    ValueState entry is evicted by the state store after ttl_ms of
+    processing time, so the key's NEXT record opens a FRESH stream at
+    base offset 0 instead of continuing the old one.  Gated on the
+    worker protobuf stack — skips where transformWithStateInPandas
+    cannot run, executes wherever it can (TTL requires
+    timeMode='ProcessingTime'; with timeMode='None' the registration
+    itself raises, which this test would catch immediately)."""
+    import time
+
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        _pytest.skip("google.protobuf absent: native TWS runner cannot run")
+
+    import os
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _run_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(7, 1)], "user_id long, event_id long"
+    ).write.parquet(f"{src}/c0")
+
+    def run_once():
+        ev = (
+            spark.readStream.schema("user_id long, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return _run_to_table(
+            ss.keyed_offset_assignment_native_tws(
+                ev, "user_id", str(tmp_path / "bq"), "p.d.t", ttl_ms=500
+            ),
+            "append",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+
+    first = {(r["user_id"], r["base_offset"], r["n"]) for r in run_once().collect()}
+    assert first == {(7, 0, 1)}
+    time.sleep(1.5)  # > ttl_ms of processing time while the key is idle
+    spark.createDataFrame(
+        [(7, 2)], "user_id long, event_id long"
+    ).write.parquet(f"{src}/c1")
+    second = {(r["user_id"], r["base_offset"], r["n"]) for r in run_once().collect()}
+    # evicted entry -> fresh stream -> base offset restarts at 0
+    assert (7, 0, 1) in second
