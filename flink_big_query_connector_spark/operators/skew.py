@@ -61,3 +61,68 @@ def salted_agg(
     return partial.groupBy(key_col).agg(
         *[merge.alias(name) for name, (_, merge) in agg_exprs.items()]
     )
+
+
+def block_size_profile(df: DataFrame, block_cols: list[str]) -> DataFrame:
+    """log2 histogram of per-block row counts — the b04_skew_profile
+    shape applied to a blocked join's block key.  The cheap pre-flight
+    that decides whether :func:`capped_blocked_join` needs a lower cap
+    (or a longer blocking prefix) before the quadratic verify runs."""
+    counts = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(
+        (F.length(F.bin("c")) - 1).cast("long").alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_block_rows"),
+    )
+
+
+def capped_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    right_hash_cols: list[str] | None = None,
+    cap: int = 10_000,
+) -> DataFrame:
+    """Inner equi-join on ``block_cols`` with a per-block SIZE CAP: any
+    block whose right side exceeds ``cap`` rows is salted into
+    ceil(n/cap) deterministic slices — right rows hash into a slice,
+    left rows replicate across the block's slices — so one adversarial
+    hot block (a degenerate blocking key) can no longer pin a whole
+    quadratic verify onto a single task.  The pair set is EXACTLY the
+    plain blocked join's (every left row still meets every right row of
+    its block); only the task granularity changes: per-task pair count
+    is bounded by |left_b| x cap instead of |left_b| x |right_b|.
+
+    No driver-side collect anywhere: block sizes are a tiny one-row-per-
+    block aggregate joined back on the block key (co-partitioned with
+    the main join, broadcast by AQE when small).  Blocks at or under the
+    cap get exactly one slice — zero replication, the plain join.
+
+    Caller contract: non-block column names must be disjoint between the
+    two sides; ``right_hash_cols`` (default: all right columns) feeds
+    the deterministic slice hash."""
+    sizes = right.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    sizes = sizes.select(
+        *block_cols,
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_bn") / F.lit(cap))
+        ).cast("int").alias("_slices"),
+    )
+    hash_cols = right_hash_cols or [
+        c for c in right.columns if c not in block_cols
+    ]
+    r = right.join(sizes, block_cols).withColumn(
+        "_slice",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in hash_cols]), F.col("_slices")
+        ).cast("int"),
+    ).drop("_slices")
+    sliced_left = left.join(sizes, block_cols).withColumn(
+        "_slice",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("_slices") - 1).cast("int"))
+        ),
+    ).drop("_slices")
+    return sliced_left.join(r, [*block_cols, "_slice"]).drop("_slice")

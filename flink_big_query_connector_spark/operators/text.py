@@ -564,7 +564,15 @@ def bpe_merge_expr(s: Column, a: str, b: str) -> Column:
 def bpe_top_pair(sym_df: DataFrame) -> tuple[str, str]:
     """The corpus-wide most frequent adjacent symbol pair (ties: lower
     (a, b) lexicographically) — one distributed count + a 2-string
-    collect (the collect IS this iteration's model update)."""
+    collect (the collect IS this iteration's model update).
+
+    Scale note: strict BPE is inherently sequential — every merge
+    changes the pair counts the next merge ranks on — so exact training
+    costs ONE distributed count job per merge; a production 32k-merge
+    vocab would be 32k Spark jobs.  That is a TRAINING-side cost on a
+    sampled corpus, not a corpus-processing cost; for full-vocab
+    training at scale use :func:`bpe_train_batched`, which applies K
+    symbol-disjoint candidates per count."""
     syms = bpe_symbols_expr(F.col("s"))
     n = F.size(syms)
     head = F.slice(syms, 1, F.greatest(n - 1, F.lit(0)))
@@ -601,3 +609,73 @@ def sql_bpe_merge(s_expr: str, a_expr: str, b_expr: str) -> str:
         f"AND x = {b_expr} THEN acc||x "
         f"ELSE acc||chr(1)||x END)"
     )
+
+
+def bpe_top_pairs(sym_df: DataFrame, k: int) -> list[tuple[str, str]]:
+    """Top-K candidate merges for BATCHED BPE training: the K most
+    frequent adjacent pairs whose symbols are pairwise DISJOINT, picked
+    greedily from the count ranking (ties: lower (a, b)).  Disjointness
+    makes the chained one-pass application well defined — no pair can
+    consume or produce a symbol another pair in the batch matches on.
+
+    This is the standard large-scale BPE approximation: strict BPE
+    re-counts after every merge (the merge IS sequential), so exact
+    training costs one distributed count per merge — a 32k-merge vocab
+    is 32k Spark jobs.  Batching applies K merges per count at the cost
+    of using slightly stale ranks for merges 2..K of each batch; corpus
+    statistics dominate at scale, so the learned vocab is near-identical
+    while the job count drops by Kx.  Exact single-pair training
+    (:func:`bpe_top_pair`) remains the oracle-checked reference path."""
+    syms = bpe_symbols_expr(F.col("s"))
+    n = F.size(syms)
+    head = F.slice(syms, 1, F.greatest(n - 1, F.lit(0)))
+    tail = F.slice(syms, 2, F.greatest(n - 1, F.lit(0)))
+    ranked = (
+        sym_df.select(
+            F.explode(
+                F.zip_with(
+                    head, tail, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(8 * k)  # candidate pool; the greedy filter thins it
+        .collect()
+    )
+    out: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for r in ranked:
+        if len(out) == k:
+            break
+        if r.a in used or r.b in used or (r.a + r.b) in used:
+            continue
+        out.append((r.a, r.b))
+        used.update({r.a, r.b, r.a + r.b})
+    return out
+
+
+def bpe_train_batched(
+    sym_df: DataFrame, n_merges: int, batch_k: int = 8
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Train ``n_merges`` BPE merges in ceil(n/k) distributed counts
+    instead of n: each round collects :func:`bpe_top_pairs` (a KB-sized
+    model update, like the IVF centroid collect) and applies the whole
+    batch as ONE chained fold pass — expression composition keeps the
+    application a single zero-shuffle map stage, the same shape
+    ``llm_bpe_encode`` uses for its pretrained 8-merge chain.  Returns
+    (final symbol frame, learned merge list)."""
+    merges: list[tuple[str, str]] = []
+    cur = sym_df
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        batch = bpe_top_pairs(cur, k)
+        if not batch:
+            break
+        col = F.col("s")
+        for a, b in batch:
+            col = bpe_merge_expr(col, a, b)
+        cur = cur.select("doc_id", col.alias("s"))
+        merges.extend(batch)
+    return cur, merges

@@ -3137,8 +3137,16 @@ def b14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is confined to tiny buckets instead of |dirty| x |clean|.  At
     100 TB the dictionaries join as any equi-join on the block key
     (shuffle or broadcast), and block sizing (longer prefixes, q-gram
-    blocking) is the recall/cost knob.  ASCII-only corruption keeps the
+    blocking) is the recall/cost knob.  The block join runs through
+    operators/skew.py::capped_blocked_join, so a degenerate blocking key
+    (every name sharing one prefix) salts into bounded slices instead of
+    pinning the whole quadratic verify on one task; the documented
+    pre-flight is block_size_profile on the same key (the
+    b04_skew_profile rule: a long tail in the top log2 buckets = lower
+    the cap or lengthen the prefix).  ASCII-only corruption keeps the
     char-vs-byte levenshtein caveat (see b14_levenshtein) inert."""
+    from ..operators.skew import capped_blocked_join
+
     t = load_tables(spark, sf_dir)
     names = t["part"].select("p_name").distinct()
     dirty = names.select(
@@ -3147,13 +3155,11 @@ def b14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.expr("substring(p_name, 5)"), "e", "3"),
         ).alias("dirty_name")
     )
-    blocked = dirty.join(
-        names,
-        (F.substring("dirty_name", 1, 4) == F.substring("p_name", 1, 4))
-        & (
-            F.abs(F.length("dirty_name") - F.length("p_name")) <= 2
-        ),
-    )
+    blocked = capped_blocked_join(
+        dirty.withColumn("_blk", F.substring("dirty_name", 1, 4)),
+        names.withColumn("_blk", F.substring("p_name", 1, 4)),
+        ["_blk"],
+    ).filter(F.abs(F.length("dirty_name") - F.length("p_name")) <= 2)
     return (
         blocked.withColumn(
             "dist", F.levenshtein("dirty_name", "p_name").cast("long")

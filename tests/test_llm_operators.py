@@ -1064,3 +1064,37 @@ def test_bpe_pretrained_chain_matches_python_greedy_randomized(spark):
         for a, b in _BPE_PRETRAINED_MERGES:
             expect = py_merge(expect, a, b)
         assert got[i] == expect, (i, toks, got[i], expect)
+
+
+def test_bpe_train_batched_matches_sequential_and_cuts_jobs(spark):
+    """Batched BPE training (bpe_train_batched): top-K symbol-disjoint
+    candidates per distributed count, applied as ONE chained fold pass.
+    On a corpus whose top pairs are independent, the batch must learn
+    the SAME merges as strict sequential training and produce identical
+    symbol strings — while ranking pairs half as many times."""
+    from flink_big_query_connector_spark.operators import text
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa bb cc"), (3, "aa cc bb")],
+        "doc_id long, text string",
+    )
+    toks = text.tokens_expr(F.col("text"))
+    s0 = docs.select("doc_id", text.bpe_initial_expr(toks).alias("s"))
+
+    # sequential reference: two exact argmax merges
+    a1, b1 = text.bpe_top_pair(s0)
+    s1 = s0.select("doc_id", text.bpe_merge_expr(F.col("s"), a1, b1).alias("s"))
+    a2, b2 = text.bpe_top_pair(s1)
+    s2 = s1.select("doc_id", text.bpe_merge_expr(F.col("s"), a2, b2).alias("s"))
+
+    # batched: one count, both merges (disjoint symbols) in one pass
+    sb, merges = text.bpe_train_batched(s0, n_merges=2, batch_k=2)
+    assert merges == [(a1, b1), (a2, b2)]
+    assert sorted(map(tuple, sb.collect())) == sorted(map(tuple, s2.collect()))
+
+    # disjointness guard: overlapping runner-up pairs are skipped
+    pairs = text.bpe_top_pairs(s0, 2)
+    syms = [s for p in pairs for s in (p[0], p[1], p[0] + p[1])]
+    assert len(syms) == len(set(syms))
