@@ -33,6 +33,25 @@ class SchemaTools:
     def get_table_schema(self, name: str) -> StructType:
         return self.spark.table(name).schema
 
+    def get_table(self, name: str) -> dict | None:
+        """Full catalog metadata for a table, or None when absent — the
+        ``getTable`` accessor (``SchemaTools.java:72-74``, which returns
+        the client's Table object or null).  Spark-side the table's
+        metadata object is the catalog entry: name/catalog/namespace,
+        type (MANAGED/EXTERNAL/VIEW), description, and the live schema."""
+        if not self.exists(name):
+            return None
+        t = self.spark.catalog.getTable(name)
+        return {
+            "name": t.name,
+            "catalog": t.catalog,
+            "namespace": list(t.namespace or []),
+            "description": t.description,
+            "table_type": t.tableType,
+            "is_temporary": t.isTemporary,
+            "schema": self.get_table_schema(name),
+        }
+
     def list_tables(self, database: str | None = None) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables(database)]
 
