@@ -113,6 +113,13 @@ def capped_blocked_join(
     hash_cols = right_hash_cols or [
         c for c in right.columns if c not in block_cols
     ]
+    # A right side carrying ONLY the block columns would derive an empty
+    # hash list, and zero-arg xxhash64 fails at plan time with an opaque
+    # analyzer error.  Fall back to hashing the block columns: every row
+    # of a hot block then lands in slice pmod(h, s) — legal (the pair set
+    # is slice-invariant) though it no longer spreads that block's rows.
+    if not hash_cols:
+        hash_cols = list(block_cols)
     r = right.join(sizes, block_cols).withColumn(
         "_slice",
         F.pmod(

@@ -665,14 +665,33 @@ def bpe_train_batched(
     batch as ONE chained fold pass — expression composition keeps the
     application a single zero-shuffle map stage, the same shape
     ``llm_bpe_encode`` uses for its pretrained 8-merge chain.  Returns
-    (final symbol frame, learned merge list)."""
+    (final symbol frame, learned merge list).
+
+    The merge list MAY be shorter than ``n_merges``: when the corpus
+    runs out of adjacent pairs, training stops and a ``UserWarning``
+    says so.  Overlap-thinning of a round's candidate pool can shrink a
+    batch but never to zero while any pair remains (the greedy filter
+    always accepts the first ranked candidate); an empty batch is
+    re-probed with the exact top-1 counter before exhaustion is
+    declared, so early stop is never a pool artifact."""
+    import warnings
+
     merges: list[tuple[str, str]] = []
     cur = sym_df
     while len(merges) < n_merges:
         k = min(batch_k, n_merges - len(merges))
         batch = bpe_top_pairs(cur, k)
         if not batch:
-            break
+            exact = bpe_top_pair(cur)
+            if exact == ("", ""):
+                warnings.warn(
+                    f"bpe_train_batched: corpus has no adjacent pairs "
+                    f"left after {len(merges)} merges "
+                    f"(requested {n_merges}); returning the short list",
+                    stacklevel=2,
+                )
+                break
+            batch = [exact]
         col = F.col("s")
         for a, b in batch:
             col = bpe_merge_expr(col, a, b)

@@ -39,11 +39,24 @@ class BucketedKeyedState:
     def bucket_expr(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
 
+    #: Reserved manifest key recording the last merged batch id.  Kept in
+    #: the same JSON document as the bucket map so both advance in the one
+    #: atomic ``os.replace`` — deriving it from surviving bucket paths is
+    #: NOT safe: a batch whose touched buckets all merge to empty deletes
+    #: its entries, and a re-delivered copy would then pass the
+    #: ``batch_id <= last_batch()`` replay guard.
+    _LAST_BATCH_KEY = "__last_batch"
+
     def _manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return json.load(f)
         return {}
+
+    def _bucket_paths(self, manifest: dict) -> dict:
+        return {
+            k: v for k, v in manifest.items() if k != self._LAST_BATCH_KEY
+        }
 
     def touched_buckets(self, df: DataFrame) -> list[int]:
         """Distinct bucket ids present in ``df`` — the ONLY driver-side
@@ -60,7 +73,7 @@ class BucketedKeyedState:
     def read_buckets(self, spark, buckets: list[int]) -> DataFrame:
         """Current state rows of the given buckets (empty frame if none
         were ever written)."""
-        manifest = self._manifest()
+        manifest = self._bucket_paths(self._manifest())
         paths = [
             manifest[str(b)] for b in buckets if str(b) in manifest
         ]
@@ -100,20 +113,30 @@ class BucketedKeyedState:
                 manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
             else:
                 manifest.pop(str(b), None)
+        manifest[self._LAST_BATCH_KEY] = max(
+            batch_id, manifest.get(self._LAST_BATCH_KEY, -1)
+        )
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self.manifest_path)
 
     def last_batch(self) -> int:
-        """Largest batch id the manifest points at, or -1 if never
+        """Last batch id merged into the manifest, or -1 if never
         written.  Because the manifest advance is the final atomic step
         of :meth:`write_buckets`'s callers, ``batch_id <= last_batch()``
         identifies a RE-DELIVERED micro-batch after checkpoint recovery:
         non-idempotent merges (running totals, interval stitching) must
-        no-op instead of re-applying the batch."""
+        no-op instead of re-applying the batch.  Read from the explicit
+        ``__last_batch`` manifest field (with a legacy fallback to the
+        largest version directory a bucket path points at, for manifests
+        written before the field existed)."""
+        manifest = self._manifest()
+        recorded = manifest.get(self._LAST_BATCH_KEY)
+        if recorded is not None:
+            return int(recorded)
         versions = [-1]
-        for path in self._manifest().values():
+        for path in self._bucket_paths(manifest).values():
             name = os.path.basename(os.path.dirname(path))
             if name.startswith("v"):
                 try:
@@ -123,7 +146,7 @@ class BucketedKeyedState:
         return max(versions)
 
     def read_all(self, spark) -> DataFrame:
-        manifest = self._manifest()
+        manifest = self._bucket_paths(self._manifest())
         if not manifest:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*manifest.values())

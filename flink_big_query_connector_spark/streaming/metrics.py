@@ -42,6 +42,19 @@ class SinkMetrics:
     retry_count: object = None
     callback_timeouts: object = None
 
+    # PySpark Accumulator.add is a plain read-modify-write on the local
+    # value, so increments from AsyncSink's concurrent pool tasks race
+    # exactly like the StreamMetrics gauges did.  Class-level (not a
+    # field) so instances stay picklable; one process-wide lock is fine —
+    # these are driver-thread increments, not a hot executor path.
+    _add_lock = threading.Lock()
+
+    def add(self, counter: str, delta=1) -> None:
+        """Synchronized accumulator increment — the ONLY way threaded
+        sink paths may bump these counters."""
+        with SinkMetrics._add_lock:
+            getattr(self, counter).add(delta)
+
     @classmethod
     def create(cls, spark: SparkSession) -> "SinkMetrics":
         sc = spark.sparkContext

@@ -147,8 +147,8 @@ def write_with_retry(
         try:
             client.append(table, stream, rows, offset)
             if metrics is not None:
-                metrics.batch_count += 1
-                metrics.append_rows += len(rows)
+                metrics.add("batch_count")
+                metrics.add("append_rows", len(rows))
             if stream_metrics is not None:
                 stream_metrics.record_append(
                     len(rows), sum(json_size_of(r) for r in rows), offset
@@ -165,7 +165,7 @@ def write_with_retry(
             mid = len(rows) // 2
             first, second = rows[:mid], rows[mid:]
             if metrics is not None:
-                metrics.split_batch_count += 1
+                metrics.add("split_batch_count")
             if stream_metrics is not None:
                 stream_metrics.add("split_batch_count", 1)
             n1 = write_with_retry(
@@ -198,7 +198,7 @@ def write_with_retry(
                 if on_retryable is not None:
                     on_retryable()
                 if metrics is not None:
-                    metrics.retry_count += 1
+                    metrics.add("retry_count")
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -210,7 +210,7 @@ def write_with_retry(
                 if on_retryable is not None:
                     on_retryable()
                 if metrics is not None:
-                    metrics.retry_count += 1
+                    metrics.add("retry_count")
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -225,7 +225,7 @@ def write_with_retry(
                 if on_retryable is not None:
                     on_retryable()
                 if metrics is not None:
-                    metrics.retry_count += 1
+                    metrics.add("retry_count")
                 if attempt > settings.retry_count:
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
@@ -615,7 +615,7 @@ class AsyncSink:
                         )
                     except FuturesTimeoutError:
                         if metrics is not None:
-                            metrics.callback_timeouts += 1
+                            metrics.add("callback_timeouts")
                         if sm is not None:
                             sm.add("timeout_count", 1)
                             registry.publish(sm)
