@@ -657,7 +657,10 @@ def bpe_top_pairs(sym_df: DataFrame, k: int) -> list[tuple[str, str]]:
 
 
 def bpe_train_batched(
-    sym_df: DataFrame, n_merges: int, batch_k: int = 8
+    sym_df: DataFrame,
+    n_merges: int,
+    batch_k: int = 8,
+    max_rounds: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, str]]]:
     """Train ``n_merges`` BPE merges in ceil(n/k) distributed counts
     instead of n: each round collects :func:`bpe_top_pairs` (a KB-sized
@@ -673,12 +676,23 @@ def bpe_train_batched(
     batch but never to zero while any pair remains (the greedy filter
     always accepts the first ranked candidate); an empty batch is
     re-probed with the exact top-1 counter before exhaustion is
-    declared, so early stop is never a pool artifact."""
+    declared, so early stop is never a pool artifact.
+
+    ``max_rounds`` bounds the number of DISTRIBUTED COUNT rounds (the
+    expensive side of training) rather than the merge count: with
+    ``max_rounds=R`` the job graph has a fixed shape — exactly R pair
+    counts, each applying up to ``batch_k`` merges — which also makes
+    the computation expressible as a fixed unrolled SQL oracle
+    (``llm_bpe_train_batched``)."""
     import warnings
 
     merges: list[tuple[str, str]] = []
     cur = sym_df
-    while len(merges) < n_merges:
+    rounds = 0
+    while len(merges) < n_merges and (
+        max_rounds is None or rounds < max_rounds
+    ):
+        rounds += 1
         k = min(batch_k, n_merges - len(merges))
         batch = bpe_top_pairs(cur, k)
         if not batch:

@@ -1671,6 +1671,11 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TS_DAYS = 31  # events span 2024-01-01 .. 2024-01-31
+# Hard cap on the broadcast query side of b28_timeseries_similarity —
+# far above the 5 query users the predicate selects at every test scale
+# (so it never drops rows there), but small enough that the broadcast
+# stays KB-sized even if the query predicate is ever loosened.
+_TS_MAX_QUERIES = 64
 
 
 @register(
@@ -1765,8 +1770,16 @@ def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arr", lambda x: (x - F.col("mu")) / F.sqrt(var)
         ).alias("z"),
     )
+    # BROADCAST CONTRACT (mirrors operators/similarity.py's exact-ANN
+    # bound): the query side must stay driver/executor-memory sized —
+    # the crossJoin below is a BroadcastNestedLoopJoin whose cost is
+    # |corpus| x |queries|.  The predicate keeps it tiny here, but the
+    # limit makes the bound STRUCTURAL rather than an assumption about
+    # the predicate's selectivity: at most _TS_MAX_QUERIES z-vectors
+    # (~31 doubles each) are ever broadcast, whatever the filter says.
     q = F.broadcast(
         norm.filter(F.col("user_id") < 5)
+        .limit(_TS_MAX_QUERIES)
         .select(F.col("user_id").alias("query_user"), F.col("z").alias("qz"))
     )
     c = norm.select(F.col("user_id").alias("cand_user"), F.col("z").alias("cz"))
@@ -3349,6 +3362,104 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("s").alias("sym_hash"),
         F.lit(a1 + " " + b1).alias("merge1"),
         F.lit(a2 + " " + b2).alias("merge2"),
+    )
+
+
+# The batched trainer's greedy candidate filter, as an oracle predicate:
+# a pool pair survives iff neither symbol nor its concatenation collides
+# with the already-accepted merge (operators/text.py::bpe_top_pairs).
+_BPE_DISJOINT = (
+    "p.a NOT IN (m1.a, m1.b, m1.a || m1.b) "
+    "AND p.b NOT IN (m1.a, m1.b, m1.a || m1.b) "
+    "AND (p.a || p.b) NOT IN (m1.a, m1.b, m1.a || m1.b)"
+)
+
+_BPE_MERGE_FMT = "CASE WHEN a = '' AND b = '' THEN '' ELSE a || ' ' || b END"
+
+
+@register(
+    "llm_bpe_train_batched",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(COALESCE(text, ''), '\\S+')
+                              AS toks
+                   FROM documents),
+        s0 AS (SELECT doc_id,
+                      CASE WHEN len(toks) > 0
+                           THEN chr(1) || array_to_string(toks, chr(1))
+                           ELSE '' END AS s
+               FROM t),
+        pool AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, COUNT(*) AS c
+          FROM (SELECT {text.sql_bpe_symbols('s')} AS syms FROM s0) x,
+               UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2
+          ORDER BY c DESC, a, b
+          LIMIT 16
+        ),
+        m1 AS (
+          (SELECT a, b FROM pool ORDER BY c DESC, a, b LIMIT 1)
+          UNION ALL
+          SELECT * FROM (VALUES ('', '')) fb(a, b)
+          WHERE NOT EXISTS (SELECT 1 FROM pool)
+        ),
+        m2 AS (
+          (SELECT p.a, p.b FROM pool p CROSS JOIN m1
+           WHERE {_BPE_DISJOINT}
+           ORDER BY p.c DESC, p.a, p.b LIMIT 1)
+          UNION ALL
+          SELECT * FROM (VALUES ('', '')) fb(a, b)
+          WHERE NOT EXISTS (SELECT 1 FROM pool p CROSS JOIN m1
+                            WHERE {_BPE_DISJOINT})
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 {text.sql_bpe_merge(
+                     text.sql_bpe_merge('s', 'm1.a', 'm1.b'),
+                     'm2.a', 'm2.b')} AS s
+          FROM s0 CROSS JOIN m1 CROSS JOIN m2
+        )
+        SELECT doc_id,
+               CAST(len({text.sql_bpe_symbols('s')}) AS BIGINT) AS n_symbols,
+               md5(s) AS sym_hash,
+               (SELECT {_BPE_MERGE_FMT} FROM m1) AS merge1,
+               (SELECT {_BPE_MERGE_FMT} FROM m2) AS merge2
+        FROM s1
+    """,
+    tags=("text", "tokenizer"),
+)
+def llm_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (operators/text.py::bpe_train_batched): ONE
+    distributed pair count applies up to K=2 symbol-disjoint merges as a
+    single chained zero-shuffle fold pass — the Kx job-count reduction
+    that makes full-vocab training feasible at scale (a 32k-merge vocab
+    drops from 32k Spark jobs to 32k/K; reference-spirit: the
+    BatchTrigger principle of A1 applied to model updates).
+
+    ``max_rounds=1`` pins the job-graph shape, so the unrolled oracle is
+    EXACTLY equivalent on any input: both sides rank pairs by (count
+    desc, pair asc), keep the same 8*K=16-candidate pool, accept the
+    top pair, then the best pool pair disjoint from it (''-pair no-op
+    when none), and apply both merges sequentially in one pass."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.coalesce(F.col("text"), F.lit("")))
+    s0 = t["documents"].select(
+        "doc_id", text.bpe_initial_expr(toks).alias("s")
+    )
+    s1, merges = text.bpe_train_batched(
+        s0, n_merges=2, batch_k=2, max_rounds=1
+    )
+
+    def fmt(i: int) -> str:
+        return " ".join(merges[i]) if i < len(merges) else ""
+
+    syms = text.bpe_symbols_expr(F.col("s"))
+    return s1.select(
+        "doc_id",
+        F.size(syms).cast("long").alias("n_symbols"),
+        F.md5("s").alias("sym_hash"),
+        F.lit(fmt(0)).alias("merge1"),
+        F.lit(fmt(1)).alias("merge2"),
     )
 
 

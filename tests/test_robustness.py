@@ -65,7 +65,7 @@ BATCH_SWEEP = [
     "b11_ratio_to_report",
     "b13_setops_all",
     "b01_schema_evolution_read",
-    "llm_bpe_train",
+    "llm_bpe_train", "llm_bpe_train_batched",
     "llm_dedup_incremental",
     "llm_ann_pq_encode",
     "b16_rolling_zscore",
@@ -245,7 +245,7 @@ NULL_SWEEP = [
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
     "llm_multimodal_segments", "llm_corpus_shard",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
-    "llm_bpe_train", "b17_explode_outer", "llm_dedup_incremental",
+    "llm_bpe_train", "llm_bpe_train_batched", "b17_explode_outer", "llm_dedup_incremental",
     "b16_rolling_zscore", "llm_multimodal_phash_dedup",
     # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
     # distinction: an upsert whose value is NULL must survive as a
@@ -490,7 +490,7 @@ UNICODE_SWEEP = [
     "llm_text_inverted_index", "llm_text_bigram_lm", "llm_text_logprob",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
     "llm_dedup_ngram_jaccard", "llm_dedup_spans", "llm_dedup_span_removal",
-    "llm_bpe_train", "llm_bpe_encode", "llm_bpe_fertility",
+    "llm_bpe_train", "llm_bpe_train_batched", "llm_bpe_encode", "llm_bpe_fertility",
     "llm_doc_chunking", "llm_pack_sequences", "llm_quality_classifier",
     "llm_quality_percentile", "llm_vocab_coverage", "llm_batch_by_length",
     "llm_multimodal_meta", "llm_corpus_shard", "llm_text_quality_filter",

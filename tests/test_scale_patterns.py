@@ -646,3 +646,93 @@ def test_fuzzy_join_block_plan_has_no_single_task_funnel(spark):
     plan = _plan(REGISTRY["b14_fuzzy_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_timeseries_similarity_broadcasts_bounded_query_side(spark):
+    """b28_timeseries_similarity crossJoins the candidate corpus against
+    the query users: the plan must broadcast the QUERY side (the corpus
+    never reshuffles) and the query side must carry the structural
+    _TS_MAX_QUERIES limit, so the broadcast stays KB-sized even if the
+    query predicate is loosened."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.plans.llm_ops import _TS_MAX_QUERIES
+
+    df = REGISTRY["b28_timeseries_similarity"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the limit survives into the physical plan on the broadcast side
+    assert f"GlobalLimit {_TS_MAX_QUERIES}" in plan or (
+        f"Limit {_TS_MAX_QUERIES}" in plan
+    )
+
+
+def test_capped_fuzzy_join_bounds_per_task_pairs_at_scale(spark):
+    """sf0.1-sized adversarial skew: ONE block holds 20% of a 50k-row
+    corpus.  The uncapped blocked join would evaluate all 20M hot-block
+    pairs in a single task; capped_blocked_join must spread them so the
+    MEASURED per-task pair count (spark_partition_id on the join output,
+    AQE coalescing off so partitions = tasks) stays within a small
+    multiple of |left_block| x cap.  The pair SET is proven unchanged by
+    a full-column checksum, not row collection."""
+    from flink_big_query_connector_spark.operators.skew import (
+        capped_blocked_join,
+    )
+
+    cap = 200
+    n_right, n_hot_right, n_hot_left = 50_000, 10_000, 2_000
+    blk = (
+        F.when(F.col("id") < n_hot_right, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 400).cast("string")))
+    )
+    right = spark.range(n_right).select(
+        blk.alias("blk"), F.concat(F.lit("r"), F.col("id")).alias("rval")
+    )
+    left = spark.range(n_hot_left + 2_000).select(
+        F.when(F.col("id") < n_hot_left, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 400).cast("string")))
+        .alias("blk"),
+        F.concat(F.lit("l"), F.col("id")).alias("lval"),
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "64",
+        # at 100 TB neither side broadcasts: force the (blk, _slice)
+        # shuffle join this test is measuring (a broadcast of the 50k-row
+        # right side would execute the join over the left's INPUT
+        # partitioning and put every hot pair in one task)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        capped = capped_blocked_join(left, right, ["blk"], cap=cap)
+        per_task = (
+            capped.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+            .collect()[0]
+        )
+        hot_pairs = n_hot_left * n_hot_right  # 20M: the uncapped funnel
+        assert per_task["total"] >= hot_pairs
+        # bound: |left_hot| x cap per slice; x5 slack covers xxhash slice
+        # imbalance plus slice->partition collisions (deterministic here:
+        # 4 of the 50 slices hash into one of the 64 partitions, measured
+        # max task 1.62M pairs).  Still >12x below the single-task funnel.
+        assert per_task["mx"] <= n_hot_left * cap * 5
+        assert per_task["mx"] < hot_pairs // 5
+
+        # pair-set equality vs the plain blocked join, checksum-only
+        def checksum(df):
+            return df.agg(
+                F.sum(F.xxhash64("blk", "lval", "rval").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        assert checksum(capped) == checksum(left.join(right, "blk"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -34,6 +34,9 @@ DEFAULT_QUERIES = [
     "llm_dedup_canonical_centrality",
     "llm_dedup_cluster",
     "b21_stream_three_way_join",
+    "llm_dedup_minhash_lsh",
+    "b26_dsv2_roundtrip",
+    "llm_bpe_encode",
 ]
 
 SCALES = ["0.001", "0.01", "0.1"]
