@@ -53,6 +53,13 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     )
+    # Before the JVM launches: worker processes inherit PYTHONPATH from
+    # the JVM's environment snapshot, so the bundled-protobuf shim (the
+    # native transformWithStateInPandas runner's worker dependency) must
+    # be wired up now, not at first use.
+    from .compat import enable_bundled_protobuf
+
+    enable_bundled_protobuf()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -240,13 +240,15 @@ STREAM_TTL_MS = 7 * 24 * 3600 * 1000  # reference StreamStateHandler.java:33
 def tws_runtime_available() -> bool:
     """Spark 4's ``transformWithStateInPandas`` Python runner serializes
     state through the google.protobuf runtime in the worker; without it
-    the query fails at the first state access.  Gate, don't crash."""
-    try:
-        import google.protobuf  # noqa: F401
+    the query fails at the first state access.  Gate, don't crash.
 
-        return True
-    except ImportError:
-        return False
+    ``compat.enable_bundled_protobuf`` may satisfy the dependency from a
+    publicly-installed pure-Python bundle; ``session.get_spark`` wires it
+    before the JVM starts so workers inherit the path, and this probe
+    re-checks through the same shim for sessions built elsewhere."""
+    from ..compat import enable_bundled_protobuf
+
+    return enable_bundled_protobuf()
 
 
 def keyed_offset_assignment_native_tws(
@@ -285,6 +287,16 @@ def keyed_offset_assignment_native_tws(
             "Python workers; use keyed_offset_assignment_tws instead"
         )
     ensure_package_on_executors(stream_df.sparkSession)
+    # TWS state (value states + TTL index) lives in multiple column
+    # families, which the default HDFS-backed provider rejects; RocksDB
+    # is also the store you'd run at 100 TB (memory-bounded, changelog
+    # checkpointing).  Session-level because the conf is read at query
+    # START; scoped checkpoints make this safe for coexisting queries.
+    stream_df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
 
     class OffsetAssigner(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -332,3 +344,84 @@ def keyed_offset_assignment_native_tws(
         outputMode="append",
         timeMode="ProcessingTime",
     )
+
+
+def run_native_tws_to_table(
+    df,
+    mode: str = "append",
+    checkpoint: str | None = None,
+    timeout_s: float = 180.0,
+):
+    """Run a ``timeMode='ProcessingTime'`` TWS streaming frame over a
+    FILE-REPLAY source to completion into a memory table.
+
+    ``trigger(availableNow=True)`` never terminates for these plans:
+    processing-time TTL keeps the operator's timer queue non-empty, so
+    the micro-batch engine schedules empty wake-up batches forever
+    (observed: 250+ epochs on a one-file source).  Drain detection is
+    instead explicit: under a replay source every batch consumes input
+    until the listing is exhausted, so the first COMMITTED progress
+    entry with ``numInputRows == 0`` proves the source is drained (a
+    zero-row batch 0 means the source was empty to begin with) — stop
+    there and return the settled table.
+
+    The sink is ``foreachBatch`` into a per-CALL parquet directory (the
+    memory sink cannot recover from a checkpoint): restarting from the
+    same ``checkpoint`` replays only batches committed after the
+    restart into the new call's directory, so each call returns exactly
+    the rows ITS run produced — what the restart/TTL tests diff."""
+    from ..scratch import scratch_dir
+
+    out_dir = scratch_dir("tws_out_")
+    ckpt = checkpoint or scratch_dir("ckpt_tws_")
+
+    def sink(batch_df, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    def _drained(progresses: list[dict]) -> bool:
+        # ONE zero-input batch is not drained: restarting from a
+        # checkpoint whose final empty wake-up batch never committed
+        # REPLAYS that empty batch before planning the new files (and a
+        # pending TTL timer fires an empty batch at start either way).
+        # The file source can't report availability (latestOffset is
+        # unset), so require TWO CONSECUTIVE empty batches at the SAME
+        # end offsets: every batch plan re-lists the source, so a repeat
+        # empty at an unmoved offset proves the listing is exhausted.
+        by_id: dict[int, dict] = {p["batchId"]: p for p in progresses}
+        ids = sorted(by_id)
+        for a, b in zip(ids, ids[1:]):
+            if b != a + 1:
+                continue
+            pa_, pb = by_id[a], by_id[b]
+            if pa_["numInputRows"] != 0 or pb["numInputRows"] != 0:
+                continue
+            if [s.get("endOffset") for s in pa_.get("sources", [])] == [
+                s.get("endOffset") for s in pb.get("sources", [])
+            ]:
+                return True
+        return False
+
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if _drained(q.recentProgress or []):
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"native TWS query did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    q.awaitTermination()
+    # explicit schema: a drained-empty run leaves no parquet files
+    return df.sparkSession.read.schema(df.schema).parquet(out_dir)

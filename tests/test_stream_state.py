@@ -124,7 +124,7 @@ def test_native_tws_gate_or_equivalence(spark, sf_dir, tmp_path):
     )
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
-    native = _run_to_table(
+    native = ss.run_native_tws_to_table(
         ss.keyed_offset_assignment_native_tws(
             ev, "user_id", str(tmp_path / "bq_native"), "p.d.t"
         ),
@@ -167,11 +167,15 @@ def test_native_tws_ttl_evicts_idle_key(spark, sf_dir, tmp_path):
         _run_to_table,
     )
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     src = str(tmp_path / "src")
     os.makedirs(src)
-    spark.createDataFrame(
-        [(7, 1)], "user_id long, event_id long"
-    ).write.parquet(f"{src}/c0")
+    # flat files: the file stream source lists src/*, not nested dirs
+    pq.write_table(
+        pa.table({"user_id": [7], "event_id": [1]}), f"{src}/c0.parquet"
+    )
 
     def run_once():
         ev = (
@@ -179,7 +183,7 @@ def test_native_tws_ttl_evicts_idle_key(spark, sf_dir, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        return _run_to_table(
+        return ss.run_native_tws_to_table(
             ss.keyed_offset_assignment_native_tws(
                 ev, "user_id", str(tmp_path / "bq"), "p.d.t", ttl_ms=500
             ),
@@ -190,9 +194,9 @@ def test_native_tws_ttl_evicts_idle_key(spark, sf_dir, tmp_path):
     first = {(r["user_id"], r["base_offset"], r["n"]) for r in run_once().collect()}
     assert first == {(7, 0, 1)}
     time.sleep(1.5)  # > ttl_ms of processing time while the key is idle
-    spark.createDataFrame(
-        [(7, 2)], "user_id long, event_id long"
-    ).write.parquet(f"{src}/c1")
+    pq.write_table(
+        pa.table({"user_id": [7], "event_id": [2]}), f"{src}/c1.parquet"
+    )
     second = {(r["user_id"], r["base_offset"], r["n"]) for r in run_once().collect()}
     # evicted entry -> fresh stream -> base offset restarts at 0
     assert (7, 0, 1) in second
