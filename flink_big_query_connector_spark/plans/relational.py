@@ -2117,6 +2117,59 @@ def b04_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b04_bloom_join_prune",
+    oracle="""
+        SELECT l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("join", "sketch"),
+)
+def b04_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): the fact side
+    of a fact-to-filtered-dim join is pre-filtered by a Bloom filter
+    built distributedly over the dim keys — the explicit, user-land form
+    of Spark's InjectRuntimeFilter, whose size thresholds (10 GB scans)
+    only trip at production scale and whose bloom expressions are not
+    registered for user code.
+
+    Scale shape: the build's bit_or hash aggregate is bounded at
+    BLOOM_WORDS rows per partition regardless of dim size and collects a
+    32 KB word-array model; the probe is K codegen'd bit tests against
+    that literal before the shuffle, so at 100 TB only ~matching fact
+    rows (plus the documented FP tail) pay the exchange.  False
+    positives only under-prune; the exact join behind the filter makes
+    the result IDENTICAL to the unpruned plan — which is the oracle."""
+    from ..operators.bloom import bloom_build, bloom_prune
+
+    t = load_tables(spark, sf_dir)
+    dim = t["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    words = bloom_build(dim, F.col("o_orderkey").cast("string"))
+    fact = t["lineitem"].select(
+        "l_orderkey", "l_linestatus", "l_quantity"
+    )
+    pruned = bloom_prune(
+        fact, F.col("l_orderkey").cast("string"), words
+    )
+    return (
+        pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dbl(F.sum(dec("l_quantity", 12, 2))).alias("sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
     "b04_bucketed_join",
     oracle="""
         SELECT o_orderstatus,

@@ -20,6 +20,7 @@ BATCH_SWEEP = [
     "b03_filter",
     "b04_join_broadcast",
     "b04_salted_join",
+    "b04_bloom_join_prune",
     "b05_outer_join",
     "b05_merge_upsert",
     "b06_semi_join",

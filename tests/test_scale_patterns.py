@@ -736,3 +736,90 @@ def test_capped_fuzzy_join_bounds_per_task_pairs_at_scale(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_prune_filters_before_the_join_no_extra_shuffle(spark):
+    """b04_bloom_join_prune: the K bit tests must sit on the fact scan
+    side BEFORE the join exchange (that's the whole point — only
+    ~matching rows pay the shuffle), the word array must ride as one
+    array literal, and the filter must not introduce any extra Exchange
+    beyond the join's own."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["b04_bloom_join_prune"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "shiftleft" in plan  # the bit tests survived into the plan
+    assert "CartesianProduct" not in plan
+    # shuffles: at most fact->join + dim->join + final agg exchanges;
+    # a regression that reshuffles for the bloom itself would add more
+    assert plan.count("Exchange") <= 6
+
+
+def test_bloom_filter_has_no_false_negatives_and_empty_build_prunes_all(
+    spark,
+):
+    """Every inserted key must survive the prune (false negatives would
+    silently DROP join results); an empty build side yields the all-zero
+    filter, which prunes everything — matching the empty join."""
+    from flink_big_query_connector_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.range(5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    words = bloom_build(keys, F.col("k"))
+    survivors = bloom_prune(keys, F.col("k"), words)
+    assert survivors.count() == 5000  # zero false negatives
+
+    # non-members: deterministic FP rate must stay far below 100%
+    probes = spark.range(5000, 10000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    fp = bloom_prune(probes, F.col("k"), words).count()
+    assert fp < 500  # m=2^18, n=5k, k=5 -> expected FP << 1%
+
+    empty = keys.filter("k IS NULL")
+    zero_words = bloom_build(empty, F.col("k"))
+    assert bloom_prune(keys, F.col("k"), zero_words).count() == 0
+
+
+def test_native_runtime_bloom_injection_fires_at_scale_thresholds(spark):
+    """Documents the NATIVE path b04_bloom_join_prune hand-builds: with
+    the 10 GB application-side threshold lowered to test scale, Spark's
+    own InjectRuntimeFilter plants a might_contain(bloom) filter on the
+    fact scan of the same fact-to-filtered-dim join — i.e. at 100 TB the
+    engine does this automatically, and our explicit operator matches
+    its shape for the sub-threshold / user-controlled cases."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
