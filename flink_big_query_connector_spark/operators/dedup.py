@@ -51,6 +51,11 @@ def spread(df: DataFrame) -> DataFrame:
     No-op at scale: a 100 TB table already has thousands of input splits,
     so this never adds a shuffle there.
     """
+    if df.isStreaming:
+        # micro-batch partitioning belongs to the source (.rdd would
+        # throw on a streaming frame anyway); per-batch spreads are the
+        # replay machinery's concern
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -1423,6 +1423,87 @@ def b28_stream_incremental_topk(
 
 
 @register(
+    "b28_stream_ann_ingest",
+    oracle="""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embx embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT e.vec_id,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                        c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embx e
+        )
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               MIN(vec_id) AS min_vec_id,
+               MAX(vec_id) AS max_vec_id
+        FROM assigned
+        GROUP BY cell
+        ORDER BY cell
+    """,
+    tags=("streaming", "similarity"),
+)
+def b28_stream_ann_ingest(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming ANN index maintenance: new embeddings arrive as ordered
+    chunks and each micro-batch assigns them to their IVF cell against
+    the FROZEN centroid model (a literal, exactly how a production
+    vector index applies a trained quantizer at ingest), feeding a
+    streaming per-cell aggregate — the live cell directory (vector
+    count, id range) a router consults for probe planning.
+
+    Cell assignment is stateless per record (centroids are plan
+    literals), so the streaming state is just |cells| aggregate rows;
+    the corpus is never rescanned.  Assignment determinism makes the
+    settled directory EXACTLY the batch answer — the oracle recomputes
+    it over the whole corpus in one pass.  Vector contract applies on
+    both sides (NULL embeddings never reach the assignment)."""
+    from ..operators import similarity
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    cents = similarity.fixed_centroids(corpus, "vec_id", "embedding")
+    if not cents:
+        # empty corpus: nothing ever streams; the settled directory is
+        # the empty frame (ivf_cells_with would reject an empty MODEL
+        # over a non-empty corpus, and isEmpty cannot probe a stream)
+        return spark.createDataFrame(
+            [],
+            "cell long, n_vectors long, min_vec_id long, max_vec_id long",
+        )
+    chunk_dir = _write_ordered_chunks(sf_dir, "embeddings", "vec_id", n_chunks)
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .filter(F.col("embedding").isNotNull())
+    )
+    cells = similarity.ivf_cells_with(
+        stream, "vec_id", "embedding", cents
+    )
+    agg = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        "min_vec_id",
+        "max_vec_id",
+    ).orderBy("cell")
+
+
+@register(
     "b21_stream_three_way_join",
     oracle="""
         SELECT v.user_id AS user_id,
