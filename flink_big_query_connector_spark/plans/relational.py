@@ -1572,6 +1572,80 @@ def b18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPC_M = 16384  # linear-counting bitmap bits per group
+
+
+@register(
+    "b18_linear_counting",
+    oracle=f"""
+        WITH nn AS (
+          SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+        ),
+        b AS (
+          SELECT event_type,
+                 COUNT(DISTINCT (('0x'||substr(md5('lpc:'||
+                     CAST(user_id AS VARCHAR)),1,15))::BIGINT % {_LPC_M}))
+                     AS set_bits,
+                 COUNT(DISTINCT user_id) AS true_distinct
+          FROM nn GROUP BY event_type
+        ),
+        e AS (
+          SELECT event_type, set_bits, true_distinct,
+                 CAST(set_bits AS DOUBLE) / {_LPC_M}.0 AS x
+          FROM b
+        )
+        SELECT event_type, set_bits,
+               ROUND({_LPC_M}.0 * x * (1.0 + x / 2.0 + (x * x) / 3.0
+                     + (x * x * x) / 4.0 + (x * x * x * x) / 5.0
+                     + (x * x * x * x * x) / 6.0), 6) AS est_distinct,
+               true_distinct
+        FROM e
+        ORDER BY event_type
+    """,
+    tags=("approx", "sketch"),
+)
+def b18_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probabilistic counting (Whang et al., TODS 1990) with an
+    EXACT cross-engine twin: per group, each key lights one of
+    {_LPC_M} md5-derived bitmap bits; the distinct estimate is
+    -m*ln(1 - set_bits/m), evaluated as the 6-term Mercator series so
+    both engines run the SAME correctly-rounded IEEE +,*,/ sequence
+    instead of their (libm-dependent, last-ulp-divergent) ln.
+
+    Scale shape: the build is groupBy(group, bit) with map-side partial
+    distinct — the shuffle is bounded at m rows per partition per group
+    no matter how many raw keys arrive, the classic bounded-memory
+    distinct sketch (HLL's sibling; Spark's own approx_count_distinct is
+    the b18_approx_distinct row).  The exact count rides along for the
+    acceptance comparison, as in the CMS/recall evaluations."""
+    from ..operators import hashing
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    pos = hashing.hash60_expr(
+        F.concat(F.lit("lpc:"), F.col("user_id").cast("string"))
+    ) % F.lit(_LPC_M)
+    b = ev.groupBy("event_type").agg(
+        F.count_distinct(pos.alias("p")).alias("set_bits"),
+        F.count_distinct("user_id").alias("true_distinct"),
+    )
+    x = F.col("set_bits").cast("double") / F.lit(float(_LPC_M))
+    series = (
+        F.lit(1.0)
+        + x / F.lit(2.0)
+        + (x * x) / F.lit(3.0)
+        + (x * x * x) / F.lit(4.0)
+        + (x * x * x * x) / F.lit(5.0)
+        + (x * x * x * x * x) / F.lit(6.0)
+    )
+    return b.select(
+        "event_type",
+        "set_bits",
+        F.round(F.lit(float(_LPC_M)) * x * series, 6).alias("est_distinct"),
+        "true_distinct",
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # B19 — correlated scalar subquery (TPC-H Q17 shape)
 # ---------------------------------------------------------------------------
