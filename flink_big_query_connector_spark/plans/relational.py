@@ -1646,6 +1646,125 @@ def b18_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_KMV_K = 256
+_H60_SPAN = float(1 << 60)
+
+
+@register(
+    "b18_kmv_intersection",
+    oracle=f"""
+        WITH ch AS (
+          SELECT DISTINCT ('0x'||substr(md5('kmv:'||
+                 CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        ),
+        ph AS (
+          SELECT DISTINCT ('0x'||substr(md5('kmv:'||
+                 CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        ),
+        a AS (SELECT h FROM ch ORDER BY h LIMIT {_KMV_K}),
+        b AS (SELECT h FROM ph ORDER BY h LIMIT {_KMV_K}),
+        u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+              ORDER BY h LIMIT {_KMV_K}),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM u) AS n_u,
+                 (SELECT MAX(h) FROM u) AS theta,
+                 (SELECT COUNT(*) FROM u
+                  WHERE h IN (SELECT h FROM a)
+                    AND h IN (SELECT h FROM b)) AS rho,
+                 (SELECT COUNT(*) FROM (
+                    SELECT h FROM ch UNION SELECT h FROM ph)) AS exact_union,
+                 (SELECT COUNT(*) FROM ch
+                  WHERE h IN (SELECT h FROM ph)) AS exact_intersection
+        )
+        SELECT CAST(exact_union AS BIGINT) AS exact_union,
+               CAST(exact_intersection AS BIGINT) AS exact_intersection,
+               ROUND(CASE WHEN n_u < {_KMV_K} THEN CAST(n_u AS DOUBLE)
+                     ELSE ({_KMV_K - 1}.0 * {_H60_SPAN!r})
+                          / CAST(theta AS DOUBLE) END, 6) AS est_union,
+               ROUND(CASE WHEN n_u < {_KMV_K} THEN CAST(rho AS DOUBLE)
+                     ELSE (CAST(rho AS DOUBLE) / {_KMV_K}.0)
+                          * (({_KMV_K - 1}.0 * {_H60_SPAN!r})
+                             / CAST(theta AS DOUBLE)) END, 6)
+                   AS est_intersection
+        FROM stats
+    """,
+    tags=("approx", "sketch"),
+)
+def b18_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with set-operation
+    estimation (Beyer et al., SIGMOD 2007) — the join-cardinality
+    planning primitive: the k smallest hash values of each key set are
+    a mergeable 2 KB summary; the union sketch's k-th value theta
+    estimates |A∪B| as (k-1)/(theta/2^60), and the fraction rho/k of
+    union-sketch members present in BOTH sketches scales it down to the
+    intersection.  Sets: click-users vs purchase-users.
+
+    Scale shape: each sketch is distinct-hash -> global k-smallest
+    (TakeOrdered: per-partition partial top-k, merge of k-row partials);
+    the sketches collect as models (k longs) and the estimates are
+    driver arithmetic on them — identical IEEE ops to the oracle's
+    doubles.  Below k distinct values a KMV sketch IS the exact set, and
+    both engines switch to the exact branch.  Exact union/intersection
+    ride along for acceptance."""
+    from ..operators import hashing
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    h = hashing.hash60_expr(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+    ).alias("h")
+
+    def sketch(event_type: str) -> list[int]:
+        return [
+            r["h"]
+            for r in ev.filter(F.col("event_type") == event_type)
+            .select(h)
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .collect()
+        ]
+
+    a, b = set(sketch("click")), set(sketch("purchase"))
+    u = sorted(a | b)[:_KMV_K]
+    n_u, rho = len(u), sum(1 for x in u if x in a and x in b)
+    if n_u < _KMV_K:
+        est_union, est_inter = float(n_u), float(rho)
+    else:
+        theta = u[-1]
+        est_union = ((_KMV_K - 1) * 1.0 * _H60_SPAN) / float(theta)
+        est_inter = (float(rho) / float(_KMV_K)) * est_union
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("c"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("p"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("c") == 1) & (F.col("p") == 1)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("exact_intersection"),
+        )
+    )
+    return exact.select(
+        "exact_union",
+        "exact_intersection",
+        F.round(F.lit(est_union), 6).alias("est_union"),
+        F.round(F.lit(est_inter), 6).alias("est_intersection"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B19 — correlated scalar subquery (TPC-H Q17 shape)
 # ---------------------------------------------------------------------------

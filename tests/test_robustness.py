@@ -22,6 +22,7 @@ BATCH_SWEEP = [
     "b04_salted_join",
     "b04_bloom_join_prune",
     "b18_linear_counting",
+    "b18_kmv_intersection",
     "b05_outer_join",
     "b05_merge_upsert",
     "b06_semi_join",
@@ -238,7 +239,7 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
 
 
 NULL_SWEEP = [
-    "b03_filter", "b18_linear_counting", "b08_q1_pricing_summary", "b10_snapshot_diff",
+    "b03_filter", "b18_linear_counting", "b18_kmv_intersection", "b08_q1_pricing_summary", "b10_snapshot_diff",
     "b15_gap_fill_locf", "b16_winsorized_stats", "b17_json_extract",
     "b17_bad_records", "b17_explode_tokens",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
