@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dbl, dec
-from ..sources.tables import load_tables, ts_event_time
+from ..sources.tables import load_tables, ts_event_time, ts_micros
 from ..scratch import scratch_dir
 from .registry import register
 
@@ -602,6 +602,97 @@ def b23_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(out, "append")
+
+
+@register(
+    "b23_stream_late_side_output",
+    oracle=f"""
+        WITH w0 AS (
+          SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events
+          WHERE ts < TIMESTAMP '2024-01-20'
+            AND NOT (event_id % {LATE_MOD} = 0)
+        )
+        SELECT e.event_id,
+               {_sql_bucket(_ORACLE_TS, 21600)} AS window_start,
+               'late' AS reason
+        FROM events e, w0
+        WHERE e.event_id % {LATE_MOD} = 0
+          AND e.ts < TIMESTAMP '2024-01-20'
+          AND {_sql_bucket(_ORACLE_TS, 21600)} + INTERVAL 6 HOUR <= w0.wm
+        ORDER BY event_id
+    """,
+    tags=("streaming",),
+)
+def b23_stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data SIDE OUTPUT — the Flink pattern
+    (``OutputTag``/``sideOutputLateData``) the reference ecosystem routes
+    dead letters with, on Spark: instead of silently dropping what the
+    watermark closed (``b23_stream_late_data_drop``), each micro-batch
+    routes its late rows to a dead-letter table carrying the closed
+    window and a reason tag, so an auditor can replay or backfill them.
+
+    Spark's aggregation operator never exposes the rows it drops, so the
+    router reproduces the engine's own two-phase watermark IN foreachBatch:
+    the filter watermark for batch N is max(event time through batch N-1)
+    minus the delay — the one-batch lag Spark itself applies — and a row
+    is late when its 6-hour window end is at or below it.  Integer-micros
+    arithmetic end to end; per-batch dead-letter dirs are overwrite-
+    idempotent under replay.  The oracle derives the same set from the
+    replay schedule: the withheld old rows whose window closed against
+    the on-time watermark."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, scheme="late")
+    store = scratch_dir("late_dlq_")
+    # cum_max[i] = max event time through batch i; Spark's late-event
+    # FILTER watermark lags eviction by one batch (the filter applied at
+    # batch N is max event time through batch N-2, minus the delay —
+    # see _write_chunks' late scheme note), so the router replays that
+    # exact two-batch lag.
+    state = {"cum_max": []}
+    delay_us = 3600 * _US
+    win_us = 21600 * _US
+
+    def route(batch_df, batch_id: int) -> None:
+        us = ts_micros(batch_df).alias("us")
+        rows = batch_df.select("event_id", us)
+        cum = state["cum_max"]
+        base = cum[batch_id - 2] if batch_id >= 2 else None
+        wm = base - delay_us if base is not None else None
+        if wm is not None:
+            win_start = (F.floor(F.col("us") / win_us) * win_us).cast("long")
+            late = rows.filter(
+                (win_start + F.lit(win_us)) <= F.lit(wm)
+            ).select(
+                "event_id",
+                F.timestamp_micros(win_start).alias("window_start"),
+                F.lit("late").alias("reason"),
+            )
+            late.write.mode("overwrite").parquet(
+                os.path.join(store, f"b{batch_id}")
+            )
+        hi = rows.agg(F.max("us")).collect()[0][0]
+        prev = cum[-1] if cum else None
+        cur = prev if hi is None else (hi if prev is None else max(prev, hi))
+        cum.append(cur)
+
+    ckpt = scratch_dir("ckpt_dlq_")
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import glob as _glob
+
+    dirs = _glob.glob(os.path.join(store, "b*"))
+    schema = "event_id long, window_start timestamp, reason string"
+    if not dirs:  # zero-batch replay (empty source): nothing was routed
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema).parquet(*dirs).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

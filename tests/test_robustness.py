@@ -462,7 +462,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b25_stateful_batcher", "b26_incremental_matview",
     "b26_stream_cdc_apply", "b26_stream_scd2_history",
     "b26_stream_state_offsets", "b28_stream_incremental_topk",
-    "b28_stream_ann_ingest",
+    "b28_stream_ann_ingest", "b23_stream_late_side_output",
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission",
 ]
@@ -549,7 +549,7 @@ STREAMING_EMPTY_SWEEP = [
     "b24_stream_dedup", "b25_batch_assign_count",
     "b26_incremental_matview", "b26_stream_cdc_apply",
     "b26_stream_backfill", "b28_stream_incremental_topk",
-    "b28_stream_ann_ingest",
+    "b28_stream_ann_ingest", "b23_stream_late_side_output",
     "b24_stream_decontaminate", "b25_stream_budget_admission",
 ]
 
