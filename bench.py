@@ -60,6 +60,11 @@ HEADLINE = [
     # tokenizer encode and the snapshot drift monitor
     "llm_bpe_encode",
     "llm_embedding_drift",
+    # round-7 additions (set 29 -> 32): bloom semi-join pruning, the
+    # distinct sketches, and streaming IVF ingest
+    "b04_bloom_join_prune",
+    "b18_linear_counting",
+    "b28_stream_ann_ingest",
 ]
 
 

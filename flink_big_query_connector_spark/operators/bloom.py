@@ -7,8 +7,8 @@ uses (``bloom_filter_agg`` / ``might_contain``) are not registered for
 user code, and at test scale the size thresholds never trip.  This
 module builds the SAME shape from public Catalyst primitives:
 
-- **build**: each dim key explodes into K bit positions (md5-derived
-  affine hashes, the minhash/CMS overflow discipline); positions pack
+- **build**: each dim key explodes into K bit positions (seeded
+  xxhash64 — see bloom_position_exprs for why not md5); positions pack
   into 64-bit words via a ``bit_or`` hash aggregate — the shuffle is
   bounded by BLOOM_WORDS rows per partition REGARDLESS of dim size, and
   the collected word array is a 32 KB model literal (the collect IS the
@@ -27,27 +27,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import P, hash60_expr
+from .dedup import spread
 
 BLOOM_M = 1 << 18          # filter size in bits (32 KB packed)
 BLOOM_WORDS = BLOOM_M // 64
 BLOOM_K = 5                # bit positions per key
 
-# deterministic affine-hash coefficients, same family as CMS/minhash
-BLOOM_SEEDS: list[tuple[int, int]] = [
-    (269, 104_729), (271, 94_907), (277, 87_719),
-    (281, 80_147), (283, 75_979),
-][:BLOOM_K]
-
 
 def bloom_position_exprs(key: Column) -> list[Column]:
-    """The K bit positions of ``key``: ((a_i*(H60(k) mod P)+b_i) mod P)
-    mod M.  md5 is computed once; the per-seed transforms are two
-    integer ops each (a_i < 2^10 keeps a_i*h inside 63 bits)."""
-    h = hash60_expr(key) % F.lit(P)
+    """The K bit positions of ``key``: pmod(xxhash64(i, key), M).
+
+    xxhash64, not the engine-portable md5 chain the sketch oracles use:
+    bloom positions never reach a result (the exact join behind the
+    filter is hash-agnostic), so the only requirements are determinism
+    and speed — the JVM-native hash is ~10x cheaper per row than
+    md5+conv, which dominates a 600k-row probe.  The seed rides as a
+    leading literal column, one independent hash per position."""
     return [
-        ((F.lit(a) * h + F.lit(b)) % F.lit(P)) % F.lit(BLOOM_M)
-        for a, b in BLOOM_SEEDS
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(BLOOM_M))
+        for i in range(BLOOM_K)
     ]
 
 
@@ -59,7 +57,7 @@ def bloom_build(df: DataFrame, key: Column) -> list[int]:
     driver collect is <= BLOOM_WORDS rows however large the dim side is.
     NULL keys are dropped — an equi-join never matches them anyway."""
     rows = (
-        df.filter(key.isNotNull())
+        spread(df.filter(key.isNotNull()))
         .select(F.explode(F.array(*bloom_position_exprs(key))).alias("p"))
         .select(
             F.floor(F.col("p") / 64).cast("int").alias("w"),
@@ -78,20 +76,28 @@ def bloom_build(df: DataFrame, key: Column) -> list[int]:
 def bloom_prune(df: DataFrame, key: Column, words: list[int]) -> DataFrame:
     """Keep only rows whose ``key`` MIGHT be in the filter.
 
-    The word array rides along as ONE array<long> literal column (a
-    Catalyst ``Literal`` — constant, not rebuilt per row); the K tests
-    are codegen'd integer ops.  Rows with NULL keys are dropped, same
-    as the equi-join they pre-filter.  Output columns == input columns."""
+    Stays inside whole-stage codegen: the K bit positions are flat
+    integer columns, and
+    the K tests are an unrolled AND of scalar expressions (a
+    higher-order ``forall`` here runs interpreted, ~2x slower on a wide
+    scan).  The word array is one constant-folded array literal —
+    ``element_at`` against it is a codegen'd global load, not a per-row
+    array build.  Rows with NULL keys are dropped, same as the
+    equi-join they pre-filter.  Output columns == input columns."""
     cols = df.columns
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    pos_cols = {
+        f"_bf_p{i}": p for i, p in enumerate(bloom_position_exprs(key))
+    }
+    cond = " AND ".join(
+        f"(element_at(_bf_words, cast(_bf_p{i} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast(_bf_p{i} % 64 as int))) != 0"
+        for i in range(BLOOM_K)
+    )
     return (
-        df.withColumn("_bf_words", F.lit(words))
-        .withColumn("_bf_pos", F.array(*bloom_position_exprs(key)))
-        .filter(
-            F.expr(
-                "forall(_bf_pos, p -> (element_at(_bf_words, "
-                "cast(p div 64 as int) + 1) "
-                "& shiftleft(1L, cast(p % 64 as int))) != 0)"
-            )
-        )
+        spread(df)
+        .withColumns(pos_cols)
+        .withColumn("_bf_words", F.expr(arr_sql))
+        .filter(F.expr(cond))
         .select(*cols)
     )

@@ -1031,6 +1031,53 @@ def b26_stream_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b26_stream_state_native_tws",
+    oracle="""
+        WITH per_chunk AS (
+          SELECT user_id,
+                 CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                      ELSE 2 END AS chunk,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY chunk)
+                    - n AS BIGINT) AS base_offset,
+               CAST(n AS BIGINT) AS n
+        FROM per_chunk
+    """,
+    tags=("sink", "state"),
+)
+def b26_stream_state_native_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b26_stream_state_tws on the NATIVE ``transformWithStateInPandas``
+    API — ValueState with store-managed TTL (the reference's 7-day
+    idle-stream expiry, ``process/StreamStateHandler.java:33``), RocksDB
+    state store, protobuf-serialized worker state protocol.  Offsets are
+    gapless and monotonic per key across the ordered chunks, so the
+    SAME oracle as the applyInPandasWithState twin pins both — which is
+    the equivalence the A4 port claims.  Falls back to that twin where
+    the worker protobuf stack is genuinely unavailable (identical output
+    contract either way; `compat.enable_bundled_protobuf` makes the
+    native path the one that actually runs here)."""
+    from ..streaming import stream_state as ss
+
+    load_tables(spark, sf_dir)
+    backend_root = scratch_dir("fbq_ntws_")
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    if not ss.tws_runtime_available():
+        out = ss.keyed_offset_assignment_tws(
+            ev, "user_id", backend_root, "proj.ds.events_ntws"
+        )
+        return _run_to_table(out, "append")
+    out = ss.keyed_offset_assignment_native_tws(
+        ev, "user_id", backend_root, "proj.ds.events_ntws"
+    )
+    with _stream_partitions(spark):
+        return ss.run_native_tws_to_table(out, "append")
+
+
+@register(
     "b21_stream_static_enrich",
     oracle="""
         SELECT c.c_mktsegment,

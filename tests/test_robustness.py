@@ -463,6 +463,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b26_stream_cdc_apply", "b26_stream_scd2_history",
     "b26_stream_state_offsets", "b28_stream_incremental_topk",
     "b28_stream_ann_ingest", "b23_stream_late_side_output",
+    "b26_stream_state_native_tws",
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission",
 ]
@@ -550,6 +551,7 @@ STREAMING_EMPTY_SWEEP = [
     "b26_incremental_matview", "b26_stream_cdc_apply",
     "b26_stream_backfill", "b28_stream_incremental_topk",
     "b28_stream_ann_ingest", "b23_stream_late_side_output",
+    "b26_stream_state_native_tws",
     "b24_stream_decontaminate", "b25_stream_budget_admission",
 ]
 
