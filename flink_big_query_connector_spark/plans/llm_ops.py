@@ -3702,6 +3702,84 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_DIM_IN, _RP_DIM_OUT = 64, 8
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) projection matrix, md5-seeded —
+    the same fixed-literal model discipline as the PQ codebooks; both
+    engines receive the identical literal rows."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest(), 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(_RP_DIM_IN)
+        ]
+        for i in range(_RP_DIM_OUT)
+    ]
+
+
+def _rp_oracle() -> str:
+    rows = _rp_matrix()
+    cols = ",\n               ".join(
+        "round(list_dot_product(v, ["
+        + ",".join(f"{x:.1f}" for x in row)
+        + "]::DOUBLE[]), 6) AS y" + str(i)
+        for i, row in enumerate(rows)
+    )
+    return f"""
+        WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embx embeddings)
+        SELECT vec_id,
+               {cols}
+        FROM p
+    """
+
+
+@register(
+    "llm_embedding_project",
+    oracle=_rp_oracle(),
+    tags=("similarity", "projection"),
+)
+def llm_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    via Rademacher signs, cf. Achlioptas 2003): 64-dim embeddings map to
+    8 components, each a sequential-fold dot with a fixed +/-1 literal
+    row — the storage/ANN-prefilter reduction a 100 TB embedding corpus
+    applies before sharding.
+
+    Scale shape: ZERO shuffles — a row-local projection inside one map
+    stage; the model is 512 literal doubles on both engines, and the
+    fold dot is bitwise-equal to DuckDB's list_dot_product (the SQ8/PQ
+    oracle identity), so components match exactly before the 6dp
+    round."""
+    from ..functions.vectors import dot_product_expr
+
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    v = F.col("embedding")
+
+    def darr(row: list[float]) -> F.Column:
+        return F.expr(
+            "array(" + ",".join(f"{x:.1f}D" for x in row) + ")"
+        )
+
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(dot_product_expr(v, darr(row)), 6).alias(f"y{i}")
+            for i, row in enumerate(_rp_matrix())
+        ],
+    )
+
+
 @register(
     "llm_embedding_drift",
     oracle=f"""

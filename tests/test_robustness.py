@@ -83,6 +83,7 @@ BATCH_SWEEP = [
     "llm_text_langid_confusion",
     "llm_ann_recall_eval",
     "llm_embedding_drift",
+    "llm_embedding_project",
     "b04_skew_profile",
     "llm_bpe_fertility",
     "b01_partitioned_layout",
@@ -274,7 +275,7 @@ NULL_SWEEP = [
     # both engines must agree on how a NULL vector ranks, buckets, and
     # aggregates — or be filtered identically at the shared helpers
     "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
-    "llm_ann_ivf_probe", "llm_embedding_drift", "llm_ann_recall_eval",
+    "llm_ann_ivf_probe", "llm_embedding_drift", "llm_embedding_project", "llm_ann_recall_eval",
     "llm_ann_recall_matrix",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
     # streaming replays over dirty events: NULL value/props rows must
