@@ -535,6 +535,48 @@ def b12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b12_diversified_topk",
+    oracle="""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM ranked WHERE rn <= 2
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("sort", "window"),
+)
+def b12_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k — the result-diversity constraint every search/
+    recommendation surface applies (global top 20 orders by price, at
+    most 2 per customer): a per-group ROW_NUMBER cap feeds the global
+    TakeOrdered.
+
+    Scale shape: the window shuffles on o_custkey once (hash-partitioned
+    sort within groups, no global sort); the capped survivors — at most
+    2 x |customers| rows — then hit TakeOrderedAndProject's
+    per-partition heap + driver merge, so nothing ever materializes a
+    full global ordering."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # B13 — set operations
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ BATCH_SWEEP = [
     "b10_snapshot_diff",
     "b11_window_rank",
     "b12_topk",
+    "b12_diversified_topk",
     "b13_union",
     "b14_string_funcs",
     "b15_datetime",
