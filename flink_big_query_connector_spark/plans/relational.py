@@ -3455,3 +3455,169 @@ def b14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("dirty_name", F.col("p_name").alias("clean_name"), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# B1/B4 — multi-dimensional layout + runtime partition pruning (round 7)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-dimension code width; 2 dims interleave into 32 bits
+_Z_BOX_CUST = (10, 120)          # custkey box edge (non-empty at sf0.001+)
+_Z_BOX_DAY = (365, 730)          # 1996 calendar year as day index
+_Z_EPOCH = "1995-01-01"
+
+
+def _zvalue_col(x: F.Column, y: F.Column) -> F.Column:
+    """Morton (Z-order) interleave of two 16-bit codes, JVM-side.
+
+    Bit i of x lands at position 2i, bit i of y at 2i+1; the 32 terms
+    have disjoint bits so plain addition assembles the code inside one
+    whole-stage-codegen span (no UDF).
+    """
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = terms[0]
+    for term in terms[1:]:
+        z = z + term
+    return z.cast("long")
+
+
+def _zvalue_py(x: int, y: int) -> int:
+    """Python reference of :func:`_zvalue_col` (test + bound literals)."""
+    z = 0
+    for i in range(_Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@register(
+    "b01_zorder_layout",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_custkey BETWEEN {_Z_BOX_CUST[0]} AND {_Z_BOX_CUST[1]}
+          AND datediff('day', DATE '{_Z_EPOCH}', o_orderdate)
+              BETWEEN {_Z_BOX_DAY[0]} AND {_Z_BOX_DAY[1]}
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("scan", "layout"),
+)
+def b01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering for multi-dimensional data skipping: orders are
+    rewritten sorted by the Morton interleave of (custkey, order day), so
+    every parquet file's zvalue min/max covers a tight 2-D tile and a 2-D
+    box query prunes most files from their footer stats alone — the layout
+    trick (Delta/Iceberg OPTIMIZE ZORDER) that turns a 100 TB two-column
+    box scan into a handful of file reads when neither column alone is
+    selective enough to partition by.
+
+    The read path applies the box's Z-RANGE BOUND first — for any box,
+    z(xmin,ymin) <= z(x,y) <= z(xmax,ymax) for every point inside, by
+    per-coordinate monotonicity of the Morton code — as a BETWEEN on the
+    stored zvalue column (prunable from parquet stats), then the exact
+    box residual.  The oracle is the plain box aggregate, so a wrong
+    interleave or a wrong bound (dropping rows) fails the hash gate;
+    file-level skipping is measured in tests/test_scale_patterns.py.
+    """
+    t = load_tables(spark, sf_dir)
+    xcode = F.pmod(F.col("o_custkey"), F.lit(1 << _Z_BITS)).cast("int")
+    ycode = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH)),
+        F.lit(1 << _Z_BITS),
+    ).cast("int")
+    out = scratch_dir("orders_zorder_")
+    (
+        t["orders"]
+        .withColumn("zvalue", _zvalue_col(xcode, ycode))
+        .repartitionByRange(8, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    zlo = _zvalue_py(_Z_BOX_CUST[0], _Z_BOX_DAY[0])
+    zhi = _zvalue_py(_Z_BOX_CUST[1], _Z_BOX_DAY[1])
+    back = spark.read.parquet(out)
+    boxed = (
+        back.filter(F.col("zvalue").between(zlo, zhi))  # stat-prunable
+        .filter(
+            F.col("o_custkey").between(*_Z_BOX_CUST)
+            & F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH)).between(
+                *_Z_BOX_DAY
+            )
+        )
+    )
+    return (
+        boxed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice", 14, 2))).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DPP_ENGAGEMENT = ("click", "view")
+
+
+@register(
+    "b04_dpp_join",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE event_type IN {_DPP_ENGAGEMENT!r}
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("join", "layout"),
+)
+def b04_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is laid out partitioned
+    by event_type, and the pruning predicate is NOT a literal — it comes
+    from joining a dimension filtered at runtime (category =
+    'engagement').  Catalyst plants a DynamicPruningExpression in the
+    fact scan's PartitionFilters fed by the dim's broadcast, so only the
+    dimension-selected partitions are listed/read — the star-schema scan
+    pattern that at 100 TB reads two date partitions instead of seven
+    years because the filter lives on the dim.  Static-literal pruning is
+    b01_partitioned_layout; the plan shape (DynamicPruningExpression
+    present) is pinned in tests/test_scale_patterns.py."""
+    t = load_tables(spark, sf_dir)
+    out = scratch_dir("events_dpp_")
+    t["events"].write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.schema(t["events"].schema).parquet(out)
+    dim = (
+        t["events"]
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin(*_DPP_ENGAGEMENT), "engagement"
+            ).otherwise("conversion"),
+        )
+    )
+    pruned = fact.join(
+        F.broadcast(dim.filter(F.col("category") == "engagement")),
+        "event_type",
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 4))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
