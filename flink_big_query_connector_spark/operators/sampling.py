@@ -87,3 +87,73 @@ def mix_to_token_budget(
         .filter(F.col("cum_before") < F.lit(budget_tokens))
         .select(id_col, group_col, "n_tokens", "cum_before")
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsys1",
+) -> DataFrame:
+    """Exact weight-proportional systematic (Madow) sampling, k strata.
+
+    Items are laid on a line in salted-hash order, each occupying a
+    segment of its weight; the line is cut into k equal strata of width
+    W/k and an item is selected once per stratum boundary its segment
+    covers: ``n_picks = (cum_after*k) div W - (cum_before*k) div W``.
+    Every arithmetic step is INTEGER (no float thresholds), so the
+    sample is bit-identical on any cluster size and any engine — the
+    property random-number sampling can't give.  Inclusion probability
+    is proportional to weight (an item with w >= W/k is picked every
+    stratum it spans, reported via ``n_picks``).
+
+    Scale shape: the running weight sum is the same two-level prefix-sum
+    as :func:`mix_to_token_budget` — per-bucket totals (64 rows) window
+    globally, full rows window only within their bucket — and the grand
+    total W joins back as a broadcast 1-row aggregate, so no task ever
+    sees more than 1/64th of the corpus and nothing collects on the
+    driver.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        hash60_expr(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).alias("ord_key"),
+    ).withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
+
+    btot = base.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    # global window over <= 64 bucket rows — single tiny partition
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "bucket_off", F.coalesce(F.sum("bw").over(wb), F.lit(0).cast("long"))
+    ).select("bucket", "bucket_off")
+
+    total = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("total_w")
+    )
+
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("ord_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        base.join(F.broadcast(boff), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("bucket_off")
+            + F.coalesce(F.sum("w").over(ww), F.lit(0).cast("long")),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    n_picks = F.expr(
+        f"((cum_before + w) * {int(k)}) div total_w"
+        f" - (cum_before * {int(k)}) div total_w"
+    ).cast("long")
+    return (
+        cum.withColumn("n_picks", n_picks)
+        .filter(F.col("n_picks") > 0)
+        .select(id_col, "w", "cum_before", "n_picks")
+    )

@@ -4281,3 +4281,168 @@ def llm_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (round 7)
+# ---------------------------------------------------------------------------
+
+_WSYS_K = 40
+
+
+@register(
+    "llm_sample_weighted",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id, n_chars AS w,
+                 ('0x'||substr(md5('wsys1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                     AS ord_key
+          FROM documents),
+        tot AS (SELECT SUM(w) AS total_w FROM base),
+        cum AS (
+          SELECT doc_id, w,
+                 CAST(COALESCE(SUM(w) OVER (
+                     ORDER BY ord_key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cum_before
+          FROM base)
+        SELECT doc_id, w, cum_before,
+               CAST(((cum_before + w) * {_WSYS_K}) // total_w
+                    - (cum_before * {_WSYS_K}) // total_w AS BIGINT) AS n_picks
+        FROM cum, tot
+        WHERE ((cum_before + w) * {_WSYS_K}) // total_w
+              > (cum_before * {_WSYS_K}) // total_w
+    """,
+    tags=("sampling",),
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT random numbers: systematic
+    (Madow) selection over a salted-hash ordering, all-integer
+    arithmetic, so the k-stratum sample is bit-identical on any cluster
+    size (the reproducibility property PPS poisson sampling loses).
+    Weights = document length (the usual proxy for training-token cost);
+    an over-stride document reports n_picks > 1 instead of silently
+    capping its inclusion probability.  Scale shape: two-level prefix
+    sum (64-bucket offsets window globally, rows window only inside
+    their bucket) + broadcast 1-row total — see
+    operators/sampling.py::weighted_systematic_sample."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    t = load_tables(spark, sf_dir)
+    return weighted_systematic_sample(
+        t["documents"], "doc_id", "n_chars", _WSYS_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (round 7)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed feature buckets
+
+
+@register(
+    "llm_text_dsir",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+        btok AS (
+          SELECT doc_id,
+                 (('0x'||substr(md5('dsir:'||tok),1,15))::BIGINT % {_DSIR_B})
+                     AS bucket
+          FROM tok),
+        tot AS (
+          SELECT COUNT(*) AS s_total,
+                 COALESCE(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END), 0)
+                     AS t_total
+          FROM btok),
+        stats AS (
+          SELECT bucket, COUNT(*) AS cs,
+                 SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS ct
+          FROM btok GROUP BY bucket),
+        w AS (
+          SELECT bucket,
+                 CAST(ROUND(ln(
+                     (CAST(ct + 1 AS DOUBLE) * CAST(s_total + {_DSIR_B} AS DOUBLE))
+                     / (CAST(cs + 1 AS DOUBLE) * CAST(t_total + {_DSIR_B} AS DOUBLE))),
+                     9) AS DECIMAL(20,9)) AS lw
+          FROM stats, tot),
+        per AS (
+          SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(w.lw) AS s
+          FROM btok b JOIN w USING (bucket) GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               ROUND(CAST(COALESCE(per.s, 0) AS DOUBLE), 6) AS dsir_score,
+               (d.doc_id % 5 = 0) AS is_target
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "sampling"),
+)
+def llm_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every document
+    by its hashed-unigram log importance ratio between a TARGET
+    distribution (here the doc_id%5==0 subset as the trusted-domain
+    stand-in) and the raw-corpus distribution, with add-one smoothing
+    over 64 feature buckets.  Per-bucket log-ratios round to 9dp and sum
+    in the DECIMAL domain (the llm_text_logprob exactness pattern), so
+    the score is partitioning-independent.  Scale shape: the bucket
+    model is a 64-row broadcast literal-sized table built in one
+    map-side-combined pass; scoring is explode -> broadcast join ->
+    per-doc combine — one corpus-linear shuffle on (doc_id), nothing
+    quadratic, the model never exceeds KBs regardless of corpus size."""
+    from pyspark.sql.types import DecimalType
+
+    from ..operators.hashing import hash60_expr
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = text.tokens_expr(F.col("text"))
+    btok = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id",
+        F.pmod(
+            hash60_expr(F.concat(F.lit("dsir:"), F.col("tok"))),
+            F.lit(_DSIR_B),
+        ).alias("bucket"),
+    )
+    is_t = F.col("doc_id") % 5 == 0
+    tot = btok.agg(
+        F.count(F.lit(1)).alias("s_total"),
+        F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), F.lit(0)).alias(
+            "t_total"
+        ),
+    )
+    stats = btok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+    )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.col("ct") + 1).cast("double")
+                    * (F.col("s_total") + _DSIR_B).cast("double")
+                )
+                / (
+                    (F.col("cs") + 1).cast("double")
+                    * (F.col("t_total") + _DSIR_B).cast("double")
+                )
+            ),
+            9,
+        )
+        .cast(DecimalType(20, 9))
+        .alias("lw"),
+    )
+    per = (
+        btok.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lw").alias("s"))
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(F.col("s"), F.lit(0)).cast("double"), 6).alias(
+            "dsir_score"
+        ),
+        is_t.alias("is_target"),
+    )

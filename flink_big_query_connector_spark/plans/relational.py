@@ -3621,3 +3621,85 @@ def b04_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 — per-group OLS regression from exact decimal moments (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b16_group_regression",
+    oracle="""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+          FROM lineitem GROUP BY l_returnflag),
+        d AS (
+          SELECT l_returnflag, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+          FROM m)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+                   AS slope,
+               ROUND((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                      * sxd) / nd, 6) AS intercept,
+               ROUND((nd * sxyd - sxd * syd)
+                     / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                     6) AS corr_xy
+        FROM d
+        ORDER BY l_returnflag
+    """,
+    tags=("math",),
+)
+def b16_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price ~ quantity) computed from EXACT decimal
+    moment sums: the five sufficient statistics (Sx, Sy, Sxx, Syy, Sxy)
+    accumulate in the decimal domain — order-independent under any
+    partitioning, map-side combinable, one shuffle of 5 numbers per
+    group — then slope/intercept/correlation evaluate driver-free in
+    IEEE double from identical operand values on both engines.  This is
+    the closed-form regression a 100 TB feature pipeline uses instead of
+    an iterative solver: moments are a single HashAggregate pass however
+    large the fact table, and adding a dimension only widens the tiny
+    moment row (reference-spirit: the metrics-aggregation discipline of
+    SURVEY §2 B16, exactness rules of functions/numeric.py)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = dec("l_quantity", 12, 2)
+    y = dec("l_extendedprice", 14, 2)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round(
+            (nd * sxyd - sxd * syd)
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+            6,
+        ).alias("corr_xy"),
+    ).orderBy("l_returnflag")
