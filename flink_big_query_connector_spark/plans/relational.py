@@ -3537,17 +3537,19 @@ def b01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 << _Z_BITS),
     ).cast("int")
     out = scratch_dir("orders_zorder_")
+    zdf = t["orders"].withColumn("zvalue", _zvalue_col(xcode, ycode))
     (
-        t["orders"]
-        .withColumn("zvalue", _zvalue_col(xcode, ycode))
-        .repartitionByRange(8, "zvalue")
+        zdf.repartitionByRange(8, "zvalue")
         .sortWithinPartitions("zvalue")
         .write.mode("overwrite")
         .parquet(out)
     )
     zlo = _zvalue_py(_Z_BOX_CUST[0], _Z_BOX_DAY[0])
     zhi = _zvalue_py(_Z_BOX_CUST[1], _Z_BOX_DAY[1])
-    back = spark.read.parquet(out)
+    # explicit schema: a zero-row source writes no data files and
+    # inference over the empty layout fails (the b01_partitioned_layout
+    # empty-table lesson)
+    back = spark.read.schema(zdf.schema).parquet(out)
     boxed = (
         back.filter(F.col("zvalue").between(zlo, zhi))  # stat-prunable
         .filter(

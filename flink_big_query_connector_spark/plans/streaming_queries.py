@@ -2376,3 +2376,124 @@ def b25_stream_budget_admission(
     return spark.read.parquet(*parts).select(
         "doc_id", "source", "n_tokens", "cum_before"
     )
+
+
+# ---------------------------------------------------------------------------
+# B26 — dead-letter routing around the at-least-once sink (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b26_stream_deadletter",
+    oracle="""
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_id % 17 = 0 THEN '{"k":' ELSE props END AS p
+          FROM events),
+        r AS (
+          SELECT event_id, user_id,
+                 TRY_CAST(CASE WHEN p IS NOT NULL AND json_valid(p)
+                               THEN json_extract_string(p, '$.k') END
+                          AS BIGINT) AS kv
+          FROM c)
+        SELECT event_id, user_id, 'main' AS destination,
+               kv AS k_value,
+               CAST(NULL AS VARCHAR) AS reason
+        FROM r WHERE kv IS NOT NULL
+        UNION ALL
+        SELECT event_id, user_id, 'dlq' AS destination,
+               CAST(NULL AS BIGINT) AS k_value,
+               'PARSE_ERROR' AS reason
+        FROM r WHERE kv IS NULL
+    """,
+    tags=("sink", "errors"),
+)
+def b26_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: the streaming ingest path splits every
+    micro-batch on a SERIALIZATION contract (payload must parse and
+    carry an integral ``k``) — conforming rows append through the
+    at-least-once default-stream sink, poison rows land in a DLQ table
+    with a reason tag instead of failing the stream (the error-routing
+    discipline of the reference's async writer, A16
+    ``sink/async/AsyncBigQuerySinkWriter.java`` — a non-retryable
+    serialization error must never poison-pill the pipeline).  The
+    deterministic corruption (event_id % 17 truncates the JSON) is
+    injected in-query so the oracle can derive the exact split; main
+    UNION dlq equals the source row-for-row — nothing is lost, nothing
+    lands twice.  DLQ writes are per-batch overwrite directories, so a
+    replayed batch is idempotent; at 100 TB both destinations are plain
+    appends with no cross-batch state."""
+    from ..streaming.sinks import DefaultStreamSink
+
+    load_tables(spark, sf_dir)
+    backend_root = scratch_dir("fbq_dlq_")
+    dlq_root = scratch_dir("dlq_table_")
+    table = "proj.ds.events_main"
+    ev = _events_stream(spark, sf_dir)
+    corrupted = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit('{"k":'))
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    parsed = corrupted.withColumn(
+        "k_value", F.from_json("p", "k BIGINT").getField("k")
+    )
+    sink = DefaultStreamSink(backend_root, table)
+
+    def route(batch_df, batch_id: int) -> None:
+        good = batch_df.filter(F.col("k_value").isNotNull()).select(
+            "event_id", "user_id", "k_value"
+        )
+        bad = batch_df.filter(F.col("k_value").isNull()).select(
+            "event_id", "user_id"
+        )
+        sink.write_batch(good, batch_id)
+        bad.write.mode("overwrite").parquet(
+            os.path.join(dlq_root, f"batch={batch_id}")
+        )
+
+    q = (
+        parsed.writeStream.foreachBatch(route)
+        .option("checkpointLocation", scratch_dir("ckpt_dlq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    main = (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, k_value long")
+        .option("root", backend_root)
+        .option("table", table)
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            F.lit("main").alias("destination"),
+            "k_value",
+            F.lit(None).cast("string").alias("reason"),
+        )
+    )
+    batch_dirs = [
+        os.path.join(dlq_root, d)
+        for d in sorted(os.listdir(dlq_root))
+        if d.startswith("batch=")
+    ]
+    dlq_schema = "event_id long, user_id long"
+    if batch_dirs:
+        dlq = spark.read.schema(dlq_schema).parquet(*batch_dirs)
+    else:  # zero-batch replay: empty source produced no routed batches
+        dlq = spark.createDataFrame([], dlq_schema)
+    dlq = dlq.select(
+        "event_id",
+        "user_id",
+        F.lit("dlq").alias("destination"),
+        F.lit(None).cast("long").alias("k_value"),
+        F.lit("PARSE_ERROR").alias("reason"),
+    )
+    return main.unionByName(dlq)

@@ -16,6 +16,11 @@ from flink_big_query_connector_spark.plans import REGISTRY
 # >=64-row layout precondition raises loudly by design — both excluded.
 BATCH_SWEEP = [
     "b01_scan_count",
+    "b01_zorder_layout",
+    "b04_dpp_join",
+    "b16_group_regression",
+    "llm_sample_weighted",
+    "llm_text_dsir",
     "b02_projection",
     "b03_filter",
     "b04_join_broadcast",
@@ -256,12 +261,15 @@ NULL_SWEEP = [
     # distinction: an upsert whose value is NULL must survive as a
     # NULL-valued row, never be confused with a delete.
     "b26_stream_cdc_apply",
+    # null props must parse-fail into the DLQ, not crash the router
+    "b26_stream_deadletter",
     # NULL text must tokenize to the empty list in the encode fold and
     # to an unknowable-but-consistent langid class on both engines.
     "llm_bpe_encode", "llm_text_langid_confusion", "llm_bpe_fertility",
     # widened text-family coverage: every query below consumes document
     # text and must agree with its oracle when every 7th text is NULL
     "llm_text_langid", "llm_text_token_counts", "llm_text_fingerprint",
+    "llm_text_dsir",
     "llm_dedup_canonical_centrality",
     "llm_dedup_ngram_jaccard", "llm_text_repetition", "llm_doc_chunking",
     "llm_text_inverted_index", "llm_pack_sequences", "llm_decontaminate",
@@ -467,7 +475,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b28_stream_ann_ingest", "b23_stream_late_side_output",
     "b26_stream_state_native_tws",
     "b26_stream_backfill", "b24_stream_decontaminate",
-    "b25_stream_budget_admission",
+    "b25_stream_budget_admission", "b26_stream_deadletter",
 ]
 
 
@@ -555,6 +563,7 @@ STREAMING_EMPTY_SWEEP = [
     "b28_stream_ann_ingest", "b23_stream_late_side_output",
     "b26_stream_state_native_tws",
     "b24_stream_decontaminate", "b25_stream_budget_admission",
+    "b26_stream_deadletter",
 ]
 
 
