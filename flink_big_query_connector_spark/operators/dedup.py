@@ -830,3 +830,62 @@ def remove_duplicated_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Directional CONTAINMENT over LSH candidate pairs: for each pair,
+    |A∩B|/|A| and |A∩B|/|B| over distinct hashed shingles.
+
+    Jaccard misses the quote/boilerplate case — a short document pasted
+    inside a long one has tiny union-relative overlap but containment
+    ~1.0 on the short side; this operator surfaces exactly those.
+    Candidates come from the same deterministic MinHash banding as
+    :func:`minhash_neardup_pairs` (both engines replicate it, so even
+    banding misses agree); at 100 TB a containment-tuned candidate
+    policy (prefix banding on the smaller set) slots in at the same
+    seam without touching the verify stage.  Both containment ratios
+    round to 6dp BEFORE thresholding, so the cut is cross-engine exact.
+    """
+    docs, cands = minhash_candidate_pairs(df, id_col, text_col)
+    ex = docs.select(F.col(id_col), F.explode("sh60").alias("h"))
+    sizes = docs.select(F.col(id_col), F.size("sh60").alias("n"))
+    inter = (
+        cands.join(ex.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cont_a_in_b",
+            F.round(F.col("i").cast("double") / F.col("na").cast("double"), 6),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            F.round(F.col("i").cast("double") / F.col("nb").cast("double"), 6),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("i").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "cont_a_in_b",
+            "cont_b_in_a",
+        )
+    )

@@ -1054,3 +1054,58 @@ def ivf_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def sq8_rerank_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    m: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval: SQ8 coarse scan to top-m, exact cosine rerank
+    of the m survivors to top-k — the standard ANN serving shape (scan
+    the 4x-compressed codes for everything, touch full-precision vectors
+    only for |Q| x m rows).  At 100 TB the full-precision fetch is an
+    equi-join of a broadcast candidate list against the embedding table,
+    so the expensive float vectors never cross a shuffle for
+    non-candidates.  ``sq8_rank`` is kept in the output so the reorder
+    the rerank performs is observable (a candidate coarse-ranked 40th
+    can final-rank 3rd)."""
+    cand = sq8_topk(emb_df, id_col, vec_col, query_df, mins, maxs, m).select(
+        "query_id", "cand_id", F.col("rank").alias("sq8_rank")
+    )
+    qv = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+    )
+    cv = spread(emb_df).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    exact = (
+        cv.join(F.broadcast(cand), "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot_product_expr(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+        .select("query_id", "cand_id", "cos", "sq8_rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank", "sq8_rank")
+    )

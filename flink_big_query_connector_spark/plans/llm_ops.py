@@ -4446,3 +4446,101 @@ def llm_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         is_t.alias("is_target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: SQ8 coarse scan + exact rerank (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ann_sq8_rerank",
+    oracle=f"""
+        WITH {_SQL_SQ8_CTES},
+        q8 AS (SELECT vec_id AS query_id, qv AS qq FROM quant
+               WHERE vec_id < 10),
+        c8 AS (SELECT vec_id AS cand_id, qv AS cq FROM quant),
+        s8 AS (SELECT query_id, cand_id,
+                      CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                           i -> CAST((qq[i] - cq[i]) * (qq[i] - cq[i])
+                                AS BIGINT))) AS BIGINT) AS qdist
+               FROM q8, c8 WHERE cand_id <> query_id),
+        r8 AS (SELECT query_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY qdist ASC, cand_id) AS sq8_rank
+               FROM s8),
+        cand AS (SELECT query_id, cand_id,
+                        CAST(sq8_rank AS BIGINT) AS sq8_rank
+                 FROM r8 WHERE sq8_rank <= 50),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embx),
+        x AS (SELECT c.query_id, c.cand_id, c.sq8_rank,
+                     round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ec ON ec.vec_id = c.cand_id),
+        f AS (SELECT query_id, cand_id, cos, sq8_rank,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+              FROM x)
+        SELECT query_id, cand_id, cos, rank, sq8_rank
+        FROM f WHERE rank <= 10
+    """,
+    tags=("similarity",),
+)
+def llm_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving: coarse top-50 over SQ8 codes (exact integer
+    distances — zero rounding hazard), then exact-cosine rerank of only
+    those 50 to the final top-10.  The shape that makes 100 TB retrieval
+    affordable: the full corpus is scanned ONLY in its 4x-compressed
+    form, full-precision vectors are fetched for |Q| x 50 rows via a
+    broadcast candidate-list join, and the observable ``sq8_rank`` vs
+    ``rank`` gap is the quantization error the rerank repairs (see
+    operators/similarity.py::sq8_rerank_topk)."""
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    mins, maxs = similarity.sq8_train(emb, "embedding")
+    return similarity.sq8_rerank_topk(
+        emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 10), mins, maxs, 50, 10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+        WITH {_SQL_JACCARD_CTES},
+        {_minhash_cand_ctes()},
+        cont AS (
+          SELECT i.id_a, i.id_b,
+                 CAST(i.i AS BIGINT) AS n_common,
+                 CAST(ca.n AS BIGINT) AS n_a,
+                 CAST(cb.n AS BIGINT) AS n_b,
+                 round(CAST(i.i AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+                     AS cont_a_in_b,
+                 round(CAST(i.i AS DOUBLE) / CAST(cb.n AS DOUBLE), 6)
+                     AS cont_b_in_a
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.id_a
+          JOIN cnt cb ON cb.doc_id = i.id_b
+          JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b)
+        SELECT id_a, id_b, n_common, n_a, n_b, cont_a_in_b, cont_b_in_a
+        FROM cont
+        WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
+    """,
+    tags=("dedup",),
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (|A∩B|/|A| per side) over MinHash-LSH
+    candidates — catches the quote/boilerplate inclusions whose union-
+    relative Jaccard stays under the llm_dedup_minhash_lsh cut (a short
+    doc pasted into a long one).  Verify work is candidate-bounded, the
+    shingle sets shuffle as 8-byte hashes, and the 6dp-rounded ratios
+    make the 0.6 threshold hash-exact (see
+    operators/dedup.py::containment_pairs)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.containment_pairs(t["documents"], "doc_id", "text", 0.6)

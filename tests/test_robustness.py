@@ -21,6 +21,8 @@ BATCH_SWEEP = [
     "b16_group_regression",
     "llm_sample_weighted",
     "llm_text_dsir",
+    "llm_ann_sq8_rerank",
+    "llm_dedup_containment",
     "b02_projection",
     "b03_filter",
     "b04_join_broadcast",
@@ -250,6 +252,7 @@ NULL_SWEEP = [
     "b15_gap_fill_locf", "b16_winsorized_stats", "b17_json_extract",
     "b17_bad_records", "b17_explode_tokens",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
+    "llm_dedup_containment",
     "llm_dedup_span_removal", "llm_text_stats", "llm_text_quality_filter",
     "llm_quality_classifier", "llm_text_tfidf", "llm_text_novelty",
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
@@ -283,7 +286,7 @@ NULL_SWEEP = [
     # NULL embeddings (failed embed jobs) through the similarity family:
     # both engines must agree on how a NULL vector ranks, buckets, and
     # aggregates — or be filtered identically at the shared helpers
-    "llm_ann_topk", "llm_ann_sq8", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
+    "llm_ann_topk", "llm_ann_sq8", "llm_ann_sq8_rerank", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_embedding_project", "llm_ann_recall_eval",
     "llm_ann_recall_matrix",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
