@@ -3705,3 +3705,82 @@ def b16_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_xy"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# B7 — point-in-time (feature-store) join (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b07_point_in_time_join",
+    oracle="""
+        WITH hist AS (
+          SELECT user_id, event_id AS profile_event_id,
+                 CAST(value AS DOUBLE) AS profile_value,
+                 CAST(ts AS TIMESTAMP) AS valid_from,
+                 LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          FROM events WHERE event_type = 'purchase'),
+        obs AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS obs_time
+          FROM events WHERE event_type = 'click' AND user_id < 50)
+        SELECT o.event_id, o.user_id, o.obs_time,
+               h.profile_event_id, h.profile_value,
+               (h.profile_event_id IS NOT NULL) AS had_profile
+        FROM obs o LEFT JOIN hist h
+          ON h.user_id = o.user_id
+         AND h.valid_from <= o.obs_time
+         AND (h.valid_to IS NULL OR o.obs_time < h.valid_to)
+    """,
+    tags=("join", "scd", "temporal"),
+)
+def b07_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME join: every observation (click) is
+    enriched with the dimension version that was valid AT ITS OWN event
+    time — the SCD2 history (purchase feed intervalized via LEAD, the
+    b05_scd2_intervals machinery) joined on the key plus an interval
+    residual, LEFT so observations before any version surface
+    had_profile=false instead of leaking a future value.  This is the
+    training-serving-skew guard: a model feature computed this way never
+    sees data newer than the observation.  Scale shape: equi-join on
+    user_id (both sides co-partition on the key, one shuffle each), the
+    interval predicate rides along as a residual filter, and each
+    observation matches at most one version by construction — no
+    row explosion, no window over the fact table."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ts_ts = ts_event_time(t["events"])
+    w = Window.partitionBy("user_id").orderBy(ts_ts, F.col("event_id"))
+    hist = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("profile_event_id"),
+            F.col("value").cast("double").alias("profile_value"),
+            ts_ts.alias("valid_from"),
+            F.lead(ts_ts).over(w).alias("valid_to"),
+        )
+    )
+    obs = (
+        t["events"]
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select("event_id", "user_id", ts_ts.alias("obs_time"))
+    )
+    j = obs.join(
+        hist,
+        (hist.user_id == obs.user_id)
+        & (hist.valid_from <= obs.obs_time)
+        & (hist.valid_to.isNull() | (obs.obs_time < hist.valid_to)),
+        "left",
+    )
+    return j.select(
+        obs.event_id,
+        obs.user_id,
+        "obs_time",
+        "profile_event_id",
+        "profile_value",
+        F.col("profile_event_id").isNotNull().alias("had_profile"),
+    )

@@ -23,6 +23,7 @@ BATCH_SWEEP = [
     "llm_text_dsir",
     "llm_ann_sq8_rerank",
     "llm_dedup_containment",
+    "b07_point_in_time_join",
     "b02_projection",
     "b03_filter",
     "b04_join_broadcast",
@@ -258,6 +259,7 @@ NULL_SWEEP = [
     "llm_mix_temperature", "llm_batch_by_length", "llm_curation_pipeline",
     "llm_multimodal_segments", "llm_corpus_shard",
     "b05_scd2_intervals", "b06_null_safe_join", "b11_ratio_to_report",
+    "b07_point_in_time_join",
     "llm_bpe_train", "llm_bpe_train_batched", "b17_explode_outer", "llm_dedup_incremental",
     "b16_rolling_zscore", "llm_multimodal_phash_dedup",
     # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
