@@ -65,6 +65,13 @@ HEADLINE = [
     "b04_bloom_join_prune",
     "b18_linear_counting",
     "b28_stream_ann_ingest",
+    # late round-7 additions (set 32 -> 36): Z-order layout rewrite, the
+    # two-stage SQ8+rerank retrieval, containment dedup, and the
+    # point-in-time feature join
+    "b01_zorder_layout",
+    "llm_ann_sq8_rerank",
+    "llm_dedup_containment",
+    "b07_point_in_time_join",
 ]
 
 
