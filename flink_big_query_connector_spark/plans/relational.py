@@ -3784,3 +3784,116 @@ def b07_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "profile_value",
         F.col("profile_event_id").isNotNull().alias("had_profile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B18 — histogram-interpolated percentiles (round 7)
+# ---------------------------------------------------------------------------
+
+_PH_W = 25.0  # bucket width over events.value (observed domain 0..~500)
+
+
+@register(
+    "b18_percentile_histogram",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        tot AS (SELECT g, COUNT(*) AS n FROM base GROUP BY g),
+        hist AS (
+          SELECT g, CAST(FLOOR(v / {_PH_W}) AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM base GROUP BY 1, 2),
+        cum AS (
+          SELECT g, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+                 COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM hist),
+        qual AS (
+          SELECT c.g, t.n, p.p, c.bucket, c.cnt, c.cum_before,
+                 ROW_NUMBER() OVER (PARTITION BY c.g, p.p
+                                    ORDER BY c.bucket) AS rn
+          FROM cum c
+          JOIN tot t ON c.g = t.g
+          CROSS JOIN (VALUES (CAST(0.50 AS DOUBLE)), (CAST(0.90 AS DOUBLE)),
+                              (CAST(0.99 AS DOUBLE))) AS p(p)
+          WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.n AS DOUBLE))
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n, p,
+               ROUND(bucket * {_PH_W}
+                     + {_PH_W} * (p * CAST(n AS DOUBLE)
+                                  - CAST(cum_before AS DOUBLE))
+                       / CAST(cnt AS DOUBLE), 6) AS value_est
+        FROM qual WHERE rn = 1
+    """,
+    tags=("profiling", "sketch"),
+)
+def b18_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase percentile estimation — the way percentiles are actually
+    computed at 100 TB: one map-side-combinable pass builds a per-group
+    equi-width histogram (bounded rows however large the fact table),
+    then p50/p90/p99 interpolate linearly inside the first bucket whose
+    cumulative count crosses the target rank.  No global sort, no
+    per-group row windows over the data — the only window runs over the
+    tiny histogram itself.  Estimates are deterministic (integer counts
+    + identical IEEE interpolation), so unlike approx_percentile's
+    merge-order-dependent sketch this is bit-stable under any
+    partitioning AND oracle-checkable; accuracy is bounded by the bucket
+    width (refine = second targeted pass over one bucket, same shape)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    tot = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    hist = base.groupBy(
+        "g", F.floor(F.col("v") / F.lit(_PH_W)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("g").orderBy("bucket")
+    cum = hist.select(
+        "g",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    ps = spark.createDataFrame([(0.50,), (0.90,), (0.99,)], "p double")
+    qual = (
+        cum.join(F.broadcast(tot), "g")
+        .crossJoin(F.broadcast(ps))
+        .filter(
+            F.col("cum").cast("double") >= F.col("p") * F.col("n").cast("double")
+        )
+    )
+    wr = Window.partitionBy("g", "p").orderBy("bucket")
+    return (
+        qual.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            "p",
+            F.round(
+                F.col("bucket") * F.lit(_PH_W)
+                + F.lit(_PH_W)
+                * (
+                    F.col("p") * F.col("n").cast("double")
+                    - F.col("cum_before").cast("double")
+                )
+                / F.col("cnt").cast("double"),
+                6,
+            ).alias("value_est"),
+        )
+    )

@@ -20,6 +20,7 @@ BATCH_SWEEP = [
     "b04_dpp_join",
     "b16_group_regression",
     "llm_sample_weighted",
+    "b18_percentile_histogram",
     "llm_text_dsir",
     "llm_ann_sq8_rerank",
     "llm_dedup_containment",
@@ -262,6 +263,7 @@ NULL_SWEEP = [
     "b07_point_in_time_join",
     "llm_bpe_train", "llm_bpe_train_batched", "b17_explode_outer", "llm_dedup_incremental",
     "b16_rolling_zscore", "llm_multimodal_phash_dedup",
+    "b18_percentile_histogram",
     # nulled event `value` rows exercise the CDC NULL-upsert-vs-tombstone
     # distinction: an upsert whose value is NULL must survive as a
     # NULL-valued row, never be confused with a delete.
