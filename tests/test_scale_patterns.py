@@ -887,3 +887,62 @@ def test_b04_dpp_join_registry_plan_has_dynamic_pruning(spark):
 
     df = b04_dpp_join(spark, SF_DIR)
     assert "dynamicpruning" in _plan(df).lower()
+
+
+def test_sq8_rerank_stays_broadcast_no_vector_shuffle_join(spark):
+    """Two-stage rerank plan shape: the exact stage attaches candidates
+    and query vectors via BROADCAST joins (candidate list and query set
+    are model-sized), so full-precision vectors never sort-merge across
+    a shuffle — the property that makes the rerank affordable when the
+    corpus is 100 TB of embeddings."""
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        llm_ann_sq8_rerank,
+    )
+
+    df = llm_ann_sq8_rerank(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_in_time_join_is_equi_key_with_interval_residual(spark):
+    """The PIT join must plan as an equi-join on user_id with the
+    validity interval as a residual condition — never a nested-loop
+    theta join — and each observation matches at most one history
+    version (no fan-out)."""
+    from flink_big_query_connector_spark.plans.relational import (
+        b07_point_in_time_join,
+    )
+
+    df = b07_point_in_time_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_obs = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .count()
+    )
+    assert df.count() == n_obs
+
+
+def test_containment_superset_of_jaccard_pairs(spark):
+    """Cross-operator invariant: containment >= Jaccard for every pair,
+    so at thresholds (0.6 containment, 0.8 jaccard) every surviving
+    Jaccard near-dup pair must also appear in the containment output —
+    the containment operator only ADDS the asymmetric-inclusion pairs."""
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        llm_dedup_containment,
+        llm_dedup_minhash_lsh,
+    )
+
+    jac = {
+        (r.id_a, r.id_b)
+        for r in llm_dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    cont = {
+        (r.id_a, r.id_b)
+        for r in llm_dedup_containment(spark, SF_DIR).collect()
+    }
+    assert jac, "fixture regression: no jaccard pairs at test scale"
+    assert jac <= cont
