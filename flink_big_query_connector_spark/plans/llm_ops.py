@@ -4544,3 +4544,117 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py::containment_pairs)."""
     t = load_tables(spark, sf_dir)
     return dedup.containment_pairs(t["documents"], "doc_id", "text", 0.6)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule gate (round 7)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 100_000
+
+
+@register(
+    "llm_text_gopher_rules",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CASE WHEN len(toks) > 0 THEN round(
+                     CAST(list_sum(list_transform(toks, t ->
+                          CAST(strlen(t) AS BIGINT))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END
+                     AS mean_word_len,
+                 CASE WHEN len(toks) > 0 THEN round(
+                     CAST(len(list_filter(toks, t ->
+                          regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END
+                     AS alpha_frac,
+                 CAST(len(list_intersect(
+                     list_distinct(list_transform(toks, t -> lower(t))),
+                     {list(_GOPHER_STOPS)!r})) AS BIGINT) AS n_stops
+          FROM d)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stops,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                   AS rule_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS rule_mean_word_len,
+               (alpha_frac >= 0.8) AS rule_alpha_frac,
+               (n_stops >= 2) AS rule_stopwords,
+               ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND alpha_frac >= 0.8 AND n_stops >= 2) AS keep
+        FROM m
+    """,
+    tags=("text", "quality"),
+)
+def llm_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality gate as a
+    per-document audit report: word-count bounds, mean word length in
+    [3,10], >=80% words containing an alphabetic character, and >=2
+    distinct English stopwords present — each rule surfaced as its own
+    boolean next to the composite ``keep``, because a production gate is
+    tuned per-rule from exactly this table.  All four rules are narrow
+    row-local Catalyst expressions over the shared '\\S+' tokenization
+    (zero shuffles, filter-pushdown-friendly); ratios round to 6dp
+    before thresholding so the cut is hash-exact cross-engine."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    m = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.aggregate(
+                    F.transform(toks, lambda w: F.length(w).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size(toks).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.size(
+                    F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+                ).cast("double")
+                / F.size(toks).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, F.lower)),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stops"),
+    )
+    rule_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    rule_mwl = (F.col("mean_word_len") >= 3.0) & (
+        F.col("mean_word_len") <= 10.0
+    )
+    rule_af = F.col("alpha_frac") >= 0.8
+    rule_st = F.col("n_stops") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stops",
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_af.alias("rule_alpha_frac"),
+        rule_st.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_af & rule_st).alias("keep"),
+    )
