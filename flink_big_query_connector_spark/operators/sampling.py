@@ -115,13 +115,21 @@ def weighted_systematic_sample(
     sees more than 1/64th of the corpus and nothing collects on the
     driver.
     """
-    base = df.select(
-        F.col(id_col),
-        F.col(weight_col).cast("long").alias("w"),
-        hash60_expr(
-            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-        ).alias("ord_key"),
-    ).withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("w"),
+            hash60_expr(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ).alias("ord_key"),
+        )
+        # a zero-weight item occupies a zero-width segment and can never
+        # cover a stratum boundary, so dropping it is semantics-preserving
+        # — and it keeps W > 0 whenever any weighted item exists (the
+        # all-zero corpus would otherwise hit ANSI integer div-by-zero)
+        .filter(F.col("w") > 0)
+        .withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
+    )
 
     btot = base.groupBy("bucket").agg(F.sum("w").alias("bw"))
     # global window over <= 64 bucket rows — single tiny partition
@@ -130,9 +138,7 @@ def weighted_systematic_sample(
         "bucket_off", F.coalesce(F.sum("bw").over(wb), F.lit(0).cast("long"))
     ).select("bucket", "bucket_off")
 
-    total = df.agg(
-        F.sum(F.col(weight_col).cast("long")).alias("total_w")
-    )
+    total = base.agg(F.sum("w").alias("total_w"))
 
     ww = (
         Window.partitionBy("bucket")

@@ -4297,7 +4297,7 @@ _WSYS_K = 40
           SELECT doc_id, n_chars AS w,
                  ('0x'||substr(md5('wsys1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
                      AS ord_key
-          FROM documents),
+          FROM documents WHERE n_chars > 0),
         tot AS (SELECT SUM(w) AS total_w FROM base),
         cum AS (
           SELECT doc_id, w,
