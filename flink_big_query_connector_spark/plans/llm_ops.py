@@ -4658,3 +4658,78 @@ def llm_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_st.alias("rule_stopwords"),
         (rule_wc & rule_mwl & rule_af & rule_st).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_corpus_overlap_matrix",
+    oracle=f"""
+        WITH {_SQL_DECON_CTES},
+        sg AS (SELECT DISTINCT source, s FROM ex),
+        tot AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT p.src_a, p.src_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(ta.n AS BIGINT) AS n_a,
+               CAST(tb.n AS BIGINT) AS n_b,
+               ROUND(CAST(p.n_shared AS DOUBLE)
+                     / CAST(LEAST(ta.n, tb.n) AS DOUBLE), 6) AS overlap_frac
+        FROM pairs p
+        JOIN tot ta ON ta.source = p.src_a
+        JOIN tot tb ON tb.source = p.src_b
+    """,
+    tags=("dedup", "decontamination"),
+)
+def llm_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, the
+    count of distinct shared word-3grams and the min-normalized overlap
+    fraction — the corpus-level complement of per-document
+    decontamination (llm_decontaminate): it tells you WHICH feeds are
+    copying from each other before you pick a canonical one.  Scale
+    shape: grams dedup to (source, gram) FIRST (one map-combinable
+    distinct), so the gram self-join fans out at most
+    |sources|-choose-2 rows per gram regardless of how many documents
+    repeat it — bounded by the source count, never by corpus size; the
+    matrix itself is |sources|^2 rows, a model-sized result."""
+    t = load_tables(spark, sf_dir)
+    tok = dedup.spread(t["documents"]).select(
+        "source", dedup.tokens_expr(F.col("text")).alias("toks")
+    )
+    sg = tok.select(
+        "source",
+        F.explode(dedup.shingles_expr(F.col("toks"))).alias("s"),
+    ).distinct()
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("src_a"), "s")
+    b = sg.select(F.col("source").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
