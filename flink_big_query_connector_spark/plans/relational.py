@@ -3897,3 +3897,105 @@ def b18_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B22 — conversion latency by acquisition cohort (round 7)
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "b22_conversion_latency",
+    oracle=f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        u AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'click' THEN t END) AS fc,
+                 MIN(CASE WHEN event_type = 'purchase' THEN t END) AS fp
+          FROM e GROUP BY user_id),
+        c AS (
+          SELECT user_id, fc, fp,
+                 (fp IS NOT NULL AND fp > fc) AS converted,
+                 fc // {_WEEK_US} AS cohort_week
+          FROM u WHERE fc IS NOT NULL)
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               COUNT(*) AS n_users,
+               CAST(COALESCE(SUM(CASE WHEN converted THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_converted,
+               ROUND(CAST(COALESCE(SUM(CASE WHEN converted THEN 1 ELSE 0 END),
+                          0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS conversion_rate,
+               CASE WHEN SUM(CASE WHEN converted THEN 1 ELSE 0 END) > 0
+                    THEN ROUND((CAST(SUM(CASE WHEN converted
+                                            THEN fp - fc ELSE 0 END)
+                                     AS DOUBLE) / 1000000.0)
+                               / CAST(SUM(CASE WHEN converted THEN 1 ELSE 0
+                                          END) AS DOUBLE), 6)
+                    END AS avg_latency_s
+        FROM c GROUP BY cohort_week ORDER BY cohort_week
+    """,
+    tags=("funnel", "analytics"),
+)
+def b22_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert by acquisition cohort: each user's FIRST click
+    anchors their cohort week (integer micros div — no calendar-function
+    cross-engine hazard) and their first strictly-later purchase marks
+    conversion; per cohort the report carries user count, conversion
+    rate and mean click->purchase latency in seconds.  The funnel
+    completes b22's session/transition family with the latency dimension
+    product analytics actually pages on.  Scale shape: one conditional-
+    min groupBy(user_id) pass (map-combinable), then a cohort rollup of
+    the tiny per-user table — integer micros end-to-end, the double
+    division only on final model-sized aggregates."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            ts_micros(t["events"]).alias("t"),
+        )
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("t"))).alias("fc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("t"))
+        ).alias("fp"),
+    )
+    c = (
+        u.filter(F.col("fc").isNotNull())
+        .withColumn(
+            "converted", F.col("fp").isNotNull() & (F.col("fp") > F.col("fc"))
+        )
+        .withColumn("cohort_week", F.expr(f"fc div {_WEEK_US}"))
+    )
+    conv = F.when(F.col("converted"), 1).otherwise(0)
+    lat = F.when(F.col("converted"), F.col("fp") - F.col("fc")).otherwise(0)
+    g = c.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.coalesce(F.sum(conv), F.lit(0)).cast("long").alias("n_converted"),
+        F.sum(lat).alias("lat_total"),
+    )
+    return g.select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        "n_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.when(
+            F.col("n_converted") > 0,
+            F.round(
+                (F.col("lat_total").cast("double") / F.lit(1_000_000.0))
+                / F.col("n_converted").cast("double"),
+                6,
+            ),
+        ).alias("avg_latency_s"),
+    ).orderBy("cohort_week")

@@ -21,6 +21,7 @@ BATCH_SWEEP = [
     "b16_group_regression",
     "llm_sample_weighted",
     "b18_percentile_histogram",
+    "b22_conversion_latency",
     "llm_text_dsir",
     "llm_text_gopher_rules",
     "llm_corpus_overlap_matrix",
