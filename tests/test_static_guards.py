@@ -76,3 +76,29 @@ def test_vector_contract_no_raw_embeddings_in_similarity_oracles():
         and "return t" not in line
     ]
     assert raw_uses == [], raw_uses
+
+
+def test_driver_rotation_order_is_derived_from_audit_files():
+    """The queries()/oracle_sql() surface order is LOAD-BEARING (an
+    external correctness driver samples a prefix): never-driver-checked
+    keys must come first (name-sorted), then previously-checked keys
+    least-recently-checked first.  This pins the self-maintaining rule in
+    plans/registry.py::_surface_order so a refactor cannot silently
+    regress new queries out of the audit window."""
+    import __spark_entry__ as entry
+    from flink_big_query_connector_spark.plans.registry import (
+        _driver_checked_rounds,
+    )
+
+    order = list(entry.queries())
+    last_seen = _driver_checked_rounds()
+    never = [n for n in order if n not in last_seen]
+    seen = [n for n in order if n in last_seen]
+    # contiguous segments: all never-checked keys precede all checked keys
+    assert order == never + seen
+    assert never == sorted(never)
+    rounds = [last_seen[n] for n in seen]
+    assert rounds == sorted(rounds)
+    # the audit trail exists and some keys are still unaudited -> the
+    # window keeps rotating (delete this clause when burndown completes)
+    assert last_seen, "no CORRECTNESS_r*.json audit files found"
