@@ -308,3 +308,54 @@ def test_phash_is_60_bits_and_stable(payload):
     v = phash(payload)
     assert 0 <= v < (1 << PHASH_BITS)
     assert v == phash(payload)
+
+
+# -- Round-7 primitives: pure-Python properties ------------------------------
+
+
+@settings(deadline=None)  # first example pays the plans-module import
+@given(
+    x1=st.integers(0, (1 << 16) - 1),
+    y1=st.integers(0, (1 << 16) - 1),
+    x2=st.integers(0, (1 << 16) - 1),
+    y2=st.integers(0, (1 << 16) - 1),
+    px=st.integers(0, (1 << 16) - 1),
+    py=st.integers(0, (1 << 16) - 1),
+)
+def test_zvalue_corner_bound_contains_every_box_point(x1, y1, x2, y2, px, py):
+    """The b01_zorder_layout read path relies on per-coordinate Morton
+    monotonicity: for ANY box and any point inside it,
+    z(xmin,ymin) <= z(px,py) <= z(xmax,ymax).  A broken interleave would
+    silently drop rows from the box query; hypothesis hunts the bound."""
+    from flink_big_query_connector_spark.plans.relational import _zvalue_py
+
+    xlo, xhi = sorted((x1, x2))
+    ylo, yhi = sorted((y1, y2))
+    # clamp the probe point into the box
+    px = min(max(px, xlo), xhi)
+    py = min(max(py, ylo), yhi)
+    assert _zvalue_py(xlo, ylo) <= _zvalue_py(px, py) <= _zvalue_py(xhi, yhi)
+
+
+@given(
+    weights=st.lists(st.integers(0, 1000), min_size=1, max_size=200),
+    k=st.integers(1, 50),
+)
+def test_madow_boundary_rule_picks_exactly_k(weights, k):
+    """The llm_sample_weighted stratum rule — n_picks per item =
+    ((cum+w)*k) div W − (cum*k) div W over an exclusive prefix sum —
+    must hand out EXACTLY k picks in total whenever W > 0 (the strata
+    tile the weight line), zero-weight items never picked.  This is the
+    pure-integer invariant the Spark/DuckDB twins both implement."""
+    W = sum(weights)
+    if W == 0:
+        return
+    cum = 0
+    total_picks = 0
+    for w in weights:
+        picks = ((cum + w) * k) // W - (cum * k) // W
+        if w == 0:
+            assert picks == 0
+        total_picks += picks
+        cum += w
+    assert total_picks == k
