@@ -4733,3 +4733,124 @@ def llm_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (round 7)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "llm_text_bm25",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE len({_SQL_TOKS}) > 0),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        words AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        dft AS (SELECT w, COUNT(*) AS dfx FROM tf GROUP BY w),
+        q AS (SELECT w, dfx FROM dft ORDER BY dfx DESC, w LIMIT 3),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl
+          FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ROUND(ln((CAST(s.n_docs - q.dfx AS DOUBLE) + 0.5)
+                            / (CAST(q.dfx AS DOUBLE) + 0.5) + 1.0), 9)
+                   * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                      / (CAST(tf.tf AS DOUBLE)
+                         + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE)))))),
+                   9) AS DECIMAL(20,9)) AS st
+          FROM tf
+          JOIN q ON q.w = tf.w
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        per AS (
+          SELECT doc_id, SUM(st) AS s FROM scored GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS bm25,
+                 CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM per)
+        SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval"),
+)
+def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked lexical retrieval (k1=1.2, b=0.75) — the sparse twin
+    of the ANN family: score every document against the corpus's top-3
+    most frequent terms (a deterministic self-contained query set) and
+    return the top-20.  Exactness: each (doc, term) partial rounds its
+    ln-idf to 9dp and the whole term score to 9dp DECIMAL before the
+    per-doc sum (the llm_text_logprob discipline), so ranking is
+    hash-exact cross-engine.  Scale shape: postings build as two
+    map-combinable aggregations (tf, df); the query-term set and the
+    (N, total_dl) stats are model-sized broadcasts; scoring touches only
+    postings of query terms — the inverted-index access pattern, never a
+    corpus scan per query."""
+    from pyspark.sql.types import DecimalType
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    d = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    words = d.select("doc_id", F.explode("toks").alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfx"))
+    q = dft.orderBy(F.col("dfx").desc(), "w").limit(3)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("dfx")).cast("double") + F.lit(0.5))
+            / (F.col("dfx").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * part, 9).cast(DecimalType(20, 9)).alias("st"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(F.sum("st").alias("s"))
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("s").cast("double"), 6).alias("bm25"),
+            "rank",
+        )
+    )

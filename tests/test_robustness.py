@@ -25,6 +25,7 @@ BATCH_SWEEP = [
     "llm_text_dsir",
     "llm_text_gopher_rules",
     "llm_corpus_overlap_matrix",
+    "llm_text_bm25",
     "llm_ann_sq8_rerank",
     "llm_dedup_containment",
     "b07_point_in_time_join",
@@ -280,6 +281,7 @@ NULL_SWEEP = [
     # text and must agree with its oracle when every 7th text is NULL
     "llm_text_langid", "llm_text_token_counts", "llm_text_fingerprint",
     "llm_text_dsir", "llm_text_gopher_rules", "llm_corpus_overlap_matrix",
+    "llm_text_bm25",
     "llm_dedup_canonical_centrality",
     "llm_dedup_ngram_jaccard", "llm_text_repetition", "llm_doc_chunking",
     "llm_text_inverted_index", "llm_pack_sequences", "llm_decontaminate",
