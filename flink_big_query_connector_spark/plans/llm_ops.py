@@ -4743,11 +4743,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 20
 
-
-@register(
-    "llm_text_bm25",
-    oracle=f"""
-        WITH d AS (
+# CTE chain shared by the BM25 oracle and the RRF hybrid oracle: postings
+# (tf/df), deterministic top-df query terms, corpus stats, 9dp-decimal term
+# partials, per-doc sums, global (score, doc_id) ranking.
+_BM25_SQL_CTES = f"""d AS (
           SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
           WHERE len({_SQL_TOKS}) > 0),
         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -4781,7 +4780,13 @@ _BM25_TOPK = 20
           SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS bm25,
                  CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
                       AS BIGINT) AS rank
-          FROM per)
+          FROM per)"""
+
+
+@register(
+    "llm_text_bm25",
+    oracle=f"""
+        WITH {_BM25_SQL_CTES}
         SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_TOPK}
     """,
     tags=("text", "retrieval"),
@@ -4851,6 +4856,105 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.round(F.col("s").cast("double"), 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (round 7)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_K = 10
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=f"""
+        WITH {_BM25_SQL_CTES},
+        lex AS (SELECT doc_id, rank AS r_lex FROM ranked
+                WHERE rank <= {_BM25_TOPK}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embx),
+        qv AS (SELECT v FROM e WHERE vec_id = 0),
+        dscored AS (
+          SELECT c.vec_id AS doc_id,
+                 round(list_cosine_similarity(c.v, q.v), 6) AS cos
+          FROM e c, qv q WHERE c.vec_id <> 0),
+        dr AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                           AS BIGINT) AS r_dense
+               FROM dscored),
+        dense AS (SELECT doc_id, r_dense FROM dr
+                  WHERE r_dense <= {_BM25_TOPK}),
+        fused AS (
+          SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+                 l.r_lex, dn.r_dense,
+                 CAST(COALESCE(ROUND(CAST(1 AS DOUBLE)
+                      / CAST({_RRF_C} + l.r_lex AS DOUBLE), 9), 0)
+                      AS DECIMAL(20,9))
+                 + CAST(COALESCE(ROUND(CAST(1 AS DOUBLE)
+                        / CAST({_RRF_C} + dn.r_dense AS DOUBLE), 9), 0)
+                        AS DECIMAL(20,9)) AS s
+          FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id),
+        out AS (
+          SELECT doc_id, r_lex, r_dense,
+                 ROUND(CAST(s AS DOUBLE), 6) AS rrf,
+                 CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM fused)
+        SELECT doc_id, r_lex, r_dense, rrf, rank
+        FROM out WHERE rank <= {_RRF_K}
+    """,
+    tags=("text", "retrieval", "similarity"),
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal rank fusion (Cormack et al. 2009):
+    the BM25 top-20 (llm_text_bm25's lexical ranking, reused verbatim)
+    fuses with the dense cosine top-20 around query vector 0 as
+    sum(1/(60+rank)), missing-list membership contributing nothing —
+    the standard way production search merges a sparse and a dense
+    index without score calibration.  Rank reciprocals round to 9dp and
+    sum in the decimal domain, so the fused ordering is hash-exact.
+    Scale shape: both component rankings are already top-k-bounded
+    model-sized lists; the fusion is a 40-row full-outer join — free at
+    any corpus size; all the heavy lifting inherits the component
+    operators' bounded shapes."""
+    from pyspark.sql.types import DecimalType
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    lex = llm_text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    emb = _emb(t)
+    dense = (
+        similarity.brute_force_topk(
+            emb, "vec_id", "embedding",
+            emb.filter(F.col("vec_id") == 0), _BM25_TOPK,
+        )
+        .select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    )
+    zero = F.lit(0).cast(DecimalType(20, 9))
+    recip = lambda col: F.coalesce(  # noqa: E731
+        F.round(
+            F.lit(1).cast("double") / (F.lit(_RRF_C) + F.col(col)).cast("double"),
+            9,
+        ).cast(DecimalType(20, 9)),
+        zero,
+    )
+    fused = lex.join(dense, "doc_id", "full").withColumn(
+        "s", recip("r_lex") + recip("r_dense")
+    )
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_K)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_dense",
+            F.round(F.col("s").cast("double"), 6).alias("rrf"),
             "rank",
         )
     )

@@ -26,6 +26,7 @@ BATCH_SWEEP = [
     "llm_text_gopher_rules",
     "llm_corpus_overlap_matrix",
     "llm_text_bm25",
+    "llm_hybrid_rrf",
     "llm_ann_sq8_rerank",
     "llm_dedup_containment",
     "b07_point_in_time_join",
@@ -299,6 +300,7 @@ NULL_SWEEP = [
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_embedding_project", "llm_ann_recall_eval",
     "llm_ann_recall_matrix",
     "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
+    "llm_hybrid_rrf",
     # streaming replays over dirty events: NULL value/props rows must
     # aggregate and window identically to the batch oracle
     "b21_stream_tumbling_window", "b21_stream_sliding_window",
