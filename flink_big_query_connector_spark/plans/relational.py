@@ -3172,6 +3172,175 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b15_gaps_islands",
+    oracle="""
+        WITH daily AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        numbered AS (
+          SELECT user_id, day,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM daily
+        ),
+        grp AS (
+          SELECT user_id, day,
+                 date_diff('day', TIMESTAMP '1970-01-01', day) - rn AS island
+          FROM numbered
+        )
+        SELECT user_id,
+               CAST(MIN(day) AS TIMESTAMP) AS streak_start,
+               CAST(MAX(day) AS TIMESTAMP) AS streak_end,
+               COUNT(*) AS streak_days
+        FROM grp GROUP BY user_id, island
+    """,
+    tags=("datetime", "timeseries"),
+)
+def b15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive active
+    days (the classic retention-streak query; hypertable/warehouse idiom).
+    The row_number-minus-epoch-day trick turns consecutiveness into a
+    constant group key, so islands fall out of one per-user window plus
+    one hash aggregate.  Scale shape: the window partitions by user_id
+    (bounded by a user's distinct active days, never global), and only
+    (user_id, day) pairs — already distinct-reduced map-side — cross the
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    day = F.date_trunc("day", ts_event_time(t["events"]))
+    daily = t["events"].select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = daily.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("timestamp"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    return grp.groupBy("user_id", "island").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("island")
+
+
+@register(
+    "b15_gap_fill_interpolate",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,4))) AS v
+          FROM events WHERE user_id < 20
+          GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                   FROM daily GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+                  FROM bounds),
+        j AS (SELECT s.user_id, s.day, d.n, d.v
+              FROM spine s LEFT JOIN daily d USING (user_id, day)),
+        ctx AS (
+          SELECT user_id, day, n, v,
+                 last_value(v IGNORE NULLS) OVER wp AS prev_v,
+                 last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER wp AS prev_day,
+                 first_value(v IGNORE NULLS) OVER wn AS next_v,
+                 first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER wn AS next_day
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               ROUND(CASE WHEN n IS NOT NULL THEN CAST(v AS DOUBLE)
+                     ELSE CAST(prev_v AS DOUBLE)
+                          + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                            * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                               / CAST(date_diff('day', prev_day, next_day)
+                                      AS DOUBLE))
+                     END, 6) AS interp_value,
+               (n IS NULL) AS was_gap
+        FROM ctx
+    """,
+    tags=("datetime", "timeseries"),
+)
+def b15_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION (the hypertable
+    ``interpolate`` idiom, complementing b15_gap_fill_locf's carry-forward):
+    gap days take prev + (next - prev) * elapsed/span between the nearest
+    observed days on either side.  Both neighbors always exist because the
+    spine is bounded by each user's observed min/max day.  Exactness: the
+    daily sums are decimal-domain (order-free); the interpolation itself is
+    one double expression evaluated identically in both engines and rounded
+    to 6dp.  Scale shape: per-user windows only (a user's day span), spine
+    rows are generated row-locally by a sequence explode — no shuffle
+    creates the gap rows."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 20)
+    day = F.date_trunc("day", ts_event_time(t["events"]))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec("value", 14, 4)).alias("v")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "n",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast(
+        "double"
+    ) / F.datediff(F.col("next_day"), F.col("prev_day")).cast("double")
+    interp = F.col("prev_v").cast("double") + (
+        F.col("next_v").cast("double") - F.col("prev_v").cast("double")
+    ) * frac
+    return ctx.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.when(F.col("n").isNotNull(), F.col("v").cast("double")).otherwise(
+                interp
+            ),
+            6,
+        ).alias("interp_value"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+@register(
     "b10_snapshot_diff",
     oracle="""
         WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
