@@ -2759,6 +2759,229 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_text_ccnet_buckets",
+    oracle=f"""
+        WITH {_SQL_BIGRAM_CTES},
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(ROUND(ln(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)),
+                            9) AS DECIMAL(20,9)) AS lp
+          FROM dpairs p
+          JOIN bcounts c ON p.w1 = c.w1 AND p.w2 = c.w2
+          JOIN btot t ON p.w1 = t.w1),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(lp) AS DOUBLE) AS sum_lp
+          FROM scored GROUP BY doc_id),
+        avg AS (
+          SELECT d.doc_id, d.lang,
+                 ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                            THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+                     AS avg_logprob
+          FROM documents d LEFT JOIN per USING (doc_id)),
+        tiled AS (
+          SELECT doc_id, lang, avg_logprob,
+                 NTILE(3) OVER (PARTITION BY lang
+                                ORDER BY avg_logprob DESC, doc_id) AS t3
+          FROM avg)
+        SELECT doc_id, lang, avg_logprob,
+               CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS ppl_bucket
+        FROM tiled
+    """,
+    tags=("text", "lm", "quality"),
+)
+def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every document
+    with the corpus bigram LM (the llm_text_logprob recipe — decimal-domain
+    ln sums, order-free exact) and split each language into head / middle /
+    tail tertiles by mean log-probability, the filter CCNet uses to keep
+    only the most-fluent web text per language.
+
+    Determinism: the tertile order key is the ROUNDED 6dp score with a
+    doc_id tiebreak — a total order, so NTILE agrees across engines.
+    Scale shape: LM scoring is the standard (w1,w2) join; the tertile
+    window partitions by language.  At 100 TB a per-language ntile is one
+    sorted reducer per language — real CCNet derives the two cut scores
+    from a SAMPLE and broadcasts them (a map-only bucket pass); this query
+    is the exact-semantics twin the sampled path is validated against."""
+    from pyspark.sql.types import DecimalType
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    dpairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("pair"),
+    ).select("doc_id", "pair.w1", "pair.w2")
+    counts = dpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
+    lp = F.round(
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")), 9
+    ).cast(DecimalType(20, 9))
+    per = (
+        dpairs.join(counts, ["w1", "w2"])
+        .join(tot, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_lp"),
+        )
+    )
+    avg = (
+        t["documents"]
+        .select("doc_id", "lang")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                    F.col("sum_lp") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.col("doc_id")
+    )
+    t3 = F.ntile(3).over(w)
+    return avg.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(t3 == 1, F.lit("head"))
+        .when(t3 == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+@register(
+    "llm_dedup_cdc_chunks",
+    oracle=f"""
+        WITH dtoks AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        flat AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks)),
+                        i -> struct_pack(pos := i, tok := toks[i]))) AS s
+          FROM dtoks WHERE len(toks) > 0),
+        marked AS (
+          SELECT doc_id, s.pos AS pos, s.tok AS tok,
+                 CASE WHEN md5(s.tok) LIKE '0%' THEN 1 ELSE 0 END AS b
+          FROM flat),
+        cids AS (
+          SELECT doc_id, pos, tok,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cid
+          FROM marked),
+        chunks AS (
+          SELECT doc_id, cid,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+                 COUNT(*) AS n_tokens
+          FROM cids GROUP BY doc_id, cid)
+        SELECT md5(chunk_text) AS chunk_hash,
+               CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS first_doc_id
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "chunking"),
+)
+def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the LBFS/FastCDC idiom applied to
+    text): a token is a chunk BOUNDARY iff md5(token) starts with '0'
+    (expected chunk length 16 tokens), the boundary token closes its chunk,
+    and chunks dedup corpus-wide by content hash.  Unlike fixed-width
+    chunking, an insertion early in a document only perturbs the one chunk
+    it lands in — every later boundary re-synchronizes — which is why CDC
+    is the storage-dedup standard.
+
+    Scale shape: chunking is 100% row-local (tokens -> boundary positions
+    -> slice bounds via array higher-order functions, scan -> project ->
+    generate, no per-token shuffle, no window); only (chunk_hash, n_tokens,
+    doc_id) rows reach the one hash aggregate, and the HAVING keeps output
+    to actual duplicates.  The oracle recomputes the same chunks with a
+    per-doc window cumsum — a deliberately different formulation."""
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    # 1-based boundary positions; boundary token ENDS its chunk
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.md5(F.element_at(F.col("toks"), i)).startswith("0"),
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bpos, lambda p: p + F.lit(1))
+    )
+    ends = F.concat(bpos, F.array(F.size("toks")))
+    # zip starts/ends; the trailing (n+1, n) pair appears iff the last
+    # token is itself a boundary — drop it with the s <= e filter
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda c: c["s"] <= c["e"],
+    )
+    per_chunk = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                chunks,
+                lambda c: F.struct(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), c["s"], c["e"] - c["s"] + 1)
+                    ).alias("chunk_text"),
+                    (c["e"] - c["s"] + 1).cast("long").alias("n_tokens"),
+                ),
+            )
+        ).alias("ch"),
+    ).select("doc_id", "ch.chunk_text", "ch.n_tokens")
+    return (
+        per_chunk.select(
+            F.md5(F.col("chunk_text")).alias("chunk_hash"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
 _CLUSTER_QUOTA = 12
 
 
