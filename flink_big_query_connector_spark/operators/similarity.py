@@ -32,6 +32,45 @@ from .dedup import spread
 NUM_PLANES = 8
 
 
+def brute_force_range_search(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Range search: ALL candidates with cosine >= ``threshold`` for each
+    query — the second standard vector-search API next to top-k (radius /
+    epsilon queries: "everything at least this similar", used for
+    duplicate sweeps and recall-oriented retrieval where k is unknowable).
+
+    Scale shape: strictly better than top-k — the query side broadcasts,
+    the threshold filter is applied inside the same projected map stage,
+    and there is NO ranking window and NO shuffle at all; the plan is
+    scan -> broadcast-join -> filter.  Output size is the only cost, by
+    construction of the predicate."""
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+    )
+    c = spread(emb_df).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    pair_cos = dot_product_expr(F.col("qv"), F.col("cv")) / (
+        F.col("qn") * F.col("cn")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(pair_cos, 6))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("query_id", "cand_id", "cos")
+    )
+
+
 def brute_force_topk(
     emb_df: DataFrame,
     id_col: str,

@@ -358,6 +358,35 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_range_search",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embx embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+              FROM embx embeddings)
+        SELECT query_id, cand_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cos
+        FROM q, c
+        WHERE cand_id <> query_id
+          AND round(list_cosine_similarity(qv, cv), 6) >= 0.25
+    """,
+    tags=("similarity",),
+)
+def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (radius query): every candidate with cosine
+    >= 0.25 of each of 10 query vectors — the duplicate-sweep API where k
+    is unknowable in advance.  Unlike top-k there is no ranking window and
+    therefore NO shuffle anywhere: broadcast queries, one corpus pass,
+    predicate applied map-side.  Threshold 0.25 sits at ~p99 of the pair
+    cosine distribution, so output stays selective at every scale."""
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    return similarity.brute_force_range_search(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 10), 0.25
+    )
+
+
+@register(
     "llm_ann_lsh_bucketed",
     oracle=f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

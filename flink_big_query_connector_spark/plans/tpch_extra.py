@@ -549,6 +549,88 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b07_asof_join_tolerance",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts, MAX(value) AS view_value FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts),
+        m AS (SELECT c.event_id, c.user_id, c.ts, v.view_value,
+                     epoch_us(c.ts) - epoch_us(v.ts) AS staleness_us
+              FROM c ASOF LEFT JOIN v
+                ON c.user_id = v.user_id AND v.ts <= c.ts)
+        SELECT event_id, user_id, ts,
+               CASE WHEN staleness_us <= 172800000000
+                    THEN view_value END AS view_value,
+               CAST(staleness_us AS BIGINT) AS staleness_us
+        FROM m
+    """,
+    tags=("join", "asof"),
+)
+def b07_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (the feature-store serving
+    contract: a feature older than the freshness SLA — 2 days here — must
+    not be served, it must read as missing).  Same single tagged-union
+    window pass as b07_asof_join, but the carried state is a (view_ts,
+    view_value) STRUCT so the match's own timestamp survives to evaluate
+    the tolerance — and so a matched-but-NULL view value is faithfully
+    carried (a value-only IGNORE NULLS carry would silently skip to an
+    older view, diverging from ASOF semantics on dirty data).  The raw
+    staleness is kept as an audit column even when the value is nulled."""
+    TOL_US = 172_800_000_000  # 2 days
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("mts", ts_micros(t["events"]))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "mts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "mts",
+            F.lit(0).alias("is_click"),
+            "view_value",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "mts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("mts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(
+                F.col("mts").alias("vmts"), F.col("view_value").alias("vval")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    staleness = F.col("mts") - F.col("match.vmts")
+    return (
+        views.unionByName(clicks)
+        .withColumn("match", carried)
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.col("mts")).alias("ts"),
+            F.when(staleness <= TOL_US, F.col("match.vval")).alias(
+                "view_value"
+            ),
+            staleness.cast("long").alias("staleness_us"),
+        )
+    )
+
+
+@register(
     "b07_asof_join_forward",
     oracle="""
         WITH v AS (
