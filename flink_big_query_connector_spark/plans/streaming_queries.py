@@ -2497,3 +2497,152 @@ def b26_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("PARSE_ERROR").alias("reason"),
     )
     return main.unionByName(dlq)
+
+
+@register(
+    "b26_stream_dlq_replay",
+    oracle="""
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_id % 17 = 0 THEN '{"k":' ELSE props END AS p,
+                 props AS orig
+          FROM events),
+        r AS (
+          SELECT event_id, user_id,
+                 TRY_CAST(CASE WHEN p IS NOT NULL AND json_valid(p)
+                               THEN json_extract_string(p, '$.k') END
+                          AS BIGINT) AS kv,
+                 TRY_CAST(CASE WHEN orig IS NOT NULL AND json_valid(orig)
+                               THEN json_extract_string(orig, '$.k') END
+                          AS BIGINT) AS kv_orig
+          FROM c)
+        SELECT event_id, user_id, 'main' AS destination,
+               kv AS k_value, CAST(NULL AS VARCHAR) AS reason
+        FROM r WHERE kv IS NOT NULL
+        UNION ALL
+        SELECT event_id, user_id, 'main_replayed' AS destination,
+               kv_orig AS k_value, CAST(NULL AS VARCHAR) AS reason
+        FROM r WHERE kv IS NULL AND kv_orig IS NOT NULL
+        UNION ALL
+        SELECT event_id, user_id, 'dlq' AS destination,
+               CAST(NULL AS BIGINT) AS k_value,
+               'PARSE_ERROR' AS reason
+        FROM r WHERE kv IS NULL AND kv_orig IS NULL
+    """,
+    tags=("sink", "errors"),
+)
+def b26_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter REPLAY — the recovery half of b26_stream_deadletter's
+    routing contract: after the streaming pass has quarantined poison rows,
+    a batch backfill re-reads the DLQ, joins it back to the (now fixed)
+    upstream for each row's original payload, re-parses, and merges the
+    recoveries into the main table through the SAME idempotent sink batch
+    path (a disjoint replay-epoch batch id, so re-running the backfill
+    cannot double-append).  Rows whose original payload is genuinely
+    unparseable stay dead-lettered — a replay must converge, not loop.
+    Scale shape: the DLQ is small by construction (the error fraction), so
+    the recovery join broadcasts the DLQ side against the source; the main
+    table is never rewritten, only appended to."""
+    from ..streaming.sinks import DefaultStreamSink
+
+    t = load_tables(spark, sf_dir)
+    backend_root = scratch_dir("fbq_dlqr_")
+    dlq_root = scratch_dir("dlqr_table_")
+    table = "proj.ds.events_main_replay"
+    ev = _events_stream(spark, sf_dir)
+    corrupted = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit('{"k":'))
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    parsed = corrupted.withColumn(
+        "k_value", F.from_json("p", "k BIGINT").getField("k")
+    )
+    sink = DefaultStreamSink(backend_root, table)
+
+    def route(batch_df, batch_id: int) -> None:
+        good = batch_df.filter(F.col("k_value").isNotNull()).select(
+            "event_id", "user_id", "k_value"
+        )
+        bad = batch_df.filter(F.col("k_value").isNull()).select(
+            "event_id", "user_id"
+        )
+        sink.write_batch(good, batch_id)
+        bad.write.mode("overwrite").parquet(
+            os.path.join(dlq_root, f"batch={batch_id}")
+        )
+
+    q = (
+        parsed.writeStream.foreachBatch(route)
+        .option("checkpointLocation", scratch_dir("ckpt_dlqr_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # --- batch backfill: replay the DLQ against the fixed upstream ------
+    batch_dirs = [
+        os.path.join(dlq_root, d)
+        for d in sorted(os.listdir(dlq_root))
+        if d.startswith("batch=")
+    ]
+    dlq_schema = "event_id long, user_id long"
+    if batch_dirs:
+        dlq_first = spark.read.schema(dlq_schema).parquet(*batch_dirs)
+    else:
+        dlq_first = spark.createDataFrame([], dlq_schema)
+    recovered = (
+        t["events"]
+        .select(
+            "event_id", F.from_json("props", "k BIGINT")["k"].alias("k_value")
+        )
+        .join(F.broadcast(dlq_first), "event_id")
+        .select("event_id", "user_id", "k_value")
+    )
+    # Disjoint replay-epoch batch id: idempotent under backfill re-runs,
+    # can never collide with a streaming micro-batch id.
+    _REPLAY_EPOCH = 1_000_000_000
+    sink.write_batch(
+        recovered.filter(F.col("k_value").isNotNull()), _REPLAY_EPOCH
+    )
+    still_dead = recovered.filter(F.col("k_value").isNull()).select(
+        "event_id", "user_id"
+    )
+
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    main = (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, k_value long")
+        .option("root", backend_root)
+        .option("table", table)
+        .load()
+    )
+    replayed_ids = dlq_first.select("event_id")
+    first_pass = main.join(
+        F.broadcast(replayed_ids), "event_id", "left_anti"
+    ).select(
+        "event_id",
+        "user_id",
+        F.lit("main").alias("destination"),
+        "k_value",
+        F.lit(None).cast("string").alias("reason"),
+    )
+    replayed = main.join(F.broadcast(replayed_ids), "event_id").select(
+        "event_id",
+        "user_id",
+        F.lit("main_replayed").alias("destination"),
+        "k_value",
+        F.lit(None).cast("string").alias("reason"),
+    )
+    dead = still_dead.select(
+        "event_id",
+        "user_id",
+        F.lit("dlq").alias("destination"),
+        F.lit(None).cast("long").alias("k_value"),
+        F.lit("PARSE_ERROR").alias("reason"),
+    )
+    return first_pass.unionByName(replayed).unionByName(dead)
