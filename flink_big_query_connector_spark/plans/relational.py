@@ -3172,6 +3172,98 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_ab_welch_ttest",
+    oracle="""
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(*) FILTER (user_id % 2 = 0) AS na,
+                 COUNT(*) FILTER (user_id % 2 = 1) AS nb,
+                 SUM(CAST(value AS DECIMAL(14,4)))
+                     FILTER (user_id % 2 = 0) AS sa,
+                 SUM(CAST(value AS DECIMAL(14,4)))
+                     FILTER (user_id % 2 = 1) AS sb,
+                 SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4)))
+                     FILTER (user_id % 2 = 0) AS ssa,
+                 SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4)))
+                     FILTER (user_id % 2 = 1) AS ssb
+          FROM events GROUP BY event_type),
+        d AS (
+          SELECT event_type, na, nb,
+                 CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                 (CAST(ssa AS DOUBLE)
+                  - CAST(na AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                 / (CAST(na AS DOUBLE) - 1) AS va,
+                 (CAST(ssb AS DOUBLE)
+                  - CAST(nb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                 / (CAST(nb AS DOUBLE) - 1) AS vb
+          FROM m)
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+               ROUND((ma - mb)
+                     / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)),
+                     6) AS t_stat,
+               ROUND(pow(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE), 2)
+                     / (pow(va / CAST(na AS DOUBLE), 2) / (CAST(na AS DOUBLE) - 1)
+                        + pow(vb / CAST(nb AS DOUBLE), 2)
+                          / (CAST(nb AS DOUBLE) - 1)),
+                     6) AS welch_df
+        FROM d
+    """,
+    tags=("stats", "abtest"),
+)
+def b16_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-statistic and
+    Welch-Satterthwaite degrees of freedom per event_type, arms split by
+    user-id parity (the deterministic stand-in for an assignment hash).
+    Everything reduces to FIVE exact decimal moments per (metric, arm) —
+    n, sum(value), sum(value^2) — computed in ONE map-side-combinable hash
+    aggregate with conditional (FILTER) aggregation, so the statistic is
+    order-free exact: the only double arithmetic happens once per OUTPUT
+    row, identically in both engines.  This is the experimentation-platform
+    pattern at any scale — a 100 TB A/B readout is still a one-pass moment
+    sweep, never a per-row t-test."""
+    v = dec("value", 14, 4)
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(a, F.lit(1))).alias("na"),
+            F.count(F.when(b, F.lit(1))).alias("nb"),
+            F.sum(F.when(a, v)).alias("sa"),
+            F.sum(F.when(b, v)).alias("sb"),
+            F.sum(F.when(a, v * v)).alias("ssa"),
+            F.sum(F.when(b, v * v)).alias("ssb"),
+        )
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("ssa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("ssb").cast("double") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / F.sqrt(se2)
+    welch_df = F.pow(se2, 2) / (
+        F.pow(va / na, 2) / (na - 1) + F.pow(vb / nb, 2) / (nb - 1)
+    )
+    return m.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(welch_df, 6).alias("welch_df"),
+    )
+
+
+@register(
     "b15_gaps_islands",
     oracle="""
         WITH daily AS (
