@@ -2904,6 +2904,148 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_text_lm_heldout",
+    oracle=f"""
+        WITH ttoks AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE doc_id % 2 = 0),
+        tpairs AS (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> [toks[i], toks[i + 1]])) AS pair
+          FROM ttoks WHERE len(toks) >= 2),
+        bcounts AS (SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n
+                    FROM tpairs GROUP BY 1, 2),
+        btot AS (SELECT w1, SUM(n) AS total FROM bcounts GROUP BY w1),
+        vocab AS (
+          SELECT COUNT(DISTINCT tok) + 1 AS v FROM
+            (SELECT unnest(toks) AS tok FROM ttoks)),
+        htoks AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE doc_id % 2 = 1),
+        hpairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> [toks[i], toks[i + 1]])) AS pair
+          FROM htoks WHERE len(toks) >= 2),
+        hp AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM hpairs),
+        scored AS (
+          SELECT hp.doc_id,
+                 CAST(ROUND(ln((CAST(COALESCE(c.n, 0) AS DOUBLE) + 1)
+                               / (CAST(COALESCE(t.total, 0) AS DOUBLE)
+                                  + CAST(vb.v AS DOUBLE))), 9)
+                      AS DECIMAL(20,9)) AS lp
+          FROM hp
+          LEFT JOIN bcounts c ON hp.w1 = c.w1 AND hp.w2 = c.w2
+          LEFT JOIN btot t ON hp.w1 = t.w1
+          CROSS JOIN vocab vb),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(lp) AS DOUBLE) AS sum_lp
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               ROUND(COALESCE(sum_lp, 0.0), 6) AS sum_logprob,
+               ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                          THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+                   AS avg_logprob
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "lm"),
+)
+def llm_text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model scoring with add-one smoothing — the
+    train/test discipline llm_text_logprob's self-scoring deliberately
+    skips: the bigram LM trains on even doc_ids only, odd doc_ids are
+    scored as unseen data, and UNSEEN bigrams (including unseen w1) get
+    Laplace mass (c+1)/(total+V) with V = |train vocab|+1 (the OOV
+    bucket).  This is the CCNet/quality-filter production shape — the
+    scoring model must never have seen the data it gates.
+
+    Exactness: all smoothing inputs are exact integers (counts, vocab
+    size), so both engines compute identical doubles; per-bigram ln rounds
+    to 9dp and sums in the decimal domain (the accepted cross-engine
+    recipe).  Scale shape: LEFT joins onto (w1,w2)/(w1) count tables —
+    corpus-linear shuffles; V rides along as a broadcast 1-row aggregate,
+    no driver-side collect anywhere."""
+    from pyspark.sql.types import DecimalType
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+
+    def pairs(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i + 1).alias("w1"),
+                        F.element_at(F.col("toks"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("pair"),
+        ).select("doc_id", "pair.w1", "pair.w2")
+
+    train = (
+        t["documents"]
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", toks.alias("toks"))
+    )
+    tpairs = pairs(train.filter(F.size("toks") >= 2))
+    bcounts = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    btot = bcounts.groupBy("w1").agg(F.sum("n").alias("total"))
+    vocab = (
+        train.select(F.explode("toks").alias("tok"))
+        .agg((F.countDistinct("tok") + 1).alias("v"))
+    )
+    held = (
+        t["documents"]
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", toks.alias("toks"))
+    )
+    hp = pairs(held.filter(F.size("toks") >= 2))
+    p = (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1) / (
+        F.coalesce(F.col("total"), F.lit(0)).cast("double")
+        + F.col("v").cast("double")
+    )
+    lp = F.round(F.log(p), 9).cast(DecimalType(20, 9))
+    per = (
+        hp.join(bcounts, ["w1", "w2"], "left")
+        .join(btot, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_lp"),
+        )
+    )
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.round(F.coalesce(F.col("sum_lp"), F.lit(0.0)), 6).alias(
+                "sum_logprob"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                    F.col("sum_lp") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
     "llm_dedup_cdc_chunks",
     oracle=f"""
         WITH dtoks AS (
