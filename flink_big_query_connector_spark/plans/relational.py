@@ -3172,6 +3172,66 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_benford_audit",
+    oracle="""
+        WITH d AS (
+          SELECT event_type,
+                 CAST(floor(abs(value)
+                      / pow(10, floor(log10(abs(value))))) AS BIGINT)
+                     AS digit
+          FROM events WHERE value > 0),
+        c AS (SELECT event_type, digit, COUNT(*) AS n
+              FROM d GROUP BY 1, 2),
+        t AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY 1)
+        SELECT c.event_type, c.digit, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                   AS observed_frac,
+               ROUND(log10(1 + 1.0 / CAST(c.digit AS DOUBLE)), 6)
+                   AS benford_frac,
+               ROUND(pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                         - log10(1 + 1.0 / CAST(c.digit AS DOUBLE)), 2)
+                     / log10(1 + 1.0 / CAST(c.digit AS DOUBLE))
+                     * CAST(t.total AS DOUBLE), 6) AS chi2_term
+        FROM c JOIN t USING (event_type)
+    """,
+    tags=("stats", "audit"),
+)
+def b16_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit per event_type — the
+    fraud/data-quality screen: observed digit fractions against Benford's
+    log10(1+1/d) expectation, with each digit's chi-square contribution so
+    a reviewer can see WHERE conformance breaks (synthetic uniform values
+    rightly fail it; the query's job is to flag, not to pass).  The digit
+    comes from pure double arithmetic (floor/log10/pow — identical IEEE
+    ops both engines), never from string formatting.  Scale shape: one
+    map-side-combinable count per (type, digit) — 9 rows per type — then a
+    broadcast-sized totals join; a 100 TB audit is one pass."""
+    t = load_tables(spark, sf_dir)
+    v = F.abs(F.col("value"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    c = (
+        t["events"]
+        .filter(F.col("value") > 0)
+        .select("event_type", digit.alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    ben = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit").cast("double"))
+    return c.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_frac"),
+        F.round(ben, 6).alias("benford_frac"),
+        F.round(
+            F.pow(obs - ben, 2) / ben * F.col("total").cast("double"), 6
+        ).alias("chi2_term"),
+    )
+
+
+@register(
     "b16_ab_welch_ttest",
     oracle="""
         WITH m AS (
