@@ -378,7 +378,9 @@ def fixed_centroids(
     )
 
 
-def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def ivf_cells(
+    emb_df: DataFrame, id_col: str, vec_col: str, with_score: bool = False
+) -> DataFrame:
     """Assign every vector to its nearest of N_CENTROIDS fixed centroids.
 
     Centroids are the first N_CENTROIDS vectors by id — deterministic, no
@@ -386,10 +388,12 @@ def ivf_cells(emb_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     without changing the plan shape.  The assignment is a broadcast
     cross-join (corpus never shuffles) + max_by argmax; cosine is rounded
     to 6dp so the argmax is reproducible across engines, ties break to the
-    lower centroid id.
+    lower centroid id.  ``with_score=True`` additionally exposes the
+    assignment cosine as ``cos`` (for QA passes that need the distance,
+    not just the cell).
     """
     cents = fixed_centroids(emb_df, id_col, vec_col)
-    return ivf_cells_with(emb_df, id_col, vec_col, cents)
+    return ivf_cells_with(emb_df, id_col, vec_col, cents, with_score)
 
 
 def ivf_probe_topk(
@@ -519,6 +523,7 @@ def ivf_cells_with(
     id_col: str,
     vec_col: str,
     centroids: list[tuple[int, list]],
+    with_score: bool = False,
 ) -> DataFrame:
     """:func:`ivf_cells` with an explicit (trained) centroid set."""
     v = F.col(vec_col)
@@ -535,11 +540,14 @@ def ivf_cells_with(
                 "ivf: centroid set is empty but the corpus has rows "
                 f"(no ids < N_CENTROIDS={N_CENTROIDS}?)"
             )
-        return emb_df.select(
+        cols = [
             F.col(id_col),
             v.alias("v"),
             F.lit(None).cast("long").alias("cell"),
-        )
+        ]
+        if with_score:
+            cols.append(F.lit(None).cast("double").alias("cos"))
+        return emb_df.select(*cols)
     # One literal array<struct<cvec, cn, nid>> + a single transform:
     # the same plan-size/py4j discipline as the PQ codebooks (16 unrolled
     # cosine trees recomputed norm(v) per centroid).  cn is the Python
@@ -571,11 +579,14 @@ def ivf_cells_with(
         ),
     )
     best = F.array_max(pairs)
-    return spread(emb_df).select(
+    cols = [
         F.col(id_col),
         v.alias("v"),
         (-best["nid"]).cast("long").alias("cell"),
-    )
+    ]
+    if with_score:
+        cols.append(best["c"].alias("cos"))
+    return spread(emb_df).select(*cols)
 
 
 # -- product quantization (PQ) ----------------------------------------------

@@ -358,6 +358,88 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_outliers",
+    oracle="""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embx embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell,
+                 (SELECT MAX(round(list_cosine_similarity(
+                                e.embedding::DOUBLE[], c.cvec), 6))
+                  FROM cents c) AS cos
+          FROM embx e),
+        m AS (
+          SELECT cell, COUNT(*) AS n,
+                 SUM(CAST(cos AS DECIMAL(10,6))) AS s,
+                 SUM(CAST(cos AS DECIMAL(10,6))
+                     * CAST(cos AS DECIMAL(10,6))) AS ss
+          FROM assigned GROUP BY cell),
+        stats AS (
+          SELECT cell, n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 CASE WHEN n > 1 THEN
+                   sqrt((CAST(ss AS DOUBLE)
+                         - CAST(n AS DOUBLE)
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        / (CAST(n AS DOUBLE) - 1))
+                 END AS std
+          FROM m)
+        SELECT a.vec_id, a.cell, a.cos,
+               ROUND((a.cos - st.mean) / st.std, 6) AS z
+        FROM assigned a JOIN stats st USING (cell)
+        WHERE st.std IS NOT NULL AND st.std > 0
+          AND abs((a.cos - st.mean) / st.std) > 2
+    """,
+    tags=("similarity", "quality"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: flag vectors whose cosine to their own IVF centroid
+    is more than 2 sigma from their CELL's mean — the mis-embedded /
+    out-of-distribution screen a pipeline runs before vectors reach the
+    index (a global threshold can't work because cells have different
+    tightness; per-cell z-scores adapt).  The moments are exact decimal
+    sums of the 6dp-rounded assignment cosines (order-free), converted to
+    double once per CELL, so the z cut is bitwise reproducible.  Scale
+    shape: assignment is the broadcast-centroid map pass, the per-cell
+    moments are one 16-row aggregate, and the flagging join broadcasts
+    those 16 rows back — the corpus never shuffles."""
+    from pyspark.sql.types import DecimalType
+
+    t = load_tables(spark, sf_dir)
+    assigned = similarity.ivf_cells(
+        _emb(t), "vec_id", "embedding", with_score=True
+    ).select("vec_id", "cell", "cos")
+    cd = F.col("cos").cast(DecimalType(10, 6))
+    m = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    std = F.when(
+        F.col("n") > 1,
+        F.sqrt((F.col("ss").cast("double") - nd * mean * mean) / (nd - 1)),
+    )
+    stats = m.select("cell", mean.alias("mean"), std.alias("std"))
+    z = (F.col("cos") - F.col("mean")) / F.col("std")
+    return (
+        assigned.join(F.broadcast(stats), "cell")
+        .filter(
+            F.col("std").isNotNull() & (F.col("std") > 0) & (F.abs(z) > 2)
+        )
+        .select("vec_id", "cell", "cos", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
     "llm_ann_range_search",
     oracle="""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
