@@ -199,6 +199,18 @@ BATCH_SWEEP = [
     "llm_dedup_canonical_centrality",
     "llm_ann_recall_matrix",
     "b14_fuzzy_join",
+    # round-7 late additions
+    "b15_gaps_islands",
+    "b15_gap_fill_interpolate",
+    "b16_ab_welch_ttest",
+    "b16_benford_audit",
+    "b07_asof_join_tolerance",
+    "llm_text_ccnet_buckets",
+    "llm_text_lm_heldout",
+    "llm_dedup_cdc_chunks",
+    "llm_ann_range_search",
+    "llm_embedding_outliers",
+    "b26_stream_dlq_replay",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -308,6 +320,15 @@ NULL_SWEEP = [
     "b25_batch_assign_count", "b26_incremental_matview",
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission",
+    # round-7 late additions: NULL text through the LM/chunking family,
+    # NULL value through the moment/interpolation family, NULL props
+    # through the DLQ replay (a null payload must stay dead after the
+    # backfill, not crash it), NULL embeddings through the outlier screen
+    "llm_text_ccnet_buckets", "llm_text_lm_heldout", "llm_dedup_cdc_chunks",
+    "b16_ab_welch_ttest", "b16_benford_audit", "b15_gap_fill_interpolate",
+    "b07_asof_join_tolerance", "b26_stream_dlq_replay",
+    "llm_ann_range_search", "llm_embedding_outliers",
+    "b15_gaps_islands",
 ]
 
 
