@@ -72,6 +72,10 @@ HEADLINE = [
     "llm_ann_sq8_rerank",
     "llm_dedup_containment",
     "b07_point_in_time_join",
+    # final round-7 additions (set 36 -> 38): content-defined chunk dedup
+    # and the zero-shuffle cosine range search
+    "llm_dedup_cdc_chunks",
+    "llm_ann_range_search",
 ]
 
 
