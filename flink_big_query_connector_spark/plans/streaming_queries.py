@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dbl, dec
 from ..sources.tables import load_tables, ts_event_time, ts_micros
-from ..scratch import scratch_dir
+from ..scratch import scratch_dir, unique_name
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -2497,6 +2497,77 @@ def b26_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("PARSE_ERROR").alias("reason"),
     )
     return main.unionByName(dlq)
+
+
+@register(
+    "b26_stream_schema_evolution",
+    oracle="""
+        SELECT event_id, user_id, value,
+               CASE WHEN event_id % 2 = 1 THEN event_type END AS category
+        FROM events
+    """,
+    tags=("sink", "schema"),
+)
+def b26_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream additive schema evolution — A22's ``updateTable``
+    (``schema/SchemaTools.java:87-100``) exercised where it actually
+    happens in production: BETWEEN two deployments of a running ingest.
+    Deployment 1 streams half the events into a 3-column catalog table;
+    the schema then evolves via SchemaTools.update_table (ADD COLUMNS —
+    the reference's additive patch, never a rewrite); deployment 2 resumes
+    ingest writing the new ``category`` column.  The final table serves
+    BOTH generations through the evolved schema — pre-evolution rows read
+    NULL in the new column, exactly the BigQuery additive-evolution
+    contract, with zero data rewritten (old parquet footers simply lack
+    the column).  Scale shape: evolution is a catalog-metadata operation
+    (O(1), no data pass); each deployment is a plain streaming append."""
+    from pyspark.sql.types import StructType
+
+    from ..schema.tools import SchemaTools
+
+    load_tables(spark, sf_dir)
+    tools = SchemaTools(spark)
+    table = unique_name("evo_stream")
+    loc = scratch_dir("evo_tbl_")
+    gen1 = StructType.fromDDL("event_id BIGINT, user_id BIGINT, value DOUBLE")
+    tools.create_table(table, gen1, location=loc)
+
+    def run_phase(df, ckpt: str) -> None:
+        def append(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("append").insertInto(table)
+
+        q = (
+            df.writeStream.foreachBatch(append)
+            .option("checkpointLocation", scratch_dir(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev = _events_stream(spark, sf_dir)
+    run_phase(
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        ),
+        "ckpt_evo1_",
+    )
+    # deployment boundary: additive evolution, metadata-only
+    gen2 = StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, category STRING"
+    )
+    diff = tools.update_table(table, gen2)
+    assert diff["added"] and not diff["dropped"]
+    ev2 = _events_stream(spark, sf_dir)
+    run_phase(
+        ev2.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("event_type").alias("category"),
+        ),
+        "ckpt_evo2_",
+    )
+    return spark.table(table)
 
 
 @register(

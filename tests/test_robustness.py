@@ -211,6 +211,7 @@ BATCH_SWEEP = [
     "llm_ann_range_search",
     "llm_embedding_outliers",
     "b26_stream_dlq_replay",
+    "b26_stream_schema_evolution",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -329,6 +330,7 @@ NULL_SWEEP = [
     "b07_asof_join_tolerance", "b26_stream_dlq_replay",
     "llm_ann_range_search", "llm_embedding_outliers",
     "b15_gaps_islands",
+    "b26_stream_schema_evolution",
 ]
 
 
