@@ -299,6 +299,60 @@ def sql_pii_hits(col_expr: str) -> str:
 # -- Training-sequence preparation -------------------------------------------
 
 
+def cdc_chunks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC idiom on tokens): a token
+    is a chunk BOUNDARY iff md5(token) starts with '0' (expected chunk
+    length 16 tokens); the boundary token closes its chunk.  Unlike
+    fixed-width chunking, an insertion only perturbs chunks up to the next
+    surviving boundary — every later boundary re-synchronizes (asserted by
+    tests/test_llm_operators.py's resync property test), which is what
+    makes CDC the storage-dedup standard.
+
+    100% row-local: tokens -> boundary positions -> slice bounds, all as
+    array higher-order functions (scan -> project -> generate; no per-token
+    shuffle, no window).  Emits ``(id, chunk_text, n_tokens)``.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # 1-based boundary positions; boundary token ENDS its chunk
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.md5(F.element_at(F.col("toks"), i)).startswith("0"),
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bpos, lambda p: p + F.lit(1))
+    )
+    ends = F.concat(bpos, F.array(F.size("toks")))
+    # zip starts/ends; the trailing (n+1, n) pair appears iff the last
+    # token is itself a boundary — drop it with the s <= e filter
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda c: c["s"] <= c["e"],
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                chunks,
+                lambda c: F.struct(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), c["s"], c["e"] - c["s"] + 1)
+                    ).alias("chunk_text"),
+                    (c["e"] - c["s"] + 1).cast("long").alias("n_tokens"),
+                ),
+            )
+        ).alias("ch"),
+    ).select(F.col(id_col), F.col("ch.chunk_text"), F.col("ch.n_tokens"))
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,

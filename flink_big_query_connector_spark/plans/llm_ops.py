@@ -3172,52 +3172,15 @@ def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     it lands in — every later boundary re-synchronizes — which is why CDC
     is the storage-dedup standard.
 
-    Scale shape: chunking is 100% row-local (tokens -> boundary positions
-    -> slice bounds via array higher-order functions, scan -> project ->
-    generate, no per-token shuffle, no window); only (chunk_hash, n_tokens,
-    doc_id) rows reach the one hash aggregate, and the HAVING keeps output
-    to actual duplicates.  The oracle recomputes the same chunks with a
+    Scale shape: chunking is 100% row-local (operators/text.py
+    ``cdc_chunks`` — tokens -> boundary positions -> slice bounds via
+    array higher-order functions, scan -> project -> generate, no
+    per-token shuffle, no window); only (chunk_hash, n_tokens, doc_id)
+    rows reach the one hash aggregate, and the HAVING keeps output to
+    actual duplicates.  The oracle recomputes the same chunks with a
     per-doc window cumsum — a deliberately different formulation."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    base = (
-        t["documents"]
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
-    # 1-based boundary positions; boundary token ENDS its chunk
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda i: F.md5(F.element_at(F.col("toks"), i)).startswith("0"),
-    )
-    starts = F.concat(
-        F.array(F.lit(1)), F.transform(bpos, lambda p: p + F.lit(1))
-    )
-    ends = F.concat(bpos, F.array(F.size("toks")))
-    # zip starts/ends; the trailing (n+1, n) pair appears iff the last
-    # token is itself a boundary — drop it with the s <= e filter
-    chunks = F.filter(
-        F.zip_with(
-            starts,
-            ends,
-            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
-        ),
-        lambda c: c["s"] <= c["e"],
-    )
-    per_chunk = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                chunks,
-                lambda c: F.struct(
-                    F.concat_ws(
-                        " ", F.slice(F.col("toks"), c["s"], c["e"] - c["s"] + 1)
-                    ).alias("chunk_text"),
-                    (c["e"] - c["s"] + 1).cast("long").alias("n_tokens"),
-                ),
-            )
-        ).alias("ch"),
-    ).select("doc_id", "ch.chunk_text", "ch.n_tokens")
+    per_chunk = text.cdc_chunks(t["documents"])
     return (
         per_chunk.select(
             F.md5(F.col("chunk_text")).alias("chunk_hash"),

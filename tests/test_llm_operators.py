@@ -1098,3 +1098,78 @@ def test_bpe_train_batched_matches_sequential_and_cuts_jobs(spark):
     pairs = text.bpe_top_pairs(s0, 2)
     syms = [s for p in pairs for s in (p[0], p[1], p[0] + p[1])]
     assert len(syms) == len(set(syms))
+
+
+# -- content-defined chunking -------------------------------------------------
+
+
+def _boundary(tok: str) -> bool:
+    import hashlib
+
+    return hashlib.md5(tok.encode()).hexdigest().startswith("0")
+
+
+def _mk_tokens(n: int) -> list[str]:
+    """n deterministic tokens with a realistic boundary mix."""
+    return [f"w{i % 37}x{i % 11}" for i in range(n)]
+
+
+def _chunk_multiset(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.cdc_chunks(df).collect()
+    from collections import Counter
+
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, Counter())[r.chunk_text] += 1
+    return per_doc, out
+
+
+def test_cdc_chunks_partition_document_exactly(spark):
+    toks = _mk_tokens(200)
+    assert any(_boundary(t) for t in toks)  # fixture sanity
+    _, out = _chunk_multiset(spark, [(0, " ".join(toks))])
+    # chunks tile the document: token counts sum to the doc length and
+    # every chunk's own word count matches its n_tokens accounting
+    assert sum(r.n_tokens for r in out) == len(toks)
+    for r in out:
+        assert len(r.chunk_text.split(" ")) == r.n_tokens
+    # boundary semantics: every chunk ENDS with a boundary token, except
+    # (possibly) the final partial chunk — so at most one non-terminated
+    # chunk exists per document
+    non_terminated = [
+        r for r in out if not _boundary(r.chunk_text.split(" ")[-1])
+    ]
+    assert len(non_terminated) <= 1
+
+
+def test_cdc_chunks_resync_after_substitution(spark):
+    toks = _mk_tokens(200)
+    edit_pos = 3
+    replacement = "zzz"
+    assert not _boundary(toks[edit_pos]) and not _boundary(replacement)
+    edited = toks[:edit_pos] + [replacement] + toks[edit_pos + 1 :]
+    per_doc, _ = _chunk_multiset(
+        spark, [(0, " ".join(toks)), (1, " ".join(edited))]
+    )
+    only_orig = per_doc[0] - per_doc[1]
+    only_edit = per_doc[1] - per_doc[0]
+    # exactly ONE chunk differs each side: the one containing the edit;
+    # every boundary after it re-synchronizes (the CDC property fixed-width
+    # chunking lacks)
+    assert sum(only_orig.values()) == 1 and sum(only_edit.values()) == 1
+    assert replacement in next(iter(only_edit))
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    toks = _mk_tokens(200)
+    inserted = toks[:3] + ["qqq"] + toks[3:]
+    assert not _boundary("qqq")
+    per_doc, _ = _chunk_multiset(
+        spark, [(0, " ".join(toks)), (1, " ".join(inserted))]
+    )
+    only_orig = per_doc[0] - per_doc[1]
+    only_edit = per_doc[1] - per_doc[0]
+    # an insertion shifts every later POSITION, but chunk CONTENT after the
+    # next boundary is unchanged — one perturbed chunk per side
+    assert sum(only_orig.values()) == 1 and sum(only_edit.values()) == 1
