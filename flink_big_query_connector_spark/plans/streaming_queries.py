@@ -2607,14 +2607,17 @@ def b26_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing contract: after the streaming pass has quarantined poison rows,
     a batch backfill re-reads the DLQ, joins it back to the (now fixed)
     upstream for each row's original payload, re-parses, and merges the
-    recoveries into the main table through the SAME idempotent sink batch
-    path (a disjoint replay-epoch batch id, so re-running the backfill
-    cannot double-append).  Rows whose original payload is genuinely
+    recoveries into the main table.  Rows whose original payload is genuinely
     unparseable stay dead-lettered — a replay must converge, not loop.
+    The backfill writes through the EXACTLY-ONCE BufferedStreamSink under
+    a replay-epoch batch id disjoint from every streaming micro-batch id,
+    and the query deliberately runs the backfill TWICE — the second run
+    must be a committed-batch no-op, so the oracle comparison itself
+    proves backfill idempotence on every execution at every scale.
     Scale shape: the DLQ is small by construction (the error fraction), so
     the recovery join broadcasts the DLQ side against the source; the main
     table is never rewritten, only appended to."""
-    from ..streaming.sinks import DefaultStreamSink
+    from ..streaming.sinks import BufferedStreamSink, DefaultStreamSink
 
     t = load_tables(spark, sf_dir)
     backend_root = scratch_dir("fbq_dlqr_")
@@ -2672,12 +2675,15 @@ def b26_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dlq_first), "event_id")
         .select("event_id", "user_id", "k_value")
     )
-    # Disjoint replay-epoch batch id: idempotent under backfill re-runs,
-    # can never collide with a streaming micro-batch id.
+    # Disjoint replay-epoch batch id: can never collide with a streaming
+    # micro-batch id; the 2PC commit log makes re-running it a no-op.
     _REPLAY_EPOCH = 1_000_000_000
-    sink.write_batch(
-        recovered.filter(F.col("k_value").isNotNull()), _REPLAY_EPOCH
-    )
+    replay_sink = BufferedStreamSink(backend_root, table)
+    good_recovered = recovered.filter(F.col("k_value").isNotNull())
+    replay_sink.write_batch(good_recovered, _REPLAY_EPOCH)
+    # deliberate second run: a retried backfill must not double-append —
+    # the oracle's exact row counts verify this every time the query runs
+    replay_sink.write_batch(good_recovered, _REPLAY_EPOCH)
     still_dead = recovered.filter(F.col("k_value").isNull()).select(
         "event_id", "user_id"
     )
