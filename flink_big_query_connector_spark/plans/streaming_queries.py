@@ -2500,6 +2500,154 @@ def b26_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b18_stream_percentile",
+    oracle="""
+        WITH base AS (
+          SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        tot AS (SELECT g, COUNT(*) AS n FROM base GROUP BY g),
+        hist AS (
+          SELECT g, CAST(FLOOR(v / 25.0) AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM base GROUP BY 1, 2),
+        cum AS (
+          SELECT g, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+                 COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM hist),
+        qual AS (
+          SELECT c.g, t.n, p.p, c.bucket, c.cnt, c.cum_before,
+                 ROW_NUMBER() OVER (PARTITION BY c.g, p.p
+                                    ORDER BY c.bucket) AS rn
+          FROM cum c
+          JOIN tot t ON c.g = t.g
+          CROSS JOIN (VALUES (CAST(0.50 AS DOUBLE)), (CAST(0.90 AS DOUBLE)),
+                              (CAST(0.99 AS DOUBLE))) AS p(p)
+          WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.n AS DOUBLE))
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n, p,
+               ROUND(bucket * 25.0
+                     + 25.0 * (p * CAST(n AS DOUBLE)
+                               - CAST(cum_before AS DOUBLE))
+                       / CAST(cnt AS DOUBLE), 6) AS value_est
+        FROM qual WHERE rn = 1
+    """,
+    tags=("sketch", "streaming"),
+)
+def b18_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percentiles — the monitoring staple (p50/p90/p99 of a
+    metric, maintained while data arrives): each micro-batch folds its
+    per-(group, bucket) equi-width histogram delta into durable
+    :class:`BucketedKeyedState` counts (a replay-guarded non-idempotent
+    merge — a re-delivered batch after checkpoint recovery must no-op,
+    not double-count), and the quantile read interpolates over the MERGED
+    histogram exactly as the batch twin (b18_percentile_histogram) does.
+    The state is bounded by |groups| x |buckets| regardless of stream
+    volume — this is why histogram sketches, not sorted values, are how
+    percentiles are kept at 100 TB/day: the per-batch work is one
+    map-side-combinable count plus a merge over touched hash-buckets of
+    a KB-sized table, and the final read costs O(histogram), never
+    O(data).  Oracle: the batch histogram over the same events —
+    streaming accumulation must lose nothing and count nothing twice."""
+    from pyspark.sql.window import Window
+
+    from ..streaming.keyed_state import BucketedKeyedState
+    from .relational import _PH_W
+
+    load_tables(spark, sf_dir)
+    state = BucketedKeyedState(
+        scratch_dir("stream_pctl_"),
+        key_col="k",
+        # histogram bucket is named hb: the state's own hash-partition
+        # column is called "bucket" and would clobber it on write
+        schema="k string, g string, hb long, cnt long",
+        n_buckets=8,
+    )
+    ev = _events_stream(spark, sf_dir)
+
+    def merge(batch_df, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return  # re-delivered batch: counts must not double-apply
+        delta = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("g"),
+                F.floor(F.col("value").cast("double") / F.lit(_PH_W))
+                .cast("long")
+                .alias("hb"),
+            )
+            .groupBy("g", "hb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "k",
+                F.concat_ws("|", F.col("g"), F.col("hb").cast("string")),
+            )
+            .select("k", "g", "hb", "cnt")
+        )
+        touched = state.touched_buckets(delta)
+        if not touched:
+            return
+        merged = (
+            state.read_buckets(spark, touched)
+            .unionByName(delta)
+            .groupBy("k", "g", "hb")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        state.write_buckets(merged, batch_id, touched)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", scratch_dir("ckpt_pctl_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    hist = state.read_all(spark).select(
+        "g", F.col("hb").alias("bucket"), "cnt"
+    )
+    tot = hist.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
+    wc = Window.partitionBy("g").orderBy("bucket")
+    cum = hist.select(
+        "g",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    ps = spark.createDataFrame([(0.50,), (0.90,), (0.99,)], "p double")
+    qual = (
+        cum.join(tot, "g")
+        .crossJoin(F.broadcast(ps))
+        .filter(
+            F.col("cum").cast("double")
+            >= F.col("p") * F.col("n").cast("double")
+        )
+    )
+    wq = Window.partitionBy("g", "p").orderBy("bucket")
+    est = F.col("bucket") * F.lit(_PH_W) + F.lit(_PH_W) * (
+        F.col("p") * F.col("n").cast("double")
+        - F.col("cum_before").cast("double")
+    ) / F.col("cnt").cast("double")
+    return (
+        qual.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n"),
+            "p",
+            F.round(est, 6).alias("value_est"),
+        )
+    )
+
+
+@register(
     "b26_stream_schema_evolution",
     oracle="""
         SELECT event_id, user_id, value,

@@ -212,6 +212,7 @@ BATCH_SWEEP = [
     "llm_embedding_outliers",
     "b26_stream_dlq_replay",
     "b26_stream_schema_evolution",
+    "b18_stream_percentile",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -331,6 +332,7 @@ NULL_SWEEP = [
     "llm_ann_range_search", "llm_embedding_outliers",
     "b15_gaps_islands",
     "b26_stream_schema_evolution",
+    "b18_stream_percentile",
 ]
 
 
