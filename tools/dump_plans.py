@@ -43,6 +43,13 @@ PICKS = [
     ("llm_dedup_canonical_centrality",
      "similarity-graph centrality — power iterations as shuffle joins on "
      "node ids over the pair graph"),
+    ("llm_ann_range_search",
+     "cosine range search — broadcast queries, map-side threshold, no "
+     "data shuffle (the one RoundRobin Exchange is operators/dedup.py "
+     "spread(), the tiny-test-file fan-out that no-ops at scale)"),
+    ("llm_dedup_cdc_chunks",
+     "content-defined chunk dedup — row-local boundary/slice arrays, "
+     "only (hash, len, id) reaches the one aggregate"),
 ]
 
 
@@ -50,7 +57,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plans", cpus=8, shuffle_partitions=8)
     out = [
-        "# PLANS — physical-plan evidence (sf0.001, round 5)",
+        "# PLANS — physical-plan evidence (sf0.001, round 7)",
         "",
         "`df.explain('formatted')` for representative registry queries; "
         "regenerate",
