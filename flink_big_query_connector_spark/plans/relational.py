@@ -3172,6 +3172,124 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_mann_whitney",
+    oracle="""
+        WITH base AS (
+          SELECT event_type AS g, value AS v,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+          FROM events WHERE value IS NOT NULL),
+        vals AS (
+          SELECT g, v, COUNT(*) AS cnt,
+                 CAST(SUM(in_a) AS BIGINT) AS cnt_a
+          FROM base GROUP BY g, v),
+        ranked AS (
+          SELECT g, v, cnt, cnt_a,
+                 COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM vals),
+        agg AS (
+          SELECT g,
+                 CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+                 CAST(SUM(cnt_a * (2 * cum_before + cnt + 1)) AS BIGINT)
+                     AS r2_a,
+                 CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+          FROM ranked GROUP BY g),
+        stat AS (
+          SELECT g, n_a, n_b,
+                 CAST(r2_a AS DOUBLE) / 2
+                 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS ua,
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab,
+                 CAST(n_a + n_b AS DOUBLE) AS nn,
+                 CAST(tie_term AS DOUBLE) AS tt
+          FROM agg)
+        SELECT g AS event_type, n_a, n_b,
+               ROUND(ua, 6) AS u_a,
+               ROUND(nab - ua, 6) AS u_b,
+               ROUND((ua - nab / 2)
+                     / sqrt(nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))),
+                     6) AS z
+        FROM stat
+    """,
+    tags=("stats", "abtest"),
+)
+def b16_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the rank-based (distribution-free) twin of
+    b16_ab_welch_ttest, with midrank tie handling and the tie-corrected
+    normal approximation z.  All rank arithmetic stays INTEGER-exact:
+    midranks enter doubled (2*cum_before + cnt + 1, always integral), so
+    the rank sum is a plain BIGINT sum — no order-dependent float
+    accumulation anywhere; doubles appear once per OUTPUT row.  Scale
+    shape: ranks are computed over the per-group DISTINCT-VALUE relation
+    (one map-side-combinable count, then a window over the compressed
+    value histogram — never over raw rows), the same compression that
+    makes b18_percentile_histogram scale; a continuous metric at 100 TB
+    gets bucketed first (same shape, coarser values)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("value").alias("v"),
+            F.when(F.col("user_id") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_a"),
+        )
+    )
+    vals = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("in_a").cast("long").alias("cnt_a"),
+    )
+    wc = Window.partitionBy("g").orderBy("v")
+    ranked = vals.select(
+        "g",
+        "cnt",
+        "cnt_a",
+        F.coalesce(
+            F.sum("cnt").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    agg = ranked.groupBy("g").agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ua = F.col("r2_a").cast("double") / 2 - na * (na + 1) / 2
+    nab = na * nb
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    tt = F.col("tie_term").cast("double")
+    z = (ua - nab / 2) / F.sqrt(
+        nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        "n_a",
+        "n_b",
+        F.round(ua, 6).alias("u_a"),
+        F.round(nab - ua, 6).alias("u_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@register(
     "b16_benford_audit",
     oracle="""
         WITH d AS (

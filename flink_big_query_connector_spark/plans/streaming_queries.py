@@ -1229,6 +1229,113 @@ def b26_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "b26_matview_time_travel",
+    oracle="""
+        SELECT 1 AS as_of, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+                   AS total_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-11'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS as_of, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+                   AS total_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-21'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 3 AS as_of, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("sink", "streaming", "matview"),
+)
+def b26_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained materialized view: the merge loop
+    of b26_incremental_matview, but every micro-batch's post-merge state
+    is RETAINED as an immutable snapshot (the versioned-table discipline
+    of VersionedServingTable — old versions are never disturbed), and the
+    query reads the view AS OF each of the three replay epochs.  Because
+    the ordered chunk boundaries are fixed DATES, every snapshot has an
+    exact batch oracle: "the view as of batch k" == "the aggregate over
+    events before boundary k" — which is precisely the auditability
+    time travel exists to provide (reproduce yesterday's dashboard,
+    debug a regression between snapshots).  Scale shape: per batch the
+    shuffle carries one row per event_type and snapshots are model-sized;
+    retention cost is |snapshots| x |keys|, independent of history."""
+    import decimal as _decimal
+    import json as _json
+
+    load_tables(spark, sf_dir)
+    state_dir = scratch_dir("matview_tt_")
+    path = os.path.join(state_dir, "agg.json")
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        partial = (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value", 14, 4)).alias("tv"),
+            )
+            .collect()  # |event_types| rows — model-sized
+        )
+        cur: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = _json.load(f)
+        if cur.get("__last_batch") == batch_id:
+            return  # re-delivered batch: additive merge must no-op
+        for r in partial:
+            k = r["event_type"]
+            n0, tv0 = cur.get(k, (0, "0"))
+            tv = r["tv"] if r["tv"] is not None else _decimal.Decimal(0)
+            cur[k] = (n0 + r["n"], str(_decimal.Decimal(tv0) + tv))
+        cur["__last_batch"] = batch_id
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, path)
+        # retain this batch's post-merge state as an immutable snapshot
+        snap = os.path.join(state_dir, f"snap_{batch_id}.json")
+        tmp = snap + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, snap)
+
+    ev = _events_stream(spark, sf_dir).select("event_type", "value")
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", scratch_dir("ckpt_mvtt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = []
+    for name in sorted(os.listdir(state_dir)):
+        if not name.startswith("snap_"):
+            continue
+        batch_id = int(name[len("snap_"):-len(".json")])
+        with open(os.path.join(state_dir, name)) as f:
+            snap = _json.load(f)
+        for k, v in snap.items():
+            if k == "__last_batch":
+                continue
+            rows.append(
+                (
+                    batch_id + 1,
+                    k,
+                    int(v[0]),
+                    float(_decimal.Decimal(v[1])),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "as_of int, event_type string, n long, total_value double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # B24+ — streaming near-dup suppression against corpus history (round 4)
 # ---------------------------------------------------------------------------

@@ -213,6 +213,8 @@ BATCH_SWEEP = [
     "b26_stream_dlq_replay",
     "b26_stream_schema_evolution",
     "b18_stream_percentile",
+    "b16_mann_whitney",
+    "b26_matview_time_travel",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -333,6 +335,8 @@ NULL_SWEEP = [
     "b15_gaps_islands",
     "b26_stream_schema_evolution",
     "b18_stream_percentile",
+    "b16_mann_whitney",
+    "b26_matview_time_travel",
 ]
 
 
