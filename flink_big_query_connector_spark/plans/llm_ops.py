@@ -358,6 +358,69 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_ivf_build_report",
+    oracle="""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embx embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id,
+                 (SELECT c.centroid_id FROM cents c
+                  ORDER BY round(list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM embx e),
+        sizes AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells,
+                       MAX(n) AS max_n FROM sizes)
+        SELECT s.cell, s.n,
+               ROUND(CAST(s.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                   AS frac,
+               ROUND(CAST(t.max_n AS DOUBLE)
+                     / (CAST(t.total AS DOUBLE) / CAST(t.n_cells AS DOUBLE)),
+                     6) AS imbalance,
+               CAST(16 - t.n_cells AS BIGINT) AS empty_cells
+        FROM sizes s CROSS JOIN tot t
+    """,
+    tags=("similarity", "audit"),
+)
+def llm_ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build acceptance report: per-cell population, each
+    cell's share, the imbalance factor (max cell / mean cell — the number
+    that predicts worst-case probe latency, since a probe reads whole
+    cells), and the empty-cell count (wasted centroids).  This is the
+    capacity-planning readout a team checks BEFORE shipping an index —
+    a skewed build means re-training centroids, not tuning probes.
+    Scale shape: assignment is the broadcast-centroid map pass; the
+    report aggregates 16 rows, and the totals ride along as a broadcast
+    1-row cross join — no driver collect."""
+    t = load_tables(spark, sf_dir)
+    sizes = (
+        similarity.ivf_cells(_emb(t), "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = sizes.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("max_n"),
+    )
+    td = F.col("total").cast("double")
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n",
+        F.round(F.col("n").cast("double") / td, 6).alias("frac"),
+        F.round(
+            F.col("max_n").cast("double")
+            / (td / F.col("n_cells").cast("double")),
+            6,
+        ).alias("imbalance"),
+        (F.lit(16) - F.col("n_cells")).cast("long").alias("empty_cells"),
+    )
+
+
+@register(
     "llm_embedding_outliers",
     oracle="""
         WITH cents AS (

@@ -3172,6 +3172,62 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b11_cumulative_distinct",
+    oracle="""
+        WITH marked AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN ROW_NUMBER() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_types_seen
+        FROM marked
+    """,
+    tags=("window",),
+)
+def b11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an aggregate Spark (and
+    ANSI SQL) cannot express directly in a window frame: mark each row as
+    the FIRST occurrence of its (user, event_type) with one keyed
+    row_number, then a plain cumulative SUM of the marks gives the
+    distinct-so-far count (the feature-engineering staple "how many
+    distinct behaviors had this user shown by event N").  Two per-user
+    windows, both on the same (ts, event_id) total order — one shuffle by
+    user key, never a global window; the distinct state never materializes
+    as a set, so memory per row is O(1) at any cardinality."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    mts = ts_micros(t["events"])
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        "mts", "event_id"
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("mts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = t["events"].withColumn("mts", mts).select(
+        "event_id",
+        "user_id",
+        "mts",
+        F.when(F.row_number().over(wf) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(wc).cast("long").alias("n_types_seen"),
+    )
+
+
+@register(
     "b16_mann_whitney",
     oracle="""
         WITH base AS (

@@ -215,6 +215,8 @@ BATCH_SWEEP = [
     "b18_stream_percentile",
     "b16_mann_whitney",
     "b26_matview_time_travel",
+    "llm_ann_ivf_build_report",
+    "b11_cumulative_distinct",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -337,6 +339,8 @@ NULL_SWEEP = [
     "b18_stream_percentile",
     "b16_mann_whitney",
     "b26_matview_time_travel",
+    "llm_ann_ivf_build_report",
+    "b11_cumulative_distinct",
 ]
 
 
