@@ -3172,6 +3172,55 @@ def b15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b19_null_semantics",
+    oracle="""
+        WITH probe AS (
+          SELECT DISTINCT CASE WHEN user_id % 7 = 0 THEN NULL
+                               ELSE user_id END AS u
+          FROM events WHERE user_id < 30),
+        base AS (SELECT DISTINCT user_id FROM events)
+        SELECT
+          (SELECT COUNT(*) FROM base
+           WHERE user_id IN (SELECT u FROM probe)) AS n_in,
+          (SELECT COUNT(*) FROM base
+           WHERE user_id NOT IN (SELECT u FROM probe)) AS n_not_in,
+          (SELECT COUNT(*) FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.u = b.user_id)) AS n_not_exists
+    """,
+    tags=("subquery", "semantics"),
+)
+def b19_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a query: when the probe set
+    contains a NULL, ``NOT IN`` is never TRUE (x <> NULL is UNKNOWN, and
+    UNKNOWN AND ... stays UNKNOWN), so ``n_not_in`` is 0 while the
+    intended anti-join semantics live in ``NOT EXISTS`` — the single most
+    common silent-wrong-answer migration bug between engines.  Both
+    engines run the identical ANSI three-valued logic, so the oracle
+    pins that this engine DOESN'T diverge on it.  Plan shape: IN/EXISTS
+    compile to (broadcast) semi/anti joins; NOT IN with a nullable probe
+    compiles to the null-aware anti join — all probe-sized builds."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT DISTINCT CASE WHEN user_id % 7 = 0 THEN NULL
+                               ELSE user_id END AS u
+          FROM events WHERE user_id < 30),
+        base AS (SELECT DISTINCT user_id FROM events)
+        SELECT
+          (SELECT COUNT(*) FROM base
+           WHERE user_id IN (SELECT u FROM probe)) AS n_in,
+          (SELECT COUNT(*) FROM base
+           WHERE user_id NOT IN (SELECT u FROM probe)) AS n_not_in,
+          (SELECT COUNT(*) FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.u = b.user_id)) AS n_not_exists
+        """
+    )
+
+
+@register(
     "b11_cumulative_distinct",
     oracle="""
         WITH marked AS (

@@ -217,6 +217,7 @@ BATCH_SWEEP = [
     "b26_matview_time_travel",
     "llm_ann_ivf_build_report",
     "b11_cumulative_distinct",
+    "b19_null_semantics",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -341,6 +342,7 @@ NULL_SWEEP = [
     "b26_matview_time_travel",
     "llm_ann_ivf_build_report",
     "b11_cumulative_distinct",
+    "b19_null_semantics",
 ]
 
 
