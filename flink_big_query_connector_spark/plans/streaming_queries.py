@@ -1293,16 +1293,20 @@ def b26_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tv = r["tv"] if r["tv"] is not None else _decimal.Decimal(0)
             cur[k] = (n0 + r["n"], str(_decimal.Decimal(tv0) + tv))
         cur["__last_batch"] = batch_id
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(cur, f)
-        os.replace(tmp, path)
-        # retain this batch's post-merge state as an immutable snapshot
+        # snapshot FIRST, replay guard second: a crash between the two
+        # re-delivers the batch, which re-derives the identical merge from
+        # the un-advanced state and overwrites the snapshot byte-for-byte;
+        # the reverse order would leave the re-delivery a guard no-op with
+        # this batch's snapshot permanently missing.
         snap = os.path.join(state_dir, f"snap_{batch_id}.json")
         tmp = snap + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(cur, f)
         os.replace(tmp, snap)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(cur, f)
+        os.replace(tmp, path)
 
     ev = _events_stream(spark, sf_dir).select("event_type", "value")
     with _stream_partitions(spark):
