@@ -395,8 +395,12 @@ def llm_ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is the broadcast-centroid map pass; the
     report aggregates 16 rows, and the totals ride along as a broadcast
     1-row cross join — no driver collect."""
+    from ..cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
-    sizes = (
+    # sizes feeds both the totals aggregate and the final join — persist
+    # the 16-row result so the corpus assignment pass runs once
+    sizes = scoped_persist(
         similarity.ivf_cells(_emb(t), "vec_id", "embedding")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -416,7 +420,9 @@ def llm_ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (td / F.col("n_cells").cast("double")),
             6,
         ).alias("imbalance"),
-        (F.lit(16) - F.col("n_cells")).cast("long").alias("empty_cells"),
+        (F.lit(similarity.N_CENTROIDS) - F.col("n_cells"))
+        .cast("long")
+        .alias("empty_cells"),
     )
 
 
@@ -475,10 +481,16 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     those 16 rows back — the corpus never shuffles."""
     from pyspark.sql.types import DecimalType
 
+    from ..cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
-    assigned = similarity.ivf_cells(
-        _emb(t), "vec_id", "embedding", with_score=True
-    ).select("vec_id", "cell", "cos")
+    # assigned feeds the per-cell moments AND the flagging join — persist
+    # so the 16-way unrolled cosine transform runs over the corpus once
+    assigned = scoped_persist(
+        similarity.ivf_cells(
+            _emb(t), "vec_id", "embedding", with_score=True
+        ).select("vec_id", "cell", "cos")
+    )
     cd = F.col("cos").cast(DecimalType(10, 6))
     m = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2838,6 +2850,54 @@ _SQL_BIGRAM_CTES = f"""
 """
 
 
+def _doc_bigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs of every document with >= 2
+    tokens — the shared front end of the bigram-LM family (logprob /
+    ccnet buckets / heldout scoring), kept in ONE place so the token
+    index arithmetic can never drift between them."""
+    toks = text.tokens_expr(F.col("text"))
+    base = (
+        df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("pair"),
+    ).select("doc_id", "pair.w1", "pair.w2")
+
+
+def _bigram_lm_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, n_bigrams, sum_lp) under the SELF-scored corpus
+    bigram LM — the accepted cross-engine exactness recipe (per-bigram
+    ln rounds to 9dp, sums in the decimal domain, converts to double
+    once), shared by llm_text_logprob and llm_text_ccnet_buckets."""
+    from pyspark.sql.types import DecimalType
+
+    dpairs = _doc_bigrams(docs)
+    counts = dpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
+    lp = F.round(
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")), 9
+    ).cast(DecimalType(20, 9))
+    return (
+        dpairs.join(counts, ["w1", "w2"])
+        .join(tot, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_lp"),
+        )
+    )
+
+
 @register(
     "llm_text_logprob",
     oracle=f"""
@@ -2874,42 +2934,8 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: doc bigrams join the corpus LM table on (w1, w2) — one
     corpus-linear shuffle each side, the standard LM-scoring join; the
     per-doc rollup combines map-side."""
-    from pyspark.sql.types import DecimalType
-
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    base = (
-        t["documents"]
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-    )
-    dpairs = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i + 1).alias("w1"),
-                    F.element_at(F.col("toks"), i + 2).alias("w2"),
-                ),
-            )
-        ).alias("pair"),
-    ).select("doc_id", "pair.w1", "pair.w2")
-    counts = dpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
-    lp = F.round(
-        F.log(F.col("n").cast("double") / F.col("total").cast("double")), 9
-    ).cast(DecimalType(20, 9))
-    per = (
-        dpairs.join(counts, ["w1", "w2"])
-        .join(tot, "w1")
-        .select("doc_id", lp.alias("lp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").cast("double").alias("sum_lp"),
-        )
-    )
+    per = _bigram_lm_per_doc(t["documents"])
     return (
         t["documents"]
         .select("doc_id")
@@ -2950,6 +2976,7 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored GROUP BY doc_id),
         avg AS (
           SELECT d.doc_id, d.lang,
+                 COALESCE(n_bigrams, 0) > 0 AS has_lm,
                  ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
                             THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
                      AS avg_logprob
@@ -2957,7 +2984,8 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiled AS (
           SELECT doc_id, lang, avg_logprob,
                  NTILE(3) OVER (PARTITION BY lang
-                                ORDER BY avg_logprob DESC, doc_id) AS t3
+                                ORDER BY has_lm DESC, avg_logprob DESC,
+                                         doc_id) AS t3
           FROM avg)
         SELECT doc_id, lang, avg_logprob,
                CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
@@ -2980,43 +3008,10 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted reducer per language — real CCNet derives the two cut scores
     from a SAMPLE and broadcasts them (a map-only bucket pass); this query
     is the exact-semantics twin the sampled path is validated against."""
-    from pyspark.sql.types import DecimalType
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    base = (
-        t["documents"]
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-    )
-    dpairs = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i + 1).alias("w1"),
-                    F.element_at(F.col("toks"), i + 2).alias("w2"),
-                ),
-            )
-        ).alias("pair"),
-    ).select("doc_id", "pair.w1", "pair.w2")
-    counts = dpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.groupBy("w1").agg(F.sum("n").alias("total"))
-    lp = F.round(
-        F.log(F.col("n").cast("double") / F.col("total").cast("double")), 9
-    ).cast(DecimalType(20, 9))
-    per = (
-        dpairs.join(counts, ["w1", "w2"])
-        .join(tot, "w1")
-        .select("doc_id", lp.alias("lp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").cast("double").alias("sum_lp"),
-        )
-    )
+    per = _bigram_lm_per_doc(t["documents"])
     avg = (
         t["documents"]
         .select("doc_id", "lang")
@@ -3024,6 +3019,9 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
+            # unscoreable (no-bigram) docs must sort LAST, not ride their
+            # 0.0 sentinel into the head tertile — has_lm leads the key
+            (F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0).alias("has_lm"),
             F.round(
                 F.when(
                     F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
@@ -3034,7 +3032,7 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang").orderBy(
-        F.desc("avg_logprob"), F.col("doc_id")
+        F.desc("has_lm"), F.desc("avg_logprob"), F.col("doc_id")
     )
     t3 = F.ntile(3).over(w)
     return avg.select(
@@ -3118,38 +3116,15 @@ def llm_text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = text.tokens_expr(F.col("text"))
 
-    def pairs(df):
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("toks"), i + 1).alias("w1"),
-                        F.element_at(F.col("toks"), i + 2).alias("w2"),
-                    ),
-                )
-            ).alias("pair"),
-        ).select("doc_id", "pair.w1", "pair.w2")
-
-    train = (
-        t["documents"]
-        .filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", toks.alias("toks"))
-    )
-    tpairs = pairs(train.filter(F.size("toks") >= 2))
+    train_docs = t["documents"].filter(F.col("doc_id") % 2 == 0)
+    tpairs = _doc_bigrams(train_docs)
     bcounts = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     btot = bcounts.groupBy("w1").agg(F.sum("n").alias("total"))
     vocab = (
-        train.select(F.explode("toks").alias("tok"))
+        train_docs.select(F.explode(toks).alias("tok"))
         .agg((F.countDistinct("tok") + 1).alias("v"))
     )
-    held = (
-        t["documents"]
-        .filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id", toks.alias("toks"))
-    )
-    hp = pairs(held.filter(F.size("toks") >= 2))
+    hp = _doc_bigrams(t["documents"].filter(F.col("doc_id") % 2 == 1))
     p = (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1) / (
         F.coalesce(F.col("total"), F.lit(0)).cast("double")
         + F.col("v").cast("double")

@@ -3312,9 +3312,13 @@ def b11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g AS event_type, n_a, n_b,
                ROUND(ua, 6) AS u_a,
                ROUND(nab - ua, 6) AS u_b,
-               ROUND((ua - nab / 2)
-                     / sqrt(nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))),
-                     6) AS z
+               CASE WHEN nab > 0
+                         AND nab / 12 * ((nn + 1) - tt / (nn * (nn - 1))) > 0
+                    THEN
+                 ROUND((ua - nab / 2)
+                       / sqrt(nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))),
+                       6)
+               END AS z
         FROM stat
     """,
     tags=("stats", "abtest"),
@@ -3381,16 +3385,17 @@ def b16_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     nab = na * nb
     nn = (F.col("n_a") + F.col("n_b")).cast("double")
     tt = F.col("tie_term").cast("double")
-    z = (ua - nab / 2) / F.sqrt(
-        nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
-    )
+    sig2 = nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
+    # all-tied or one-armed groups have zero variance: NULL z in BOTH
+    # engines (unguarded 0/0 is NULL in Spark, NaN in DuckDB)
+    z = F.when((nab > 0) & (sig2 > 0), F.round((ua - nab / 2) / F.sqrt(sig2), 6))
     return agg.select(
         F.col("g").alias("event_type"),
         "n_a",
         "n_b",
         F.round(ua, 6).alias("u_a"),
         F.round(nab - ua, 6).alias("u_b"),
-        F.round(z, 6).alias("z"),
+        z.alias("z"),
     )
 
 
@@ -3469,7 +3474,7 @@ def b16_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      FILTER (user_id % 2 = 0) AS ssa,
                  SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4)))
                      FILTER (user_id % 2 = 1) AS ssb
-          FROM events GROUP BY event_type),
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
         d AS (
           SELECT event_type, na, nb,
                  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
@@ -3486,14 +3491,23 @@ def b16_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
-               ROUND((ma - mb)
-                     / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)),
-                     6) AS t_stat,
-               ROUND(pow(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE), 2)
-                     / (pow(va / CAST(na AS DOUBLE), 2) / (CAST(na AS DOUBLE) - 1)
-                        + pow(vb / CAST(nb AS DOUBLE), 2)
-                          / (CAST(nb AS DOUBLE) - 1)),
-                     6) AS welch_df
+               CASE WHEN na > 1 AND nb > 1
+                         AND va / CAST(na AS DOUBLE)
+                             + vb / CAST(nb AS DOUBLE) > 0 THEN
+                 ROUND((ma - mb)
+                       / sqrt(va / CAST(na AS DOUBLE)
+                              + vb / CAST(nb AS DOUBLE)), 6)
+               END AS t_stat,
+               CASE WHEN na > 1 AND nb > 1
+                         AND va / CAST(na AS DOUBLE)
+                             + vb / CAST(nb AS DOUBLE) > 0 THEN
+                 ROUND(pow(va / CAST(na AS DOUBLE)
+                           + vb / CAST(nb AS DOUBLE), 2)
+                       / (pow(va / CAST(na AS DOUBLE), 2)
+                          / (CAST(na AS DOUBLE) - 1)
+                          + pow(vb / CAST(nb AS DOUBLE), 2)
+                            / (CAST(nb AS DOUBLE) - 1)), 6)
+               END AS welch_df
         FROM d
     """,
     tags=("stats", "abtest"),
@@ -3515,6 +3529,7 @@ def b16_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     m = (
         t["events"]
+        .filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count(F.when(a, F.lit(1))).alias("na"),
@@ -3531,6 +3546,9 @@ def b16_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = (F.col("ssa").cast("double") - na * ma * ma) / (na - 1)
     vb = (F.col("ssb").cast("double") - nb * mb * mb) / (nb - 1)
     se2 = va / na + vb / nb
+    # degenerate arms (n<=1 or zero pooled variance) yield NULL in BOTH
+    # engines — an unguarded 0/0 is NULL in Spark but NaN in DuckDB
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & (se2 > 0)
     t_stat = (ma - mb) / F.sqrt(se2)
     welch_df = F.pow(se2, 2) / (
         F.pow(va / na, 2) / (na - 1) + F.pow(vb / nb, 2) / (nb - 1)
@@ -3541,8 +3559,8 @@ def b16_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_b"),
         F.round(ma, 6).alias("mean_a"),
         F.round(mb, 6).alias("mean_b"),
-        F.round(t_stat, 6).alias("t_stat"),
-        F.round(welch_df, 6).alias("welch_df"),
+        F.when(ok, F.round(t_stat, 6)).alias("t_stat"),
+        F.when(ok, F.round(welch_df, 6)).alias("welch_df"),
     )
 
 
@@ -3619,10 +3637,10 @@ def b15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx AS (
           SELECT user_id, day, n, v,
                  last_value(v IGNORE NULLS) OVER wp AS prev_v,
-                 last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                 last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
                      OVER wp AS prev_day,
                  first_value(v IGNORE NULLS) OVER wn AS next_v,
-                 first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                 first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
                      OVER wn AS next_day
           FROM j
           WINDOW wp AS (PARTITION BY user_id ORDER BY day
@@ -3632,7 +3650,7 @@ def b15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, CAST(day AS TIMESTAMP) AS day,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
-               ROUND(CASE WHEN n IS NOT NULL THEN CAST(v AS DOUBLE)
+               ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
                      ELSE CAST(prev_v AS DOUBLE)
                           + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
                             * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
@@ -3684,7 +3702,11 @@ def b15_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    # anchors key on v (the VALUE being interpolated), not n: an observed
+    # day whose daily sum is NULL must not advance the day anchor while
+    # the value anchor (IGNORE NULLS over v) stays on an earlier day —
+    # mismatched anchors would skew the interpolation fraction
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
     ctx = j.select(
         "user_id",
         "day",
@@ -3706,7 +3728,7 @@ def b15_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.round(
-            F.when(F.col("n").isNotNull(), F.col("v").cast("double")).otherwise(
+            F.when(F.col("v").isNotNull(), F.col("v").cast("double")).otherwise(
                 interp
             ),
             6,
