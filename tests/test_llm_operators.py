@@ -1173,3 +1173,94 @@ def test_cdc_chunks_resync_after_insertion(spark):
     # an insertion shifts every later POSITION, but chunk CONTENT after the
     # next boundary is unchanged — one perturbed chunk per side
     assert sum(only_orig.values()) == 1 and sum(only_edit.values()) == 1
+
+
+# -- statistical tests: independent pure-Python reference ---------------------
+# The DuckDB oracle shares the SQL formulation; these recompute Welch and
+# Mann-Whitney from raw rows with textbook Python arithmetic — a third,
+# formulation-independent implementation guarding the algebra itself.
+
+
+def _events_rows(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"SELECT event_type, user_id, value FROM "
+            f"'{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_welch_ttest_matches_textbook_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    arms = defaultdict(lambda: ([], []))
+    for et, uid, v in _events_rows(sf_dir):
+        arms[et][uid % 2].append(v)
+    got = {
+        r.event_type: r
+        for r in REGISTRY["b16_ab_welch_ttest"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(arms)
+    for et, (a, b) in arms.items():
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        r = got[et]
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert abs(r.mean_a - ma) < 1e-4 and abs(r.mean_b - mb) < 1e-4
+        assert abs(r.t_stat - t) < 1e-4, (et, r.t_stat, t)
+        assert abs(r.welch_df - df) < 1e-2, (et, r.welch_df, df)
+
+
+def test_mann_whitney_matches_textbook_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    pooled = defaultdict(list)  # et -> [(value, is_a)]
+    for et, uid, v in _events_rows(sf_dir):
+        pooled[et].append((v, uid % 2 == 0))
+    got = {
+        r.event_type: r
+        for r in REGISTRY["b16_mann_whitney"].fn(spark, sf_dir).collect()
+    }
+    for et, rows in pooled.items():
+        rows.sort(key=lambda x: x[0])
+        n = len(rows)
+        # midranks with tie groups
+        ranks = [0.0] * n
+        tie_term = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and rows[j][0] == rows[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            for k in range(i, j):
+                ranks[k] = mid
+            t = j - i
+            tie_term += t**3 - t
+            i = j
+        ra = sum(r for r, (_, ia) in zip(ranks, rows) if ia)
+        na = sum(1 for _, ia in rows if ia)
+        nb = n - na
+        ua = ra - na * (na + 1) / 2.0
+        sig2 = na * nb / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+        z = (ua - na * nb / 2.0) / math.sqrt(sig2)
+        r = got[et]
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert abs(r.u_a - ua) < 1e-4, (et, r.u_a, ua)
+        assert abs(r.u_b - (na * nb - ua)) < 1e-4
+        assert abs(r.z - z) < 1e-4, (et, r.z, z)
