@@ -2850,6 +2850,114 @@ _SQL_BIGRAM_CTES = f"""
 """
 
 
+@register(
+    "llm_text_zipf_audit",
+    oracle=f"""
+        WITH tok AS (
+          SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents),
+        vocab AS (
+          SELECT lang, tok, COUNT(*) AS freq FROM tok GROUP BY lang, tok),
+        ranked AS (
+          SELECT lang, tok, freq,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, tok) AS rnk
+          FROM vocab),
+        xy AS (
+          SELECT lang,
+                 CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9)
+                      AS DECIMAL(12,9)) AS x,
+                 CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9)
+                      AS DECIMAL(12,9)) AS y
+          FROM ranked),
+        m AS (
+          SELECT lang, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM xy GROUP BY lang),
+        d AS (
+          SELECT lang, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+          FROM m)
+        SELECT lang, CAST(n AS BIGINT) AS n_vocab,
+               CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0 THEN
+                 ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+               END AS zipf_slope,
+               CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0 THEN
+                 ROUND((syd - (nd * sxyd - sxd * syd)
+                        / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+               END AS intercept,
+               CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0
+                         AND nd * syyd - syd * syd > 0 THEN
+                 ROUND((nd * sxyd - sxd * syd)
+                       / sqrt((nd * sxxd - sxd * sxd)
+                              * (nd * syyd - syd * syd)), 6)
+               END AS corr
+        FROM d
+    """,
+    tags=("text", "audit"),
+)
+def llm_text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit per language: OLS of ln(freq) on
+    ln(rank) over the vocabulary — natural language sits near slope -1,
+    so a corpus whose slope drifts far from it (template spam flattens
+    the head; OCR noise fattens the tail) fails the linguistic sanity
+    screen before training.  Exactness: ln values round to 9dp decimals
+    and the five OLS moments sum in the decimal domain (the
+    b16_group_regression recipe); degenerate languages (n<=2 or zero
+    variance) yield NULL in both engines.  Scale shape: the rank window
+    runs over the per-language VOCABULARY (already count-compressed
+    map-side), never over raw tokens — the same histogram-first
+    discipline as the percentile family."""
+    from pyspark.sql.types import DecimalType
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    vocab = (
+        t["documents"]
+        .select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "tok")
+    ranked = vocab.withColumn("rnk", F.row_number().over(w))
+    dec9 = DecimalType(12, 9)
+    xy = ranked.select(
+        "lang",
+        F.round(F.log(F.col("rnk").cast("double")), 9).cast(dec9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast(dec9).alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    ok = (F.col("n") > 2) & (varx > 0)
+    slope = (nd * sxyd - sxd * syd) / varx
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n_vocab"),
+        F.when(ok, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(ok, F.round((syd - slope * sxd) / nd, 6)).alias("intercept"),
+        F.when(
+            ok & (vary > 0),
+            F.round((nd * sxyd - sxd * syd) / F.sqrt(varx * vary), 6),
+        ).alias("corr"),
+    )
+
+
 def _doc_bigrams(df: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) adjacent-token pairs of every document with >= 2
     tokens — the shared front end of the bigram-LM family (logprob /

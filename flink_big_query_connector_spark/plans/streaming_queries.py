@@ -1152,6 +1152,37 @@ def b21_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b21_stream_complete_mode",
+    oracle=f"""
+        SELECT {_sql_bucket(_ORACLE_TS, 86400)} AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def b21_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode — the third of the mode triple (append emits
+    once-at-close: b21_stream_tumbling_window; update re-emits changed
+    rows: b21_stream_update_mode): every trigger re-emits the ENTIRE
+    result table, so the sink's final contents simply ARE the full
+    aggregate — the mode a dashboard-refresh sink consumes.  The memory
+    sink replaces the table per trigger, so after AvailableNow replay the
+    table equals the batch aggregate with no post-processing (unlike
+    update mode's MAX-over-emissions reconstruction).  Scale note:
+    complete mode re-emits O(|result|) per trigger — only viable when the
+    aggregate itself is bounded (here |days| x |event types|), which is
+    exactly when dashboards use it."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("etime", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_table(out, "complete")
+
+
+@register(
     "b26_incremental_matview",
     oracle="""
         SELECT event_type, COUNT(*) AS n,

@@ -218,6 +218,8 @@ BATCH_SWEEP = [
     "llm_ann_ivf_build_report",
     "b11_cumulative_distinct",
     "b19_null_semantics",
+    "b21_stream_complete_mode",
+    "llm_text_zipf_audit",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -343,6 +345,8 @@ NULL_SWEEP = [
     "llm_ann_ivf_build_report",
     "b11_cumulative_distinct",
     "b19_null_semantics",
+    "b21_stream_complete_mode",
+    "llm_text_zipf_audit",
 ]
 
 
