@@ -102,3 +102,33 @@ def test_driver_rotation_order_is_derived_from_audit_files():
     # the audit trail exists and some keys are still unaudited -> the
     # window keeps rotating (delete this clause when burndown completes)
     assert last_seen, "no CORRECTNESS_r*.json audit files found"
+
+
+def test_every_batch_registry_key_is_sweep_covered():
+    """A new registry query must land in the robustness BATCH_SWEEP
+    (empty-table + partitioning-invariance; NULL_SWEEP separately where
+    dirty columns apply) — this guard turns the hand-maintained list
+    into a checked invariant instead of reviewer memory.  Streaming
+    prefixes replay chunk streams and have their own machinery (several
+    opt IN anyway); b01_compaction's >=64-row layout precondition raises
+    loudly by design and is the one documented exclusion."""
+    import re
+    from pathlib import Path
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    src = (Path(__file__).parent / "test_robustness.py").read_text()
+    m = re.search(r"BATCH_SWEEP = \[(.*?)\]", src, re.S)
+    swept = set(re.findall(r'"([^"]+)"', m.group(1)))
+    stream_prefixes = (
+        "b21_", "b22_", "b23_", "b24_", "b25_", "b26_", "b28_stream"
+    )
+    excluded = {"b01_compaction"}
+    missing = [
+        k
+        for k in sorted(REGISTRY)
+        if k not in swept
+        and not k.startswith(stream_prefixes)
+        and k not in excluded
+    ]
+    assert not missing, f"registry keys missing from BATCH_SWEEP: {missing}"
