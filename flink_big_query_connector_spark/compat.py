@@ -52,20 +52,24 @@ def enable_bundled_protobuf() -> bool:
             os.path.join(root, "google", "protobuf", "__init__.py")
         ):
             continue
+        # probe the bundle FIRST; the process-wide environment (inherited
+        # by every worker/JVM child) mutates only once the import is known
+        # to work — a broken bundle must not leave a poisoned PYTHONPATH
+        # or a globally disabled protobuf version check behind
+        if root not in sys.path:
+            sys.path.append(root)  # append: never shadow real installs
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            sys.path.remove(root)
+            continue
         # documented protobuf escape hatch for same-major version skew;
         # set via the environment so worker processes inherit it too
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-        if root not in sys.path:
-            sys.path.append(root)  # append: never shadow real installs
         pp = os.environ.get("PYTHONPATH", "")
         if root not in pp.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
                 f"{pp}{os.pathsep}{root}" if pp else root
             )
-        try:
-            import google.protobuf  # noqa: F401
-
-            return True
-        except ImportError:
-            sys.path.remove(root)
+        return True
     return False

@@ -33,6 +33,51 @@ from .text import tokens_expr
 BUCKET_SHIFT = 54
 
 
+def salted_cum_before(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    salt: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """THE two-level exclusive prefix sum (module docstring): ``df`` gains
+    ``cum_before`` = sum of ``value_col`` over all rows strictly before it
+    in salted-hash order, per ``group_cols`` partition (global when empty).
+    Shared by :func:`mix_to_token_budget` and
+    :func:`weighted_systematic_sample` so the (ord_key, id) tie-break,
+    bucket refinement, and empty-frame coalesce can never drift apart."""
+    gc = list(group_cols)
+    base = df.withColumn(
+        "ord_key",
+        hash60_expr(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ),
+    ).withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
+    btot = base.groupBy(*gc, "bucket").agg(F.sum(value_col).alias("_bv"))
+    wb = (
+        Window.partitionBy(*gc)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.withColumn(
+        "_boff", F.coalesce(F.sum("_bv").over(wb), F.lit(0).cast("long"))
+    ).select(*gc, "bucket", "_boff")
+    ww = (
+        Window.partitionBy(*gc, "bucket")
+        .orderBy("ord_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(boff), gc + ["bucket"])
+        .withColumn(
+            "cum_before",
+            F.col("_boff")
+            + F.coalesce(F.sum(value_col).over(ww), F.lit(0).cast("long")),
+        )
+        .drop("_boff")
+    )
+
+
 def mix_to_token_budget(
     df: DataFrame,
     id_col: str,
@@ -55,34 +100,10 @@ def mix_to_token_budget(
         F.col(id_col),
         F.col(group_col),
         F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
-        hash60_expr(
-            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-        ).alias("ord_key"),
-    ).withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
-
-    btot = base.groupBy(group_col, "bucket").agg(
-        F.sum("n_tokens").alias("btok")
-    )
-    wb = (
-        Window.partitionBy(group_col)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = btot.withColumn(
-        "bucket_off", F.coalesce(F.sum("btok").over(wb), F.lit(0).cast("long"))
-    ).select(group_col, "bucket", "bucket_off")
-
-    ww = (
-        Window.partitionBy(group_col, "bucket")
-        .orderBy("ord_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        base.join(F.broadcast(boff), [group_col, "bucket"])
-        .withColumn(
-            "cum_before",
-            F.col("bucket_off")
-            + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0).cast("long")),
+        salted_cum_before(
+            base, id_col, "n_tokens", salt, group_cols=(group_col,)
         )
         .filter(F.col("cum_before") < F.lit(budget_tokens))
         .select(id_col, group_col, "n_tokens", "cum_before")
@@ -119,40 +140,16 @@ def weighted_systematic_sample(
         df.select(
             F.col(id_col),
             F.col(weight_col).cast("long").alias("w"),
-            hash60_expr(
-                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-            ).alias("ord_key"),
         )
         # a zero-weight item occupies a zero-width segment and can never
         # cover a stratum boundary, so dropping it is semantics-preserving
         # — and it keeps W > 0 whenever any weighted item exists (the
         # all-zero corpus would otherwise hit ANSI integer div-by-zero)
         .filter(F.col("w") > 0)
-        .withColumn("bucket", F.shiftright(F.col("ord_key"), BUCKET_SHIFT))
     )
-
-    btot = base.groupBy("bucket").agg(F.sum("w").alias("bw"))
-    # global window over <= 64 bucket rows — single tiny partition
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.withColumn(
-        "bucket_off", F.coalesce(F.sum("bw").over(wb), F.lit(0).cast("long"))
-    ).select("bucket", "bucket_off")
-
     total = base.agg(F.sum("w").alias("total_w"))
-
-    ww = (
-        Window.partitionBy("bucket")
-        .orderBy("ord_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = (
-        base.join(F.broadcast(boff), "bucket")
-        .withColumn(
-            "cum_before",
-            F.col("bucket_off")
-            + F.coalesce(F.sum("w").over(ww), F.lit(0).cast("long")),
-        )
-        .crossJoin(F.broadcast(total))
+    cum = salted_cum_before(base, id_col, "w", salt).crossJoin(
+        F.broadcast(total)
     )
     n_picks = F.expr(
         f"((cum_before + w) * {int(k)}) div total_w"

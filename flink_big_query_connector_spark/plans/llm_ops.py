@@ -4293,14 +4293,18 @@ _RP_DIM_IN, _RP_DIM_OUT = 64, 8
 def _rp_matrix() -> list[list[float]]:
     """Deterministic Rademacher (+/-1) projection matrix, md5-seeded —
     the same fixed-literal model discipline as the PQ codebooks; both
-    engines receive the identical literal rows."""
+    engines receive the identical literal rows.  Salted ``jl:`` — the
+    LSH plane weights (operators/similarity.py ``_plane_weights``) own
+    the ``rp:`` namespace with a DIFFERENT bit rule; two fixed models
+    must never share a salt namespace or "deduplicating" them silently
+    changes one family's frozen outputs."""
     import hashlib
 
     return [
         [
             1.0
             if int(
-                hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest(), 16
+                hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest(), 16
             )
             % 2
             == 0
@@ -4979,15 +4983,21 @@ def llm_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.hashing import hash60_expr
 
+    from ..cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     toks = text.tokens_expr(F.col("text"))
-    btok = docs.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id",
-        F.pmod(
-            hash60_expr(F.concat(F.lit("dsir:"), F.col("tok"))),
-            F.lit(_DSIR_B),
-        ).alias("bucket"),
+    # btok feeds THREE branches (global totals, per-bucket stats, the
+    # scoring join) — persist so the tokenize+hash pass runs once
+    btok = scoped_persist(
+        docs.select("doc_id", F.explode(toks).alias("tok")).select(
+            "doc_id",
+            F.pmod(
+                hash60_expr(F.concat(F.lit("dsir:"), F.col("tok"))),
+                F.lit(_DSIR_B),
+            ).alias("bucket"),
+        )
     )
     is_t = F.col("doc_id") % 5 == 0
     tot = btok.agg(
@@ -5149,7 +5159,7 @@ _GOPHER_MAX_WORDS = 100_000
                  CAST(len(toks) AS BIGINT) AS n_words,
                  CASE WHEN len(toks) > 0 THEN round(
                      CAST(list_sum(list_transform(toks, t ->
-                          CAST(strlen(t) AS BIGINT))) AS DOUBLE)
+                          CAST(length(t) AS BIGINT))) AS DOUBLE)
                      / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END
                      AS mean_word_len,
                  CASE WHEN len(toks) > 0 THEN round(

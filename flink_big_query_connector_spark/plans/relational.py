@@ -4038,15 +4038,22 @@ def _zvalue_col(x: F.Column, y: F.Column) -> F.Column:
 
     Bit i of x lands at position 2i, bit i of y at 2i+1; the 32 terms
     have disjoint bits so plain addition assembles the code inside one
-    whole-stage-codegen span (no UDF).
+    whole-stage-codegen span (no UDF).  Each extracted bit casts to LONG
+    BEFORE the shift: shifting an INT by 31 lands on the 32-bit sign bit
+    (z(0, 32768) would come out negative and diverge from _zvalue_py).
     """
     terms = []
     for i in range(_Z_BITS):
         terms.append(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            F.shiftleft(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+            )
         )
         terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"),
+                2 * i + 1,
+            )
         )
     z = terms[0]
     for term in terms[1:]:

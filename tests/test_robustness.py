@@ -562,6 +562,10 @@ UNICODE_SWEEP = [
     "llm_doc_chunking", "llm_pack_sequences", "llm_quality_classifier",
     "llm_quality_percentile", "llm_vocab_coverage", "llm_batch_by_length",
     "llm_multimodal_meta", "llm_corpus_shard", "llm_text_quality_filter",
+    # char-vs-byte length regressions (the gopher strlen bug's class)
+    "llm_text_gopher_rules", "llm_text_bm25", "llm_text_dsir",
+    "llm_text_ccnet_buckets", "llm_text_lm_heldout", "llm_dedup_cdc_chunks",
+    "llm_text_zipf_audit",
 ]
 
 _UNICODE_SNIPPETS = [

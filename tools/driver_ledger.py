@@ -12,8 +12,9 @@ Usage:  python tools/driver_ledger.py
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from flink_big_query_connector_spark.plans import registry  # noqa: E402
 
