@@ -82,8 +82,11 @@ def bloom_prune(df: DataFrame, key: Column, words: list[int]) -> DataFrame:
     higher-order ``forall`` here runs interpreted, ~2x slower on a wide
     scan).  The word array is one constant-folded array literal —
     ``element_at`` against it is a codegen'd global load, not a per-row
-    array build.  Rows with NULL keys are dropped, same as the
-    equi-join they pre-filter.  Output columns == input columns."""
+    array build.  Rows with NULL keys are dropped (explicit isNotNull —
+    xxhash64 treats NULL as a no-op and returns the seed hash, which
+    would otherwise give NULL keys valid bit positions that can pass the
+    filter), same as the equi-join they pre-filter.  Output columns ==
+    input columns."""
     cols = df.columns
     arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
     pos_cols = {
@@ -95,7 +98,7 @@ def bloom_prune(df: DataFrame, key: Column, words: list[int]) -> DataFrame:
         for i in range(BLOOM_K)
     )
     return (
-        spread(df)
+        spread(df.filter(key.isNotNull()))
         .withColumns(pos_cols)
         .withColumn("_bf_words", F.expr(arr_sql))
         .filter(F.expr(cond))

@@ -212,6 +212,34 @@ def _sql_bucket(col: str, seconds: int, offset_s: int = 0) -> str:
     )
 
 
+# Watermark ledger for the b23 late-data side-output router.  Module-level
+# (not closed over) so the replay/idempotence contract is unit-testable:
+# tests/test_streaming_queries.py pins both properties.
+
+
+def _ledger_record(cum: dict[int, int | None], batch_id: int,
+                   hi: int | None) -> None:
+    """Record max-event-time-through-``batch_id`` into the ledger.
+
+    ``hi`` is the batch's own max (None for an empty batch).  Keyed by
+    batch_id: a re-delivered batch (task retry) recomputes the SAME value
+    and overwrites its own entry — idempotent — instead of appending a
+    duplicate that would shift every later positional lookup."""
+    prev = cum.get(batch_id - 1)
+    cum[batch_id] = (
+        prev if hi is None else (hi if prev is None else max(prev, hi))
+    )
+
+
+def _ledger_watermark(cum: dict[int, int | None], batch_id: int,
+                      delay_us: int) -> int | None:
+    """Filter watermark for ``batch_id``: max through batch_id-2, minus
+    the delay — the two-batch lag Spark's own late-event filter applies
+    (eviction lags one batch, the filter one more)."""
+    base = cum.get(batch_id - 2)
+    return base - delay_us if base is not None else None
+
+
 # ---------------------------------------------------------------------------
 # B21 — tumbling & sliding event-time windows
 # ---------------------------------------------------------------------------
@@ -633,13 +661,17 @@ def b23_stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's aggregation operator never exposes the rows it drops, so the
     router reproduces the engine's own two-phase watermark IN foreachBatch:
-    the filter watermark for batch N is max(event time through batch N-1)
-    minus the delay — the one-batch lag Spark itself applies — and a row
-    is late when its 6-hour window end is at or below it.  Integer-micros
-    arithmetic end to end; per-batch dead-letter dirs are overwrite-
-    idempotent under replay.  The oracle derives the same set from the
-    replay schedule: the withheld old rows whose window closed against
-    the on-time watermark."""
+    the filter watermark for batch N is max(event time through batch N-2)
+    minus the delay — the two-batch lag Spark's own late-event filter
+    applies (eviction lags one batch, the filter one more; see
+    ``_write_chunks``' late-scheme note) — and a row is late when its
+    6-hour window end is at or below it.  Integer-micros arithmetic end
+    to end; per-batch dead-letter dirs are overwrite-idempotent under
+    replay, and the watermark ledger is keyed by batch_id so a
+    re-delivered batch overwrites its own entry instead of corrupting
+    later lookups.  The oracle derives the same set from the replay
+    schedule: the withheld old rows whose window closed against the
+    on-time watermark."""
     load_tables(spark, sf_dir)
     ev = _events_stream(spark, sf_dir, scheme="late")
     store = scratch_dir("late_dlq_")
@@ -647,8 +679,11 @@ def b23_stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FILTER watermark lags eviction by one batch (the filter applied at
     # batch N is max event time through batch N-2, minus the delay —
     # see _write_chunks' late scheme note), so the router replays that
-    # exact two-batch lag.
-    state = {"cum_max": []}
+    # exact two-batch lag.  Keyed by batch_id (not list order): if the
+    # engine re-invokes foreachBatch for a batch_id (task retry), the
+    # recompute overwrites that id's own entry — deterministic and
+    # idempotent — instead of shifting every later lookup.
+    state = {"cum_max": {}}
     delay_us = 3600 * _US
     win_us = 21600 * _US
 
@@ -656,8 +691,7 @@ def b23_stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         us = ts_micros(batch_df).alias("us")
         rows = batch_df.select("event_id", us)
         cum = state["cum_max"]
-        base = cum[batch_id - 2] if batch_id >= 2 else None
-        wm = base - delay_us if base is not None else None
+        wm = _ledger_watermark(cum, batch_id, delay_us)
         if wm is not None:
             win_start = (F.floor(F.col("us") / win_us) * win_us).cast("long")
             late = rows.filter(
@@ -670,10 +704,16 @@ def b23_stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             late.write.mode("overwrite").parquet(
                 os.path.join(store, f"b{batch_id}")
             )
+        # Deliberate per-batch scalar recompute (one aggregate job whose
+        # result is a single collected row — negligible at any scale):
+        # Spark exposes its own watermark only through
+        # StreamingQueryProgress, which is published AFTER the batch
+        # completes and whose update timing differs across engine
+        # versions; recomputing the ledger from the data keeps the late
+        # contract deterministic under checkpoint replay.  Contract
+        # pinned by tests/test_streaming_queries.py (DLQ router ledger).
         hi = rows.agg(F.max("us")).collect()[0][0]
-        prev = cum[-1] if cum else None
-        cur = prev if hi is None else (hi if prev is None else max(prev, hi))
-        cum.append(cur)
+        _ledger_record(cum, batch_id, hi)
 
     ckpt = scratch_dir("ckpt_dlq_")
     with _stream_partitions(spark):

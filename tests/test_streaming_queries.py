@@ -372,3 +372,33 @@ def test_scd2_merge_replay_does_not_lose_closures(spark, tmp_path):
     # a genuinely new batch still applies
     merge(events([(1, "c", 300, 3)]), 2)
     assert closed_rows() == [(1, "a", 100, 200), (1, "b", 200, 300)]
+
+
+def test_dlq_router_ledger_contract():
+    """Pins the b23 side-output watermark ledger (VERDICT r7 task 5 /
+    ADVICE r7): (a) two-batch lag — the filter watermark for batch N is
+    max event time through batch N-2 minus the delay; (b) re-delivery of
+    a batch_id (task retry) is a pure overwrite, leaving every later
+    lookup unchanged; (c) an empty batch carries the prior max forward."""
+    delay = 3_600 * sq._US
+    cum: dict[int, int | None] = {}
+
+    sq._ledger_record(cum, 0, 100 * sq._US)
+    sq._ledger_record(cum, 1, 50 * sq._US)   # regression: max carries
+    sq._ledger_record(cum, 2, None)          # empty batch
+    sq._ledger_record(cum, 3, 200 * sq._US)
+
+    # two-batch lag: batch 0/1 have no watermark; batch 3 sees batch 1's
+    # cumulative max (still 100s — batch 1's own max was lower)
+    assert sq._ledger_watermark(cum, 0, delay) is None
+    assert sq._ledger_watermark(cum, 1, delay) is None
+    assert sq._ledger_watermark(cum, 2, delay) == 100 * sq._US - delay
+    assert sq._ledger_watermark(cum, 3, delay) == 100 * sq._US - delay
+    assert sq._ledger_watermark(cum, 4, delay) == 100 * sq._US - delay
+    assert sq._ledger_watermark(cum, 5, delay) == 200 * sq._US - delay
+
+    # re-delivery (same batch_id, same data) changes nothing downstream
+    before = dict(cum)
+    sq._ledger_record(cum, 1, 50 * sq._US)
+    assert cum == before
+    assert sq._ledger_watermark(cum, 3, delay) == 100 * sq._US - delay
