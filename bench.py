@@ -76,6 +76,8 @@ HEADLINE = [
     # and the zero-shuffle cosine range search
     "llm_dedup_cdc_chunks",
     "llm_ann_range_search",
+    # round-8 addition (set 38 -> 39): per-record multi-table routing sink
+    "b26_sink_multi_table",
 ]
 
 

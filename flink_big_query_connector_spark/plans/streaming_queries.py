@@ -929,6 +929,70 @@ def b26_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b26_sink_multi_table",
+    oracle="""
+        SELECT event_id, user_id, value,
+               'proj.ds.ev_' || event_type AS sink_table
+        FROM events
+    """,
+    tags=("sink",),
+)
+def b26_sink_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record multi-table routing (reference ``BigQueryRecord
+    .getTable()`` / ``Rows.table`` — ``model/BigQueryRecord.java:7``,
+    ``model/Rows.java:9-22``, ``process/RowBatcher.java:22,28-30``): one
+    event stream fans into one table per event_type inside a single
+    ``foreachBatch``, each partition task batching per table and driving
+    one WriterPool append chain per table group.  Read-back re-attaches
+    each row's table name, so the UNION equals the source WITH its
+    routing column — proving every row landed in exactly its own table
+    (no loss, no duplication, no cross-table bleed)."""
+    from ..streaming.config import BatchTriggerSettings
+    from ..streaming.sinks import MultiTableSink
+
+    load_tables(spark, sf_dir)
+    backend_root = scratch_dir("fbq_mt_")
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.concat(F.lit("proj.ds.ev_"), F.col("event_type")).alias("sink_table"),
+    )
+    sink = MultiTableSink(
+        backend_root,
+        "sink_table",
+        trigger=BatchTriggerSettings(max_count=500, max_bytes=256 * 1024),
+    )
+    q = sink.start(ev, scratch_dir("ckpt_mt_"), available_now=True)
+    q.awaitTermination()
+    # read back every table the router created (the backend's catalog is
+    # the source of truth for what was routed where), re-attaching the
+    # table name; distributed connector reads, one small scan per table
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    tables_dir = os.path.join(backend_root, "tables")
+    tables = sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
+    parts = [
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, value double")
+        .option("root", backend_root)
+        .option("table", t)
+        .load()
+        .withColumn("sink_table", F.lit(t))
+        for t in tables
+    ]
+    if not parts:
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, value double, sink_table string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "b26_stream_state_offsets",
     oracle="""
         SELECT user_id, COUNT(*) AS end_offset

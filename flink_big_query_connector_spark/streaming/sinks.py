@@ -305,6 +305,109 @@ class DefaultStreamSink:
 
 
 # ---------------------------------------------------------------------------
+# At-least-once: per-record multi-table routing
+# ---------------------------------------------------------------------------
+
+
+class MultiTableSink:
+    """At-least-once sink that routes EACH RECORD to its own table.
+
+    The reference's records carry their destination: ``BigQueryRecord
+    .getTable()`` (``model/BigQueryRecord.java:7``), the batch envelope
+    carries the table (``model/Rows.java:9-22``), and ``RowBatcher`` takes
+    it from the first element of each keyed batch
+    (``process/RowBatcher.java:22,28-30`` — upstream ``keyBy`` guarantees
+    single-table batches; ``RowBatcherTest.java:31-40`` asserts the
+    per-table envelopes).  Spark analogue: the destination is a COLUMN.
+    One stream fans into N tables inside a single ``foreachBatch``; no
+    per-table query, no repartition.
+
+    Per partition task, rows stream once through a per-table open-envelope
+    map — the RowBatcher made incremental: each table it encounters gets
+    its own count/size-triggered batch, flushed through a ``WriterPool``
+    whose cache key is the table's full default-stream path
+    (``Rows.defaultStream`` naming), so writers fan out per table exactly
+    like the reference's per-subtask writer map (A9).  Memory per task is
+    bounded by (#tables seen by the task) x (one trigger-sized batch);
+    routing fan-out in practice is tens of tables, so no
+    ``sortWithinPartitions`` pass is spent making table runs contiguous.
+    Serialization is JVM-side ``to_json`` over the data columns (A17);
+    the routing column itself stays out of the payload.
+    """
+
+    def __init__(
+        self,
+        backend_root: str,
+        table_col: str,
+        settings: WriterSettings | None = None,
+        trigger: BatchTriggerSettings | None = None,
+        metrics=None,
+    ):
+        self.backend_root = backend_root
+        self.table_col = table_col
+        self.settings = settings or WriterSettings()
+        self.trigger = trigger or BatchTriggerSettings()
+        self.metrics = metrics
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..sources.fake_bigquery import default_stream_name
+
+        ensure_package_on_executors(df.sparkSession)
+        root = self.backend_root
+        settings, trigger = self.settings, self.trigger
+        metrics = self.metrics
+        data_cols = [c for c in df.columns if c != self.table_col]
+        routed = df.select(
+            F.col(self.table_col).cast("string").alias("t"),
+            F.to_json(F.struct(*data_cols)).alias("j"),
+        )
+
+        def write_partition(rows_iter):
+            pool = WriterPool(
+                lambda: FakeBigQuery(root),
+                settings.streams_per_table,
+                settings.enable_connection_pool,
+            )
+            open_batches: dict[str, list[str]] = {}
+            open_bytes: dict[str, int] = {}
+
+            def flush(table: str) -> None:
+                chunk = open_batches.pop(table)
+                open_bytes.pop(table)
+                # cache key = full stream path (embeds the table, as the
+                # reference's writer map does); the append itself targets
+                # the table's bare ``_default`` stream
+                writer = pool.writer(default_stream_name(table))
+                write_with_retry(
+                    writer, table, DEFAULT_STREAM, chunk, -1, settings,
+                    metrics=metrics,
+                )
+
+            for table, payload in rows_iter:
+                batch = open_batches.setdefault(table, [])
+                batch.append(payload)
+                open_bytes[table] = (
+                    open_bytes.get(table, 0) + json_size_of(payload)
+                )
+                if (
+                    len(batch) >= trigger.max_count
+                    or open_bytes[table] >= trigger.max_bytes
+                ):
+                    flush(table)
+            for table in list(open_batches):
+                flush(table)
+
+        routed.foreachPartition(write_partition)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
+        return _start_foreach_batch(
+            self.write_batch, stream_df, checkpoint_dir, **options
+        )
+
+
+# ---------------------------------------------------------------------------
 # Exactly-once: buffered streams + two-phase commit
 # ---------------------------------------------------------------------------
 

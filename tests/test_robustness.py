@@ -220,6 +220,8 @@ BATCH_SWEEP = [
     "b19_null_semantics",
     "b21_stream_complete_mode",
     "llm_text_zipf_audit",
+    # round-8 additions
+    "b26_sink_multi_table",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -529,6 +531,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b26_stream_state_native_tws",
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission", "b26_stream_deadletter",
+    "b26_sink_multi_table",
 ]
 
 

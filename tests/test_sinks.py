@@ -522,3 +522,63 @@ def test_stream_metrics_concurrent_updates_lose_nothing():
     assert sm.seq == total
     assert sm.split_batch_count == total
     assert abs(sm.inflight_wait_seconds - total * 0.001) < 1e-6
+
+
+# -- multi-table routing (BigQueryRecord.getTable / Rows.table) ---------------
+
+
+def test_multi_table_sink_routes_each_row_to_its_table(spark, sf_dir, tmp_path):
+    """Reference contract: each record names its destination table
+    (model/BigQueryRecord.java:7, model/Rows.java:9-22); RowBatcherTest
+    .java:31-40 asserts per-table envelopes.  Every row must land in
+    exactly the table its routing column names — no loss, no duplication,
+    no cross-table bleed — and the routing column itself stays out of the
+    written payload."""
+    from flink_big_query_connector_spark.streaming.sinks import MultiTableSink
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('ev_', event_type) AS dest"
+    )
+    sink = MultiTableSink(
+        root, "dest", FAST,
+        BatchTriggerSettings(max_count=100, max_bytes=1 << 20),
+    )
+    sink.write_batch(events, 0)
+
+    bq = FakeBigQuery(root)
+    expected = {
+        f"ev_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    total = 0
+    for table, n in expected.items():
+        got = bq.read_rows(table)
+        assert len(got) == n
+        # no bleed: every row in ev_X is an X row
+        assert {r["event_type"] for r in got} == {table[3:]}
+        # payload = data columns only; the routing column is not written
+        assert set(got[0].keys()) == {"event_id", "event_type"}
+        total += len(got)
+    assert total == events.count()
+
+
+def test_multi_table_sink_trigger_splits_within_each_table(spark, tmp_path):
+    """A tiny count trigger forces multiple appends per table out of one
+    interleaved partition; per-table totals stay exact (each flush is a
+    single-table envelope by construction, as in RowBatcher)."""
+    from flink_big_query_connector_spark.streaming.sinks import MultiTableSink
+
+    root = str(tmp_path / "bq")
+    # one partition, tables interleaved row by row
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "id long, dest string"
+    ).coalesce(1)
+    sink = MultiTableSink(
+        root, "dest", FAST, BatchTriggerSettings(max_count=4, max_bytes=1 << 20)
+    )
+    sink.write_batch(df, 0)
+    bq = FakeBigQuery(root)
+    for t in ("t0", "t1", "t2"):
+        got = sorted(r["id"] for r in bq.read_rows(t))
+        assert got == [i for i in range(30) if i % 3 == int(t[1])]
