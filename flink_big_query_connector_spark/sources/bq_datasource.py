@@ -379,6 +379,15 @@ class _RangeSplit(InputPartition):
 
 
 class FakeBigQueryReader(DataSourceReader):
+    """Batch reader over (stream, row-range) splits.
+
+    Filters push down (``pushFilters``); columns do NOT — the Python
+    DataSource API has no ``pruneColumns`` hook, so ``read()`` always
+    ships ``out_schema``-wide Arrow batches and a post-``load`` select
+    prunes JVM-side only.  Server-side pruning = narrow the schema via
+    the ``fields`` option or an explicit ``.schema(...)`` (see
+    :class:`FakeBigQueryDataSource`)."""
+
     def __init__(self, schema: StructType, options: dict):
         self.out_schema = schema
         self.root = options["root"]
@@ -754,7 +763,20 @@ class FakeBigQueryDataSource(DataSource):
 
     Options: ``root`` (backend directory), ``table``, ``partitions`` (read
     parallelism), ``only_visible`` (read uncommitted rows when false),
+    ``fields`` (comma-separated server-side field list, below),
     ``batch_rows`` / ``max_append_bytes`` (writer chunking).
+
+    **Column-width contract.** The PySpark DataSource API has no
+    ``pruneColumns`` hook, so a ``.select(...)`` placed AFTER ``.load()``
+    cannot narrow what crosses the Python->JVM Arrow boundary: the reader
+    always materializes and ships its full reader schema, and Spark
+    projects afterwards.  To prune server-side — the ``selected_fields``
+    of a real Storage READ API session — narrow the reader schema itself,
+    either with ``option("fields", "a,b")`` (subsets the catalog schema,
+    in the requested order) or by passing an explicit narrow
+    ``.schema(...)``.  Both paths reach the Arrow JSON parser as an
+    explicit schema with ``unexpected_field_behavior="ignore"``, so
+    unlisted columns are never parsed, materialized, or transferred.
     """
 
     @classmethod
@@ -769,7 +791,24 @@ class FakeBigQueryDataSource(DataSource):
 
     def schema(self) -> StructType:
         opts = self._opts()
-        return _load_schema(opts["root"], opts["table"])
+        full = _load_schema(opts["root"], opts["table"])
+        if "fields" not in opts:
+            return full
+        # server-side field list (Storage READ API selected_fields): the
+        # catalog schema narrows BEFORE the reader exists, so unlisted
+        # columns never reach the Arrow parse or the JVM transfer
+        by_name = {f.name: f for f in full.fields}
+        names = [s.strip() for s in str(opts["fields"]).split(",") if s.strip()]
+        unknown = [n for n in names if n not in by_name]
+        if unknown:
+            raise ValueError(
+                f"fakebigquery: fields option names unknown columns "
+                f"{unknown}; table '{opts['table']}' has "
+                f"{sorted(by_name)}"
+            )
+        if not names:
+            raise ValueError("fakebigquery: fields option is empty")
+        return StructType([by_name[n] for n in names])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FakeBigQueryReader(schema, self._opts())

@@ -410,3 +410,51 @@ def test_stream_read_incremental(spark, root, tmp_path):
         assert spark.table(name).count() == 36
     finally:
         q.stop()
+
+
+# -- server-side field list (selected_fields analogue) ------------------------
+
+
+def test_fields_option_narrows_schema_and_order(spark, root):
+    """``fields=`` is the Storage READ API ``selected_fields`` analogue:
+    the catalog schema narrows before the reader exists, in the requested
+    order, so unlisted columns never cross the Arrow boundary.  (Python
+    DSv2 has no pruneColumns hook — a post-load .select() cannot do
+    this; the column-width contract is documented on the DataSource.)"""
+    _write(_sample_df(spark), root, "p/d/t")
+    back = _read(spark, root, "p/d/t", fields="score,id")
+    assert [f.name for f in back.schema.fields] == ["score", "id"]
+    assert back.schema["id"].dataType == LongType()
+    assert back.schema["score"].dataType == DoubleType()
+    got = {r["id"]: r["score"] for r in back.collect()}
+    assert got == {i: float(i) / 2 for i in range(100)}
+
+
+def test_fields_option_composes_with_filter_pushdown(spark, root):
+    _write(_sample_df(spark), root, "p/d/t")
+    back = _read(spark, root, "p/d/t", fields="id").filter("id < 10")
+    assert sorted(r["id"] for r in back.collect()) == list(range(10))
+
+
+def test_fields_option_unknown_column_raises(spark, root):
+    _write(_sample_df(spark), root, "p/d/t")
+    with pytest.raises(Exception, match="unknown columns"):
+        _read(spark, root, "p/d/t", fields="id,nope").collect()
+
+
+def test_explicit_narrow_schema_prunes_equivalently(spark, root):
+    """The second server-side pruning path: an explicit narrow schema is
+    the reader schema, so the Arrow parse materializes only its fields
+    (unexpected_field_behavior='ignore')."""
+    _write(_sample_df(spark), root, "p/d/t")
+    back = (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("name string")
+        .option("root", root)
+        .option("table", "p/d/t")
+        .load()
+    )
+    assert back.columns == ["name"]
+    assert set(r["name"] for r in back.collect()) == {
+        f"name_{i}" for i in range(7)
+    }

@@ -1264,3 +1264,24 @@ def test_mann_whitney_matches_textbook_python(spark, sf_dir):
         assert abs(r.u_a - ua) < 1e-4, (et, r.u_a, ua)
         assert abs(r.u_b - (na * nb - ua)) < 1e-4
         assert abs(r.z - z) < 1e-4, (et, r.z, z)
+
+
+def test_bpe_train_batched_registry_happy_path(spark, sf_dir):
+    """Warning-free batched training on the real corpus: one distributed
+    count learns BOTH requested merges (the K-per-pass batching actually
+    exercises), and the registry query surfaces them non-empty."""
+    import warnings
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        row = (
+            REGISTRY["llm_bpe_train_batched"].fn(spark, sf_dir)
+            .select("merge1", "merge2")
+            .first()
+        )
+    assert row["merge1"] != "" and row["merge2"] != ""
+    # each merge is "a b" — two learned pair halves
+    assert len(row["merge1"].split(" ")) == 2
+    assert len(row["merge2"].split(" ")) == 2

@@ -10,6 +10,15 @@ from pyspark.sql import functions as F
 from flink_big_query_connector_spark.cache import release_caches
 from flink_big_query_connector_spark.plans import REGISTRY
 
+# The degenerate sweeps FEED queries empty/dirty corpora on purpose, so
+# bpe_train_batched's documented short-list warning (no adjacent pairs
+# on an empty corpus) is EXPECTED here, not suite noise.  The happy-path
+# twin (test_llm_operators.py::test_bpe_train_batched_registry_happy_path)
+# runs warnings-as-errors and asserts both merges learn.
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:bpe_train_batched. corpus has no adjacent pairs"
+)
+
 # Every batch-family query in the registry, shared by the empty-table
 # and partitioning-invariance sweeps below; streaming/connector queries
 # replay chunk files and have their own machinery, and b01_compaction's
