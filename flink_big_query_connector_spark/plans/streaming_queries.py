@@ -993,6 +993,70 @@ def b26_sink_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b26_sink_multi_table_eo",
+    oracle="""
+        SELECT event_id, user_id, value,
+               'proj.ds.eo_' || event_type AS sink_table
+        FROM events
+    """,
+    tags=("sink",),
+)
+def b26_sink_multi_table_eo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE per-record multi-table routing — the reference's
+    buffered writer takes stream AND table from every envelope
+    (``sink/buffered/BigQueryBufferedSinkWriter.java:53-58``), so one
+    2PC sink serves N destination tables and a batch commits atomically
+    across all of them.  Events fan into one table per event_type
+    through per-(table, batch, partition) BUFFERED streams; after the
+    run, a committed batch id is REPLAYED in-query (write_batch with an
+    already-committed id) to prove the no-op path through the oracle —
+    the read-back UNION still equals the source exactly once, per
+    table."""
+    from ..streaming.sinks import MultiTableBufferedSink
+
+    load_tables(spark, sf_dir)
+    backend_root = scratch_dir("fbq_mteo_")
+    route_col = F.concat(
+        F.lit("proj.ds.eo_"), F.col("event_type")
+    ).alias("sink_table")
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value", route_col
+    )
+    sink = MultiTableBufferedSink(backend_root, "sink_table")
+    q = sink.start(ev, scratch_dir("ckpt_mteo_"), available_now=True)
+    q.awaitTermination()
+    # replay a committed batch id with the full source: exactly-once
+    # means this is a no-op — proven by the oracle equality below
+    replay = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "value", route_col)
+    )
+    sink.write_batch(replay, 0)
+    from ..sources import bq_datasource as dsrc
+
+    dsrc.register(spark)
+    tables_dir = os.path.join(backend_root, "tables")
+    tables = sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
+    parts = [
+        spark.read.format(dsrc.SOURCE_NAME)
+        .schema("event_id long, user_id long, value double")
+        .option("root", backend_root)
+        .option("table", t)
+        .load()
+        .withColumn("sink_table", F.lit(t))
+        for t in tables
+    ]
+    if not parts:
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, value double, sink_table string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "b26_stream_state_offsets",
     oracle="""
         SELECT user_id, COUNT(*) AS end_offset

@@ -557,6 +557,92 @@ class BufferedStreamSink:
         )
 
 
+class MultiTableBufferedSink(BufferedStreamSink):
+    """Exactly-once 2PC with per-record table routing.
+
+    The reference's buffered writer is already per-envelope-table: every
+    append takes stream AND table from the ``Rows`` envelope
+    (``sink/buffered/BigQueryBufferedSinkWriter.java:53-58`` —
+    ``rows.getStream(), rows.getTable()``), so one exactly-once sink
+    serves any number of destination tables.  Spark analogue: the
+    destination is a column; each partition task groups its rows by
+    table and appends each group to its own deterministic BUFFERED
+    stream ``b{batchId}-p{partitionId}`` UNDER THAT TABLE, at
+    offset-checked positions.  The commit protocol is unchanged — one
+    commit log entry per batch covers every (table, stream) pair the
+    batch touched, so a batch becomes visible atomically across ALL its
+    destination tables (the reference's committer collects exactly such
+    per-table committables from ``prepareCommit``,
+    ``BigQueryBufferedSinkWriter.java:193-199``).
+
+    Replay safety is inherited: deterministic stream names per
+    (table, batch, partition), ALREADY_EXISTS trimming absorbs partial
+    first attempts, the partition-layout manifest pins the batch's
+    layout, and a committed batch id is a no-op.  The commit log is
+    keyed by the SINK (routing column), not a table — one sink, one
+    log."""
+
+    def __init__(
+        self,
+        backend_root: str,
+        table_col: str,
+        settings: WriterSettings | None = None,
+        metrics=None,
+    ):
+        super().__init__(
+            backend_root, table=f"__routed__{table_col}", settings=settings,
+            metrics=metrics,
+        )
+        self.table_col = table_col
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay of a committed batch: exactly-once no-op
+
+        from pyspark.sql import functions as F
+
+        ensure_package_on_executors(df.sparkSession)
+        root, settings = self.backend_root, self.settings
+        metrics = self.metrics
+        data_cols = [c for c in df.columns if c != self.table_col]
+        routed = df.select(
+            F.col(self.table_col).cast("string").alias("t"),
+            F.to_json(F.struct(*data_cols)).alias("j"),
+        )
+
+        def write_partition(pid: int, rows_iter):
+            by_table: dict[str, list[str]] = {}
+            for t, j in rows_iter:
+                by_table.setdefault(t, []).append(j)
+            if not by_table:
+                return iter(())
+            client = FakeBigQuery(root)
+            out = []
+            for table, rows in by_table.items():
+                stream = client.create_write_stream(
+                    table, "BUFFERED",
+                    name=f"{table}/streams/b{batch_id}-p{pid}",
+                )
+                write_with_retry(
+                    client, table, stream, rows, 0, settings,
+                    metrics=metrics,
+                )
+                end = client.get_write_stream(table, stream).offset
+                out.append((table, stream, end))
+            return iter(out)
+
+        self._check_partitioning(batch_id, routed.rdd.getNumPartitions())
+        committables = routed.rdd.mapPartitionsWithIndex(
+            write_partition
+        ).collect()
+        # commit phase: one flush per (table, stream), then ONE atomic
+        # batch record — the batch appears in every destination table
+        # together or (on replay after a crash here) idempotently again
+        for table, stream, end in committables:
+            self.client.flush_rows(table, stream, end - 1)
+        self._record_commit(batch_id, committables)
+
+
 # ---------------------------------------------------------------------------
 # Async at-least-once
 # ---------------------------------------------------------------------------

@@ -231,6 +231,7 @@ BATCH_SWEEP = [
     "llm_text_zipf_audit",
     # round-8 additions
     "b26_sink_multi_table",
+    "b26_sink_multi_table_eo",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -540,7 +541,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b26_stream_state_native_tws",
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission", "b26_stream_deadletter",
-    "b26_sink_multi_table",
+    "b26_sink_multi_table", "b26_sink_multi_table_eo",
 ]
 
 

@@ -582,3 +582,80 @@ def test_multi_table_sink_trigger_splits_within_each_table(spark, tmp_path):
     for t in ("t0", "t1", "t2"):
         got = sorted(r["id"] for r in bq.read_rows(t))
         assert got == [i for i in range(30) if i % 3 == int(t[1])]
+
+
+def test_multi_table_buffered_sink_exactly_once_replay(spark, sf_dir, tmp_path):
+    """Reference parity: the buffered writer takes stream AND table from
+    each envelope (BigQueryBufferedSinkWriter.java:53-58) — one 2PC sink,
+    N tables, atomic per-batch commit.  Replaying a committed batch id
+    must be a no-op across EVERY destination table."""
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('eo_', event_type) AS dest"
+    )
+    expected = {
+        f"eo_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    sink = MultiTableBufferedSink(root, "dest", FAST)
+    sink.write_batch(events, 7)
+    bq = FakeBigQuery(root)
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+    sink.write_batch(events, 7)  # replay: exactly-once no-op, all tables
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+
+
+def test_multi_table_buffered_sink_trims_partial_write(spark, sf_dir, tmp_path):
+    """Crash between executor appends and driver commit with MULTIPLE
+    destination tables: the replay must trim each table's own
+    b{batch}-p{pid} streams and commit all tables without duplicates."""
+    import json as _json
+
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('eo_', event_type) AS dest"
+    ).repartition(4)
+    expected = {
+        f"eo_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    sink = MultiTableBufferedSink(root, "dest", FAST)
+
+    # pre-commit half: per-table appends land, commit never recorded
+    def write_only(pid, rows_iter):
+        by_table = {}
+        for r in rows_iter:
+            by_table.setdefault(r["dest"], []).append(
+                _json.dumps(
+                    {"event_id": r["event_id"], "event_type": r["event_type"]},
+                    sort_keys=True,
+                )
+            )
+        client = FakeBigQuery(root)
+        for table, rows_ in by_table.items():
+            stream = client.create_write_stream(
+                table, "BUFFERED", name=f"{table}/streams/b3-p{pid}"
+            )
+            write_with_retry(client, table, stream, rows_, 0, FAST)
+        return iter(())
+
+    events.rdd.mapPartitionsWithIndex(write_only).collect()
+    bq = FakeBigQuery(root)
+    for table in expected:
+        assert bq.table_count(table) == 0  # nothing visible pre-commit
+    assert not sink.is_committed(3)
+
+    sink.write_batch(events, 3)  # the replay: trims every table's streams
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+    assert sink.is_committed(3)
