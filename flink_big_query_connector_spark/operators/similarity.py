@@ -680,12 +680,15 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: list[list[tuple[int, list[float]]]],
+    keep_cols: list[str] = (),
 ) -> DataFrame:
     """Encode every vector as one code per subspace (argmin rounded-6dp
     squared L2, ties to the lowest code) — 64 floats become
     ``n_subspaces`` small ints.  Pure map stage: codebooks are plan
     literals, no join, no shuffle; the output is the compressed
-    representation ADC search reads INSTEAD of the embeddings."""
+    representation ADC search reads INSTEAD of the embeddings.
+    ``keep_cols`` pass through unchanged (e.g. the IVF ``cell`` so the
+    IVFPQ index carries coarse + fine codes from ONE map stage)."""
     v = F.col(vec_col)
     n_subspaces = len(codebooks)
     if any(not cb for cb in codebooks):
@@ -703,6 +706,7 @@ def pq_encode(
                 F.lit(None).cast("long").alias(f"c{s}")
                 for s in range(n_subspaces)
             ],
+            *[F.col(c) for c in keep_cols],
         )
     cols = [F.col(id_col)]
     for s, cb in enumerate(codebooks):
@@ -717,6 +721,7 @@ def pq_encode(
             lambda d, code: F.struct(d.alias("d"), code.alias("code")),
         )
         cols.append(F.array_min(pairs)["code"].cast("long").alias(f"c{s}"))
+    cols.extend(F.col(c) for c in keep_cols)
     return spread(emb_df).select(*cols)
 
 
@@ -775,6 +780,70 @@ def pq_adc_topk(
             F.col(id_col).alias("cand_id"),
             dist.alias("dist"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist", "rank")
+    )
+
+
+def ivfpq_adc_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ top-k (the FAISS ``IVFPQ`` serving shape): coarse cell
+    prune + asymmetric-distance ranking over PQ codes.
+
+    The index is ONE map stage over the corpus — nearest-centroid cell
+    (argmax over the literal centroid array) plus per-subspace PQ codes
+    (argmin over the literal codebooks) — yielding a (cell, c0..c3)
+    table of ~12 bytes/vector.  At 100 TB that table is written
+    partitioned by ``cell``; a probe reads ONE partition per query
+    (partition pruning) and ranks candidates with 4 lookups into the
+    query's broadcast 64-entry distance table, so neither the
+    embeddings nor other cells are ever scanned.  Both prune levels are
+    deterministic (6dp-rounded argmax/argmin, ties low), keeping the
+    approximate result hash-exact against the mirrored SQL oracle."""
+    n_codes = len(codebooks[0])
+    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
+    if n_codes == 0:
+        return emb_df.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, dist double, rank long"
+        )
+    index = pq_encode(
+        cells.select(id_col, F.col("v").alias(vec_col), "cell"),
+        id_col, vec_col, codebooks, keep_cols=["cell"],
+    )
+    segments = []
+    for s, cb in enumerate(codebooks):
+        sublen = len(cb[0][1])
+        subq = F.slice(F.col("qv"), s * sublen + 1, sublen)
+        segments.append(_l2sq_to_codes(subq, _cb_struct_array(cb)))
+    q = (
+        cells.join(query_df.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+        .select(
+            "query_id", "cell", F.flatten(F.array(*segments)).alias("dt")
+        )
+    )
+    dist = (
+        F.element_at("dt", F.col("c0").cast("int") + 1)
+        + F.element_at("dt", F.lit(n_codes) + F.col("c1").cast("int") + 1)
+        + F.element_at("dt", F.lit(2 * n_codes) + F.col("c2").cast("int") + 1)
+        + F.element_at("dt", F.lit(3 * n_codes) + F.col("c3").cast("int") + 1)
+    )
+    scored = (
+        index.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("cand_id"), dist.alias("dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("cand_id")

@@ -2415,6 +2415,80 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_ivfpq",
+    oracle=f"""
+        WITH {_sql_pq_ctes()},
+        cents2 AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embx embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT x.vec_id,
+                 (SELECT c.centroid_id FROM cents2 c
+                  ORDER BY round(list_cosine_similarity(x.v, c.cvec), 6)
+                               DESC,
+                           c.centroid_id
+                  LIMIT 1) AS cell
+          FROM e x
+        ),
+        q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cell
+              FROM assigned a JOIN e ON e.vec_id = a.vec_id
+              WHERE a.vec_id < 10),
+        {",".join(
+            f'''dt{s} AS (
+              SELECT q.query_id, cb.code,
+                     round(list_dot_product(
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}],
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}])
+                           - 2.0 * list_dot_product(
+                               q.qv[{s * _PQ_SUBLEN + 1}:{(s + 1) * _PQ_SUBLEN}],
+                               cb.c)
+                           + list_dot_product(cb.c, cb.c), 6) AS d
+              FROM q CROSS JOIN cb{s} cb)'''
+            for s in range(_PQ_SUB)
+        )},
+        scored AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 dt0.d + dt1.d + dt2.d + dt3.d AS dist
+          FROM codes c
+          JOIN assigned a ON a.vec_id = c.vec_id
+          JOIN q ON q.cell = a.cell
+          JOIN dt0 ON dt0.code = c.c0 AND dt0.query_id = q.query_id
+          JOIN dt1 ON dt1.code = c.c1 AND dt1.query_id = q.query_id
+          JOIN dt2 ON dt2.code = c.c2 AND dt2.query_id = q.query_id
+          JOIN dt3 ON dt3.code = c.c3 AND dt3.query_id = q.query_id
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, cand_id, dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dist ASC, cand_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, cand_id, dist, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "compression"),
+)
+def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval (operators/similarity.py::ivfpq_adc_topk — the
+    FAISS IVFPQ serving shape): the coarse quantizer prunes each probe
+    to ONE cell (1/16 of the corpus), then PQ asymmetric distance ranks
+    the survivors with 4 lookups per candidate into the query's
+    broadcast distance table.  The index — (cell, c0..c3), ~12
+    bytes/vector from one map stage — is all a probe scans at 100 TB
+    (cell-partitioned layout + code columns; embeddings untouched).
+    Deterministic two-level pruning keeps even this doubly-approximate
+    ranking hash-exact against the mirrored oracle."""
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    cbs = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", _PQ_SUB, _PQ_CODES
+    )
+    return similarity.ivfpq_adc_topk(
+        emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 10), cbs, 5,
+    )
+
+
+@register(
     "llm_ann_filtered",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label

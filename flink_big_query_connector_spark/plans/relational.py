@@ -3220,6 +3220,47 @@ def b19_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE h(custkey, depth) AS (
+      SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, h.depth + 1
+      FROM customer c
+      JOIN h ON CAST(FLOOR((c.c_custkey - 1) / 2) AS BIGINT) = h.custkey
+      WHERE c.c_custkey > 0
+    )
+    SELECT h.depth,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM h JOIN customer c ON c.c_custkey = h.custkey
+    GROUP BY h.depth
+"""
+
+
+@register(
+    "b19_recursive_cte",
+    oracle=_RECURSIVE_CTE_SQL,
+    tags=("subquery", "recursive"),
+)
+def b19_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): hierarchy traversal over
+    the implicit referral tree parent(c) = floor((c-1)/2) rooted at
+    customer 0, rolled up per depth with decimal-domain balance sums.
+    Identical ANSI SQL runs on both engines (FLOOR before the BIGINT
+    cast — DuckDB's double->BIGINT cast rounds while Spark's truncates).
+
+    Scale shape: the recursion runs ceil(log2(n_customers)) iterations
+    — each one equi-join of the frontier (one tree level) against the
+    customer table, so total work is O(n log n) joins with frontier-
+    sized builds; depth grows only logarithmically with the table (14
+    levels at sf0.1, 24 at a trillion rows), far under the engine's
+    recursion ceiling.  The reference ecosystem expresses this with
+    Flink iterations; Spark 4 makes it a declarative query."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 @register(
     "b11_cumulative_distinct",
     oracle="""

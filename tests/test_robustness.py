@@ -232,6 +232,8 @@ BATCH_SWEEP = [
     # round-8 additions
     "b26_sink_multi_table",
     "b26_sink_multi_table_eo",
+    "b19_recursive_cte",
+    "llm_ann_ivfpq",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -349,6 +351,7 @@ NULL_SWEEP = [
     "b16_ab_welch_ttest", "b16_benford_audit", "b15_gap_fill_interpolate",
     "b07_asof_join_tolerance", "b26_stream_dlq_replay",
     "llm_ann_range_search", "llm_embedding_outliers",
+    "llm_ann_ivfpq",
     "b15_gaps_islands",
     "b26_stream_schema_evolution",
     "b18_stream_percentile",
