@@ -576,6 +576,71 @@ def b22_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, "append")
 
 
+@register(
+    "b22_session_dynamic_gap",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts,
+                 ts + CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN INTERVAL 16 HOUR
+                           ELSE INTERVAL 8 HOUR END AS ev_end
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts, ev_end,
+                 CASE WHEN MAX(ev_end) OVER (PARTITION BY user_id
+                          ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) >= ts
+                      THEN 0 ELSE 1 END AS new_sess
+          FROM g
+        ),
+        sess AS (
+          SELECT user_id, ts, ev_end,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS sid
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ev_end) AS session_end,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT * FROM agg
+        WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def b22_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (``session_window``
+    with a Column gap — Spark's expression-gap sessionization): purchase
+    and signup events hold a session open 16 hours, everything else 8 —
+    the checkout-flow idiom where high-intent actions extend the
+    session.  Unlike the constant-gap oracle's LAG test, dynamic ends
+    are not monotone, so the batch twin is gaps-and-islands on the
+    RUNNING MAX of event ends: a row starts a new session iff it opens
+    after every previous event's hold expired.  Append mode emits only
+    watermark-closed sessions; same cutoff as the constant-gap query."""
+    load_tables(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("16 hours")
+    ).otherwise(F.lit("8 hours"))
+    out = (
+        ev.withWatermark("etime", "1 hour")
+        .groupBy(F.session_window("etime", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_table(out, "append")
+
+
 # ---------------------------------------------------------------------------
 # B23 — watermark semantics: late rows dropped
 # ---------------------------------------------------------------------------

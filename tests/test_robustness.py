@@ -234,6 +234,7 @@ BATCH_SWEEP = [
     "b26_sink_multi_table_eo",
     "b19_recursive_cte",
     "llm_ann_ivfpq",
+    "b22_session_dynamic_gap",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -352,6 +353,7 @@ NULL_SWEEP = [
     "b07_asof_join_tolerance", "b26_stream_dlq_replay",
     "llm_ann_range_search", "llm_embedding_outliers",
     "llm_ann_ivfpq",
+    "b22_session_dynamic_gap",
     "b15_gaps_islands",
     "b26_stream_schema_evolution",
     "b18_stream_percentile",
@@ -545,6 +547,7 @@ STREAMING_DETERMINISM_SWEEP = [
     "b26_stream_backfill", "b24_stream_decontaminate",
     "b25_stream_budget_admission", "b26_stream_deadletter",
     "b26_sink_multi_table", "b26_sink_multi_table_eo",
+    "b22_session_dynamic_gap",
 ]
 
 
