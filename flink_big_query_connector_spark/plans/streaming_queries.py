@@ -1030,31 +1030,29 @@ def b26_sink_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = sink.start(ev, scratch_dir("ckpt_mt_"), available_now=True)
     q.awaitTermination()
-    # read back every table the router created (the backend's catalog is
-    # the source of truth for what was routed where), re-attaching the
-    # table name; distributed connector reads, one small scan per table
+    # read back through ONE wildcard scan (the BigQuery `prefix*` +
+    # _TABLE_SUFFIX idiom): every table the router created unions in a
+    # single load, the matched suffix re-derives the routing column
     from ..sources import bq_datasource as dsrc
 
     dsrc.register(spark)
-    tables_dir = os.path.join(backend_root, "tables")
-    tables = sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
-    parts = [
+    return (
         spark.read.format(dsrc.SOURCE_NAME)
-        .schema("event_id long, user_id long, value double")
-        .option("root", backend_root)
-        .option("table", t)
-        .load()
-        .withColumn("sink_table", F.lit(t))
-        for t in tables
-    ]
-    if not parts:
-        return spark.createDataFrame(
-            [], "event_id long, user_id long, value double, sink_table string"
+        .schema(
+            "event_id long, user_id long, value double, _table_suffix string"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .option("root", backend_root)
+        .option("table", "proj.ds.ev_*")
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.concat(F.lit("proj.ds.ev_"), F.col("_table_suffix")).alias(
+                "sink_table"
+            ),
+        )
+    )
 
 
 @register(
@@ -1100,25 +1098,25 @@ def b26_sink_multi_table_eo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import bq_datasource as dsrc
 
     dsrc.register(spark)
-    tables_dir = os.path.join(backend_root, "tables")
-    tables = sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []
-    parts = [
+    # single wildcard scan over every destination table (visible rows
+    # only — the 2PC flush cursor gates what the read session sees)
+    return (
         spark.read.format(dsrc.SOURCE_NAME)
-        .schema("event_id long, user_id long, value double")
-        .option("root", backend_root)
-        .option("table", t)
-        .load()
-        .withColumn("sink_table", F.lit(t))
-        for t in tables
-    ]
-    if not parts:
-        return spark.createDataFrame(
-            [], "event_id long, user_id long, value double, sink_table string"
+        .schema(
+            "event_id long, user_id long, value double, _table_suffix string"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .option("root", backend_root)
+        .option("table", "proj.ds.eo_*")
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.concat(F.lit("proj.ds.eo_"), F.col("_table_suffix")).alias(
+                "sink_table"
+            ),
+        )
+    )
 
 
 @register(

@@ -90,6 +90,46 @@ _DEFAULT_READ_PARTITIONS = 8
 _DEFAULT_BATCH_ROWS = 1000
 _ARROW_BATCH_ROWS = 8192
 
+# BigQuery wildcard tables: `table=prefix*` unions every table whose name
+# starts with the prefix, and the matched tail is exposed as this STRING
+# pseudo-column (the `_TABLE_SUFFIX` analogue; lowercase to match the
+# engine's column style).  Supported-comparison filters on it prune whole
+# TABLES at split planning — the wildcard's point at scale.
+SUFFIX_COL = "_table_suffix"
+
+
+def _is_wildcard(table: str) -> bool:
+    return table.endswith("*")
+
+
+def _wildcard_tables(root: str, pattern: str) -> list[tuple[str, str]]:
+    """Tables matching ``prefix*`` as (table_name, suffix), sorted.
+
+    Matches directory names under ``tables/`` (the backend's catalog);
+    a directory counts as a table once it has a persisted schema or any
+    write stream.  Only a single TRAILING ``*`` is supported — exactly
+    BigQuery's wildcard-table shape."""
+    prefix = pattern[:-1]
+    if "*" in prefix:
+        raise ValueError(
+            f"fakebigquery: only one trailing '*' is supported in a "
+            f"wildcard table (got '{pattern}')"
+        )
+    dir_prefix = prefix.replace("/", "__")
+    tdir = os.path.join(root, "tables")
+    out: list[tuple[str, str]] = []
+    if not os.path.isdir(tdir):
+        return out
+    for d in sorted(os.listdir(tdir)):
+        if not d.startswith(dir_prefix):
+            continue
+        p = os.path.join(tdir, d)
+        if os.path.isfile(os.path.join(p, "schema.json")) or os.path.isdir(
+            os.path.join(p, "streams")
+        ):
+            out.append((prefix + d[len(dir_prefix):], d[len(dir_prefix):]))
+    return out
+
 
 # ---------------------------------------------------------------------------
 # schema persistence (the "live table schema" the connector fetches)
@@ -371,11 +411,16 @@ def _arrow_mask(f: "Filter", tbl):
 @dataclass
 class _RangeSplit(InputPartition):
     """A (stream, row-range) split — the unit of read parallelism, like one
-    stream of a BigQuery Storage read session."""
+    stream of a BigQuery Storage read session.  For wildcard reads the
+    split additionally names its table and carries the matched suffix
+    (every row of a split shares one suffix, so the pseudo-column is a
+    per-split constant)."""
 
     stream: str
     start: int
     end: int
+    table: str = ""
+    suffix: str = ""
 
 
 class FakeBigQueryReader(DataSourceReader):
@@ -397,41 +442,68 @@ class FakeBigQueryReader(DataSourceReader):
             options.get("partitions", _DEFAULT_READ_PARTITIONS)
         )
         self.filters: List[Filter] = []
+        self.suffix_filters: List[Filter] = []
         self.session_tz = _session_timezone()
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         """Accept every single-column comparison we can evaluate row-side
         (the Storage READ API row-restriction analogue); hand anything else
-        back to Spark."""
+        back to Spark.  On a wildcard read, supported comparisons on the
+        ``_table_suffix`` pseudo-column are consumed at SPLIT PLANNING —
+        they prune whole tables (the suffix is constant per table, so
+        table-level evaluation satisfies them exactly)."""
         unsupported = []
+        wildcard = _is_wildcard(self.table)
         for f in filters:
-            if _supported(f):
-                self.filters.append(f)
-            else:
+            inner = f.child if isinstance(f, Not) else f
+            if not _supported(f):
                 unsupported.append(f)
+            elif wildcard and inner.attribute[0] == SUFFIX_COL:
+                self.suffix_filters.append(f)
+            else:
+                self.filters.append(f)
         return unsupported
 
+    def _tables(self) -> list[tuple[str, str]]:
+        """(table, suffix) pairs this read covers, after suffix pruning."""
+        if not _is_wildcard(self.table):
+            return [(self.table, "")]
+        return [
+            (t, sfx)
+            for t, sfx in _wildcard_tables(self.root, self.table)
+            if all(
+                _eval_filter(f, {SUFFIX_COL: sfx})
+                for f in self.suffix_filters
+            )
+        ]
+
     def partitions(self) -> Sequence[InputPartition]:
-        """Plan (stream, row-range) splits proportional to stream sizes.
+        """Plan (table, stream, row-range) splits proportional to stream
+        sizes across every (suffix-pruned) table.
 
         Planning reads only stream METADATA (row counts), never data — the
-        driver-side cost is O(#streams) however large the table is."""
+        driver-side cost is O(#streams) however large the tables are."""
         bq = FakeBigQuery(self.root)
-        sizes: list[tuple[str, int]] = []
-        for stream in bq.list_streams(self.table):
-            info = bq.get_write_stream(self.table, stream)
-            n = info.flushed if self.only_visible else info.offset
-            if n > 0:
-                sizes.append((stream, n))
-        total = sum(n for _, n in sizes)
+        sizes: list[tuple[str, str, str, int]] = []
+        for table, sfx in self._tables():
+            for stream in bq.list_streams(table):
+                info = bq.get_write_stream(table, stream)
+                n = info.flushed if self.only_visible else info.offset
+                if n > 0:
+                    sizes.append((table, sfx, stream, n))
+        total = sum(n for *_, n in sizes)
         if total == 0:
             return [_RangeSplit(DEFAULT_STREAM, 0, 0)]
         splits: list[_RangeSplit] = []
-        for stream, n in sizes:
+        for table, sfx, stream, n in sizes:
             k = max(1, min(n, round(self.num_partitions * n / total)))
             step = math.ceil(n / k)
             for s in range(0, n, step):
-                splits.append(_RangeSplit(stream, s, min(s + step, n)))
+                splits.append(
+                    _RangeSplit(
+                        stream, s, min(s + step, n), table=table, suffix=sfx
+                    )
+                )
         return splits
 
     def read(self, partition: _RangeSplit) -> Iterator:
@@ -443,12 +515,24 @@ class FakeBigQueryReader(DataSourceReader):
         row-at-a-time path for types the fast path can't cast."""
         if partition.end <= partition.start:
             return
+        table = partition.table or self.table
+        # wildcard reads: parse the DATA fields, inject the per-split
+        # constant suffix column at its schema position afterwards
+        data_schema = StructType(
+            [f for f in self.out_schema.fields if f.name != SUFFIX_COL]
+        )
+        has_suffix = len(data_schema.fields) != len(self.out_schema.fields)
         bq = FakeBigQuery(self.root)
-        data_path, _ = bq._stream_paths(self.table, partition.stream)
+        data_path, _ = bq._stream_paths(table, partition.stream)
+        if has_suffix and not data_schema.fields:
+            # degenerate projection: ONLY the pseudo-column was selected
+            n = partition.end - partition.start
+            yield from ((partition.suffix,) for _ in range(n))
+            return
         try:
             tbl = _arrow_read_slice(
                 data_path,
-                self.out_schema,
+                data_schema,
                 partition.start,
                 partition.end,
                 self.session_tz,
@@ -466,6 +550,19 @@ class FakeBigQueryReader(DataSourceReader):
         for f in self.filters:
             mask = _arrow_mask(f, tbl)
             tbl = tbl.filter(mask)  # null mask entries drop (SQL 3VL)
+        if has_suffix:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self.out_schema)
+            const = pa.array(
+                [partition.suffix] * tbl.num_rows, type=pa.string()
+            )
+            cols = [
+                const if f.name == SUFFIX_COL else tbl.column(f.name)
+                for f in target
+            ]
+            tbl = pa.Table.from_arrays(cols, schema=target)
         yield from tbl.to_batches(max_chunksize=_ARROW_BATCH_ROWS)
 
     def _read_rows(self, data_path: str, partition: _RangeSplit) -> Iterator[Tuple]:
@@ -479,7 +576,9 @@ class FakeBigQueryReader(DataSourceReader):
                     break
                 raw = json.loads(line)
                 row = {
-                    fld.name: _coerce(raw.get(fld.name), fld.dataType)
+                    fld.name: partition.suffix
+                    if fld.name == SUFFIX_COL
+                    else _coerce(raw.get(fld.name), fld.dataType)
                     for fld in fields
                 }
                 if all(_eval_filter(flt, row) for flt in filters):
@@ -766,6 +865,15 @@ class FakeBigQueryDataSource(DataSource):
     ``fields`` (comma-separated server-side field list, below),
     ``batch_rows`` / ``max_append_bytes`` (writer chunking).
 
+    **Wildcard tables** (batch read only): ``table=prefix*`` unions every
+    table whose name starts with the prefix — BigQuery's wildcard-table
+    idiom — exposing the matched tail as the STRING pseudo-column
+    ``_table_suffix`` (the ``_TABLE_SUFFIX`` analogue).  All matched
+    tables must share one schema.  Supported-comparison filters on the
+    pseudo-column prune whole TABLES at split planning, so
+    ``WHERE _table_suffix = 'click'`` plans splits for one table however
+    many the wildcard matches.
+
     **Column-width contract.** The PySpark DataSource API has no
     ``pruneColumns`` hook, so a ``.select(...)`` placed AFTER ``.load()``
     cannot narrow what crosses the Python->JVM Arrow boundary: the reader
@@ -791,7 +899,31 @@ class FakeBigQueryDataSource(DataSource):
 
     def schema(self) -> StructType:
         opts = self._opts()
-        full = _load_schema(opts["root"], opts["table"])
+        if _is_wildcard(opts["table"]):
+            matches = _wildcard_tables(opts["root"], opts["table"])
+            if not matches:
+                raise ValueError(
+                    f"fakebigquery: no tables match wildcard "
+                    f"'{opts['table']}' under '{opts['root']}'"
+                )
+            schemas = [
+                (t, _load_schema(opts["root"], t)) for t, _ in matches
+            ]
+            first_t, first_s = schemas[0]
+            for t, s in schemas[1:]:
+                if s != first_s:
+                    raise ValueError(
+                        "fakebigquery: wildcard tables have mismatched "
+                        f"schemas ('{first_t}' vs '{t}'); a wildcard read "
+                        "requires identical schemas"
+                    )
+            from pyspark.sql.types import StringType, StructField
+
+            full = StructType(
+                first_s.fields + [StructField(SUFFIX_COL, StringType())]
+            )
+        else:
+            full = _load_schema(opts["root"], opts["table"])
         if "fields" not in opts:
             return full
         # server-side field list (Storage READ API selected_fields): the
@@ -815,6 +947,12 @@ class FakeBigQueryDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         opts = self._opts()
+        if _is_wildcard(opts["table"]):
+            raise ValueError(
+                "fakebigquery: cannot WRITE to a wildcard table "
+                f"('{opts['table']}') — wildcards are a read-side union; "
+                "route writes with MultiTableSink/MultiTableBufferedSink"
+            )
         if overwrite:
             import shutil
 
@@ -828,7 +966,13 @@ class FakeBigQueryDataSource(DataSource):
         return FakeBigQueryStreamWriter(schema, self._opts())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return FakeBigQueryStreamReader(schema, self._opts())
+        opts = self._opts()
+        if _is_wildcard(opts["table"]):
+            raise ValueError(
+                "fakebigquery: wildcard tables are batch-read only "
+                f"(got '{opts['table']}' on readStream)"
+            )
+        return FakeBigQueryStreamReader(schema, opts)
 
 
 def register(spark) -> None:

@@ -458,3 +458,79 @@ def test_explicit_narrow_schema_prunes_equivalently(spark, root):
     assert set(r["name"] for r in back.collect()) == {
         f"name_{i}" for i in range(7)
     }
+
+
+# -- wildcard tables (_TABLE_SUFFIX analogue) ---------------------------------
+
+
+def _write_sharded(spark, root):
+    for sfx in ("a", "b", "c"):
+        df = spark.createDataFrame(
+            [Row(id=i, name=f"{sfx}{i}") for i in range(10)],
+            "id long, name string",
+        )
+        _write(df, root, f"p/d/ev_{sfx}")
+
+
+def test_wildcard_read_unions_tables_with_suffix(spark, root):
+    _write_sharded(spark, root)
+    back = _read(spark, root, "p/d/ev_*")
+    assert back.columns == ["id", "name", "_table_suffix"]
+    rows = back.collect()
+    assert len(rows) == 30
+    assert {r["_table_suffix"] for r in rows} == {"a", "b", "c"}
+    # row-level integrity: name encodes its own shard
+    assert all(r["name"].startswith(r["_table_suffix"]) for r in rows)
+
+
+def test_wildcard_suffix_filter_prunes_tables_at_planning(spark, root):
+    """The wildcard's scale payoff: a supported comparison on the
+    pseudo-column removes whole tables from the split plan, not just
+    rows from the scan."""
+    from pyspark.sql.datasource import EqualTo
+
+    _write_sharded(spark, root)
+    # end to end
+    got = _read(spark, root, "p/d/ev_*").filter("_table_suffix = 'b'")
+    assert sorted(r["name"] for r in got.collect()) == [
+        f"b{i}" for i in range(10)
+    ]
+    # split planning: only ev_b's streams are planned
+    schema = dsrc.FakeBigQueryDataSource(
+        {"root": root, "table": "p/d/ev_*"}
+    ).schema()
+    reader = dsrc.FakeBigQueryReader(
+        schema, {"root": root, "table": "p/d/ev_*"}
+    )
+    leftover = reader.pushFilters([EqualTo(("_table_suffix",), "b")])
+    assert list(leftover) == []
+    tables = {p.table for p in reader.partitions()}
+    assert tables == {"p/d/ev_b"}
+
+
+def test_wildcard_mismatched_schemas_raise(spark, root):
+    _write_sharded(spark, root)
+    _write(
+        spark.createDataFrame([Row(other=1.5)], "other double"),
+        root,
+        "p/d/ev_zzz",
+    )
+    with pytest.raises(Exception, match="mismatched"):
+        _read(spark, root, "p/d/ev_*").collect()
+
+
+def test_wildcard_fields_option_composes(spark, root):
+    _write_sharded(spark, root)
+    back = _read(spark, root, "p/d/ev_*", fields="_table_suffix,id")
+    assert back.columns == ["_table_suffix", "id"]
+    assert len(back.collect()) == 30
+    only_sfx = _read(spark, root, "p/d/ev_*", fields="_table_suffix")
+    assert sorted(r[0] for r in only_sfx.collect()) == ["a"] * 10 + [
+        "b"
+    ] * 10 + ["c"] * 10
+
+
+def test_wildcard_write_rejected(spark, root):
+    df = spark.createDataFrame([Row(id=1)], "id long")
+    with pytest.raises(Exception, match="wildcard"):
+        _write(df, root, "p/d/ev_*")
