@@ -214,3 +214,55 @@ def b26_dsv2_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         q.awaitTermination()
     return spark.table(name).orderBy("user_bucket")
+
+
+@register(
+    "b26_dsv2_wildcard_read",
+    oracle="""
+        SELECT event_id, user_id, value, event_type AS suffix
+        FROM events WHERE event_type IN ('click', 'view')
+    """,
+    tags=("connector",),
+)
+def b26_dsv2_wildcard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-table read with suffix pruning (BigQuery's `prefix*` +
+    `_TABLE_SUFFIX` idiom): events shard into one table per event_type
+    through the DSv2 batch writer, then ONE wildcard scan reads them
+    back and an `isin` on the `_table_suffix` pseudo-column prunes
+    whole tables at split planning — only click/view tables are ever
+    scanned (tests pin the planned-split set; at 100 TB the other
+    shards' read sessions are never opened).  The matched suffix
+    re-derives the type column, so the oracle is the plain filtered
+    source."""
+    dsrc.register(spark)
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "value", "event_type")
+    root = _fresh_root()
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    for et in types:
+        (
+            ev.filter(F.col("event_type") == et)
+            .drop("event_type")
+            .write.format(dsrc.SOURCE_NAME)
+            .option("root", root)
+            .option("table", f"proj.ds.wc_{et}")
+            .mode("overwrite")
+            .save()
+        )
+    if not types:  # empty source: nothing sharded, nothing to scan
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, value double, suffix string"
+        )
+    return (
+        spark.read.format(dsrc.SOURCE_NAME)
+        .option("root", root)
+        .option("table", "proj.ds.wc_*")
+        .load()
+        .filter(F.col("_table_suffix").isin("click", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("_table_suffix").alias("suffix"),
+        )
+    )

@@ -235,6 +235,7 @@ BATCH_SWEEP = [
     "b19_recursive_cte",
     "llm_ann_ivfpq",
     "b22_session_dynamic_gap",
+    "b26_dsv2_wildcard_read",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
