@@ -946,3 +946,38 @@ def test_containment_superset_of_jaccard_pairs(spark):
     }
     assert jac, "fixture regression: no jaccard pairs at test scale"
     assert jac <= cont
+
+
+def test_ivfpq_probe_broadcasts_queries_and_scans_codes_only(spark):
+    """IVFPQ plan shape: the probe side (query distance tables + cell)
+    broadcasts into the cell equi-join, candidate ranking reads ONLY the
+    (cell, code) index columns, and full-precision vectors never cross a
+    shuffle — the property that makes IVFPQ the 100 TB serving shape."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["llm_ann_ivfpq"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_plan_is_iterative_equi_join(spark):
+    """WITH RECURSIVE must execute as the engine's union-loop with an
+    equi-join per level (frontier-sized builds) — never a cartesian
+    expansion — and the depth rollup must match the closed form
+    floor(log2(custkey + 1)) for the implicit binary referral tree."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+
+    df = REGISTRY["b19_recursive_cte"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    import math
+
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    expect = {}
+    for c in range(n_cust):
+        d = int(math.floor(math.log2(c + 1)))
+        expect[d] = expect.get(d, 0) + 1
+    got = {r["depth"]: r["n_members"] for r in df.collect()}
+    assert got == expect
