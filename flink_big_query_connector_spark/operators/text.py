@@ -262,6 +262,129 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def dup_ngram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Gopher-style duplicate-n-gram CHARACTER coverage per document
+    (Rae et al. 2021 repetition filters): the fraction of token
+    characters lying inside at least one word n-gram that occurs >= 2
+    times WITHIN the document.  Coverage, not occurrence counting — a
+    character under three overlapping duplicate grams counts once — so
+    the metric is the share of the document a deduplicator could blame
+    on internal repetition, directly comparable across documents.
+
+    Relational plan (the spans-family explode shape, NOT nested
+    higher-order lambdas — Catalyst's projection collapse re-inlines
+    shared array subexpressions, turning a per-row O(grams^2) duplicate
+    test into O(positions x grams^2) recomputation): token positions
+    and gram starts explode once, duplicate grams fall out of one
+    (doc, gram) hash aggregate, the coverage union is a distinct over
+    exploded [i, i+n-1] ranges, and character sums join back on
+    (doc, position).  Every stage is a linear hash shuffle keyed by
+    doc/gram — the llm_dedup_spans scale shape.  Integer character
+    counts cross engines exactly; the fraction rounds to 6dp (0.0 for
+    token-less docs — the CASE guard both engines share)."""
+    toks_df = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    pos = toks_df.select(
+        id_col, F.posexplode_outer("toks").alias("p", "tok")
+    ).select(
+        id_col, "p", F.length("tok").cast("long").alias("tok_chars")
+    )
+    grams = toks_df.filter(F.size("toks") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice(toks_df["toks"], i + 1, n)),
+            )
+        ).alias("i", "gram"),
+    )
+    dup_starts = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.collect_list("i").alias("starts"), F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(id_col, F.explode("starts").alias("i"))
+    )
+    covered = dup_starts.select(
+        id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
+    ).distinct()
+    totals = pos.groupBy(id_col).agg(
+        F.coalesce(F.sum("tok_chars"), F.lit(0)).alias("total_chars")
+    )
+    cov = (
+        pos.join(covered, [id_col, "p"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("tok_chars").alias("covered_chars"))
+    )
+    return (
+        totals.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.col("total_chars"),
+            F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
+        )
+        .select(
+            id_col,
+            "total_chars",
+            "covered_chars",
+            F.when(
+                F.col("total_chars") > 0,
+                F.round(
+                    F.col("covered_chars").cast("double")
+                    / F.col("total_chars").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_char_frac"),
+        )
+    )
+
+
+def sql_dup_ngram_coverage(text_expr: str, n: int = 5) -> str:
+    """DuckDB twin of :func:`dup_ngram_coverage` — WITH-body fragment
+    ending in ``dupstats(doc_id, total_chars, covered_chars)``, shaped
+    exactly like the Spark plan (explode positions and gram starts,
+    duplicate grams via GROUP BY HAVING, DISTINCT coverage union, sums
+    joined back) so every intermediate computes once on both engines
+    (length() = chars on both; empty docs coalesce to 0)."""
+    g = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(0, len(toks) - {n - 1}), "
+        f"i -> array_to_string(toks[i + 1 : i + {n}], ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
+    return f"""
+        toksed AS (SELECT doc_id, {text_expr} AS toks FROM documents),
+        gramed AS (SELECT doc_id, {g} AS grams FROM toksed),
+        gstart AS (SELECT doc_id, t.i, grams[t.i + 1] AS gram
+                   FROM gramed, UNNEST(range(0, len(grams))) AS t(i)),
+        dupg AS (SELECT doc_id, gram FROM gstart
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        dstart AS (SELECT g.doc_id, g.i
+                   FROM gstart g JOIN dupg USING (doc_id, gram)),
+        cov AS (SELECT DISTINCT doc_id, i + r.j AS p
+                FROM dstart, UNNEST(range(0, {n})) AS r(j)),
+        poss AS (SELECT doc_id, t.p, length(toks[t.p + 1]) AS tok_chars
+                 FROM toksed, UNNEST(range(0, len(toks))) AS t(p)),
+        totals AS (SELECT tk.doc_id,
+                          CAST(COALESCE(SUM(p2.tok_chars), 0) AS BIGINT)
+                              AS total_chars
+                   FROM toksed tk LEFT JOIN poss p2 USING (doc_id)
+                   GROUP BY 1),
+        covch AS (SELECT p2.doc_id,
+                         CAST(SUM(p2.tok_chars) AS BIGINT) AS covered_chars
+                  FROM poss p2 JOIN cov USING (doc_id, p)
+                  GROUP BY 1),
+        dupstats AS (
+          SELECT t2.doc_id, t2.total_chars,
+                 COALESCE(c2.covered_chars, 0) AS covered_chars
+          FROM totals t2 LEFT JOIN covch c2 USING (doc_id))
+    """
+
+
 def pii_scrub_expr(col: Column) -> Column:
     """Chained redaction of the PII patterns — pure regexp_replace
     pipeline, whole-stage codegen, no Python in the data path."""

@@ -5225,6 +5225,32 @@ _GOPHER_MAX_WORDS = 100_000
 
 
 @register(
+    "llm_text_dup_ngrams",
+    oracle=f"""
+        WITH {text.sql_dup_ngram_coverage(text.sql_tokens('text'), 5)}
+        SELECT doc_id, total_chars, covered_chars,
+               CASE WHEN total_chars > 0
+                    THEN round(CAST(covered_chars AS DOUBLE) / total_chars, 6)
+                    ELSE 0.0 END AS dup_char_frac
+        FROM dupstats
+    """,
+    tags=("text", "quality"),
+)
+def llm_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-5-gram character coverage
+    (operators/text.py::dup_ngram_coverage): the share of each
+    document's token characters inside word 5-grams that repeat WITHIN
+    the document — the repetition gate the Gopher rules family
+    (llm_text_gopher_rules, llm_text_repetition) lacked: coverage
+    semantics (overlapping duplicate grams count a character once)
+    instead of occurrence ratios.  Zero-shuffle row-local higher-order
+    array plan; integer char counts are engine-exact, fraction rounded
+    6dp."""
+    t = load_tables(spark, sf_dir)
+    return text.dup_ngram_coverage(t["documents"], "doc_id", "text", 5)
+
+
+@register(
     "llm_text_gopher_rules",
     oracle=f"""
         WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -235,7 +235,9 @@ BATCH_SWEEP = [
     "b19_recursive_cte",
     "llm_ann_ivfpq",
     "b22_session_dynamic_gap",
+    "llm_text_dup_ngrams",
     "b26_dsv2_wildcard_read",
+    "llm_text_dup_ngrams",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP
@@ -355,6 +357,7 @@ NULL_SWEEP = [
     "llm_ann_range_search", "llm_embedding_outliers",
     "llm_ann_ivfpq",
     "b22_session_dynamic_gap",
+    "llm_text_dup_ngrams",
     "b15_gaps_islands",
     "b26_stream_schema_evolution",
     "b18_stream_percentile",
@@ -585,7 +588,7 @@ UNICODE_SWEEP = [
     # char-vs-byte length regressions (the gopher strlen bug's class)
     "llm_text_gopher_rules", "llm_text_bm25", "llm_text_dsir",
     "llm_text_ccnet_buckets", "llm_text_lm_heldout", "llm_dedup_cdc_chunks",
-    "llm_text_zipf_audit",
+    "llm_text_zipf_audit", "llm_text_dup_ngrams",
 ]
 
 _UNICODE_SNIPPETS = [
