@@ -659,3 +659,66 @@ def test_multi_table_buffered_sink_trims_partial_write(spark, sf_dir, tmp_path):
     for table, n in expected.items():
         assert bq.table_count(table) == n
     assert sink.is_committed(3)
+
+
+def test_multi_table_sink_retries_through_transient_failures(spark, sf_dir, tmp_path):
+    """Scripted UNAVAILABLEs on the shared backend: every per-table append
+    chain runs the same retry state machine, so all tables still land all
+    their rows at least once."""
+    from flink_big_query_connector_spark.streaming.sinks import MultiTableSink
+
+    root = str(tmp_path / "bq")
+    FakeBigQuery(root).script_append_failures(["UNAVAILABLE"] * 4)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('rt_', event_type) AS dest"
+    )
+    expected = {
+        f"rt_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    sink = MultiTableSink(root, "dest", FAST)
+    sink.write_batch(events, 0)
+    bq = FakeBigQuery(root)
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+
+
+def test_multi_table_buffered_sink_poison_table_blocks_whole_batch(
+    spark, sf_dir, tmp_path
+):
+    """2PC atomicity across destination tables: a fatal append on ONE
+    table fails the batch before the commit phase, so NO table's rows
+    become visible and the batch id stays uncommitted — the batch lands
+    everywhere or nowhere."""
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('px_', event_type) AS dest"
+    )
+    tables = [
+        f"px_{r[0]}"
+        for r in events.select("event_type").distinct().collect()
+    ]
+    FakeBigQuery(root).script_append_failures(
+        ["PERMISSION_DENIED"], table=sorted(tables)[0]
+    )
+    sink = MultiTableBufferedSink(root, "dest", FAST)
+    with pytest.raises(Exception):
+        sink.write_batch(events, 5)
+    bq = FakeBigQuery(root)
+    assert not sink.is_committed(5)
+    for table in tables:
+        assert bq.table_count(table) == 0  # nothing visible anywhere
+    # the retry/trim machinery recovers the SAME batch id once the
+    # poison clears: replay trims partial appends and commits atomically
+    sink.write_batch(events, 5)
+    assert sink.is_committed(5)
+    expected = {
+        f"px_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
