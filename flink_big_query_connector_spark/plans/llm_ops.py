@@ -5243,9 +5243,13 @@ def llm_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document — the repetition gate the Gopher rules family
     (llm_text_gopher_rules, llm_text_repetition) lacked: coverage
     semantics (overlapping duplicate grams count a character once)
-    instead of occurrence ratios.  Zero-shuffle row-local higher-order
-    array plan; integer char counts are engine-exact, fraction rounded
-    6dp."""
+    instead of occurrence ratios.  The plan is the explode + hash-agg
+    relational shape (gram occurrences exploded, duplicates found by
+    hash aggregation, covered characters by a distinct coverage union)
+    — deliberately NOT the nested higher-order-lambda form, which
+    re-inlines under Catalyst projection collapse into an
+    O(pos × grams²) expression and hangs; integer char counts are
+    engine-exact, fraction rounded 6dp."""
     t = load_tables(spark, sf_dir)
     return text.dup_ngram_coverage(t["documents"], "doc_id", "text", 5)
 

@@ -79,24 +79,34 @@ def register(
 # DERIVED from the audit trail the driver itself leaves behind: the
 # ``CORRECTNESS_r*.json`` files committed at the repo root.  The rule is
 #
-#   1. queries that have NEVER appeared in any CORRECTNESS_r*.json,
-#      sorted by name;
-#   2. then previously-checked queries, least-recently-checked first
-#      (ascending last round seen, name as tie-break).
+#   1. queries whose LATEST driver row is a FAILURE (harness error, or
+#      any of rows/schema/hash not matching), sorted by name — a red
+#      row must re-enter the very next window or it can never turn
+#      green (before this tier, an r3 harness crash left
+#      ``b17_array_setops`` unchecked for five rounds because its
+#      last-seen round made it "recently checked" to the LRU rule);
+#   2. then queries that have NEVER appeared in any
+#      CORRECTNESS_r*.json, sorted by name;
+#   3. then previously-checked green queries, least-recently-checked
+#      first (ascending last round seen, name as tie-break).
 #
 # This is deterministic for a given checkout, self-maintaining (a brand
-# new query has no CORRECTNESS row, so it lands at the front of the next
-# round's window automatically), and converges to a steady rotation of
-# the least-recently-audited keys once every query has been checked at
-# least once.  COVERAGE.md carries the human-readable ledger.
-def _driver_checked_rounds() -> dict[str, int]:
-    """name -> last round a CORRECTNESS_r*.json recorded it (repo root)."""
+# new query has no CORRECTNESS row, so it lands near the front of the
+# next round's window automatically; a failed one jumps the queue), and
+# converges to a steady rotation of the least-recently-audited keys
+# once every query has been checked at least once and is green.
+# COVERAGE.md carries the human-readable ledger.
+def _driver_checked_rounds(root=None) -> dict[str, tuple[int, bool]]:
+    """name -> (last round a CORRECTNESS_r*.json recorded it, was that
+    latest row green).  Green = no harness error and all three of
+    rows/schema/hash match (a null hash_match — the rows-only check —
+    counts as green; an explicit False does not)."""
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
-    last_seen: dict[str, int] = {}
+    root = root or Path(__file__).resolve().parents[2]
+    last_seen: dict[str, tuple[int, bool]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", path.name)
         if not m:
@@ -108,19 +118,31 @@ def _driver_checked_rounds() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for key in data:
-            last_seen[key] = max(rnd, last_seen.get(key, 0))
+        for key, row in data.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is not False
+            )
+            prev = last_seen.get(key)
+            if prev is None or rnd >= prev[0]:
+                last_seen[key] = (rnd, green)
     return last_seen
 
 
 def _surface_order() -> list[str]:
     last_seen = _driver_checked_rounds()
-    never = sorted(n for n in REGISTRY if n not in last_seen)
-    seen = sorted(
-        (n for n in REGISTRY if n in last_seen),
-        key=lambda n: (last_seen[n], n),
+    failed = sorted(
+        n for n in REGISTRY if n in last_seen and not last_seen[n][1]
     )
-    return never + seen
+    never = sorted(n for n in REGISTRY if n not in last_seen)
+    green = sorted(
+        (n for n in REGISTRY if n in last_seen and last_seen[n][1]),
+        key=lambda n: (last_seen[n][0], n),
+    )
+    return failed + never + green
 
 
 def queries() -> dict[str, QueryFn]:

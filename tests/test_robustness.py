@@ -237,7 +237,6 @@ BATCH_SWEEP = [
     "b22_session_dynamic_gap",
     "llm_text_dup_ngrams",
     "b26_dsv2_wildcard_read",
-    "llm_text_dup_ngrams",
 ]
 
 EMPTY_SWEEP = BATCH_SWEEP

@@ -80,11 +80,13 @@ def test_vector_contract_no_raw_embeddings_in_similarity_oracles():
 
 def test_driver_rotation_order_is_derived_from_audit_files():
     """The queries()/oracle_sql() surface order is LOAD-BEARING (an
-    external correctness driver samples a prefix): never-driver-checked
-    keys must come first (name-sorted), then previously-checked keys
-    least-recently-checked first.  This pins the self-maintaining rule in
-    plans/registry.py::_surface_order so a refactor cannot silently
-    regress new queries out of the audit window."""
+    external correctness driver samples a prefix): keys whose latest
+    driver row FAILED come first (name-sorted — a red row must re-enter
+    the very next window), then never-driver-checked keys (name-sorted),
+    then green keys least-recently-checked first.  This pins the
+    self-maintaining rule in plans/registry.py::_surface_order so a
+    refactor cannot silently regress failed or new queries out of the
+    audit window."""
     import __spark_entry__ as entry
     from flink_big_query_connector_spark.plans.registry import (
         _driver_checked_rounds,
@@ -92,16 +94,53 @@ def test_driver_rotation_order_is_derived_from_audit_files():
 
     order = list(entry.queries())
     last_seen = _driver_checked_rounds()
+    failed = [
+        n for n in order if n in last_seen and not last_seen[n][1]
+    ]
     never = [n for n in order if n not in last_seen]
-    seen = [n for n in order if n in last_seen]
-    # contiguous segments: all never-checked keys precede all checked keys
-    assert order == never + seen
+    green = [n for n in order if n in last_seen and last_seen[n][1]]
+    # contiguous tiers: failed, then never-checked, then green-LRU
+    assert order == failed + never + green
+    assert failed == sorted(failed)
     assert never == sorted(never)
-    rounds = [last_seen[n] for n in seen]
+    rounds = [last_seen[n][0] for n in green]
     assert rounds == sorted(rounds)
-    # the audit trail exists and some keys are still unaudited -> the
-    # window keeps rotating (delete this clause when burndown completes)
+    # the audit trail exists
     assert last_seen, "no CORRECTNESS_r*.json audit files found"
+
+
+def test_driver_rotation_failure_tier_semantics(tmp_path):
+    """_driver_checked_rounds green rule on synthetic artifacts: latest
+    row wins; err / rows / schema / explicit hash False are failures;
+    null hash (rows-only check) is green."""
+    import json
+
+    from flink_big_query_connector_spark.plans import registry
+
+    def row(err=None, rows=True, schema=True, hash_=True):
+        return {
+            "err": err, "rows_match": rows, "schema_match": schema,
+            "hash_match": hash_, "spark_rows": 1, "oracle_rows": 1,
+        }
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "green_then_red": row(),
+        "red_then_green": row(err="boom", rows=None, schema=None,
+                              hash_=None),
+        "rows_only": row(hash_=None),
+        "hash_red": row(hash_=False),
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green_then_red": row(err="crash", rows=None, schema=None,
+                              hash_=None),
+        "red_then_green": row(),
+    }))
+
+    seen = registry._driver_checked_rounds(root=tmp_path)
+    assert seen["green_then_red"] == (2, False)
+    assert seen["red_then_green"] == (2, True)
+    assert seen["rows_only"] == (1, True)
+    assert seen["hash_red"] == (1, False)
 
 
 def test_every_batch_registry_key_is_sweep_covered():
