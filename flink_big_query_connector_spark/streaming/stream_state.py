@@ -287,16 +287,11 @@ def keyed_offset_assignment_native_tws(
             "Python workers; use keyed_offset_assignment_tws instead"
         )
     ensure_package_on_executors(stream_df.sparkSession)
-    # TWS state (value states + TTL index) lives in multiple column
-    # families, which the default HDFS-backed provider rejects; RocksDB
-    # is also the store you'd run at 100 TB (memory-bounded, changelog
-    # checkpointing).  Session-level because the conf is read at query
-    # START; scoped checkpoints make this safe for coexisting queries.
-    stream_df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider",
-    )
+    # The RocksDB state-store provider this plan needs (TWS column
+    # families; see _rocksdb_state_provider) is set — and RESTORED —
+    # by run_native_tws_to_table around query start, not here: a
+    # session-wide set at plan-BUILD time would leak into every later
+    # unrelated streaming query in the session.
 
     class OffsetAssigner(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -346,6 +341,62 @@ def keyed_offset_assignment_native_tws(
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming."
+    "state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _rocksdb_state_provider:
+    """Set the RocksDB state-store provider for the duration of a query
+    start and RESTORE the session's previous value on exit.
+
+    TWS state (value states + the TTL secondary index) lives in multiple
+    column families, which the default HDFS-backed provider rejects;
+    RocksDB is also the store you'd run at 100 TB (memory-bounded,
+    changelog checkpointing).  The conf is read once at query START, so
+    holding it for the runner's start-to-stop lifetime is sufficient,
+    and restoring it keeps unrelated later streaming queries in the
+    same session on whatever provider they had configured."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(_PROVIDER_KEY, None)
+        self._spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            try:
+                self._spark.conf.unset(_PROVIDER_KEY)
+            except Exception:
+                pass
+        else:
+            self._spark.conf.set(_PROVIDER_KEY, self._prev)
+        return False
+
+
+def _is_tws_worker_crash(exc: BaseException) -> bool:
+    """True when a streaming failure is the TWS Python runner dying
+    (state-server/daemon death under memory or fork pressure), not a
+    query-semantics error.  Observed driver signature:
+    ``TransformWithStateInPySpark driver worker exited unexpectedly
+    (crashed)``; the generic python-worker variants are included
+    because the same daemon serves both roles."""
+    msg = str(exc)
+    return any(
+        sig in msg
+        for sig in (
+            "worker exited unexpectedly",
+            "Python worker exited",
+            "worker crashed",
+        )
+    )
+
+
 def run_native_tws_to_table(
     df,
     mode: str = "append",
@@ -369,7 +420,50 @@ def run_native_tws_to_table(
     memory sink cannot recover from a checkpoint): restarting from the
     same ``checkpoint`` replays only batches committed after the
     restart into the new call's directory, so each call returns exactly
-    the rows ITS run produced — what the restart/TTL tests diff."""
+    the rows ITS run produced — what the restart/TTL tests diff.
+
+    The TWS Python runner daemon can die under host fork/memory
+    pressure (one observed driver-round failure:
+    ``TransformWithStateInPySpark driver worker exited unexpectedly``)
+    — a transient environment event, not a plan error.  When the run
+    owns its checkpoint (``checkpoint=None``) such a crash is retried
+    ONCE from a fresh checkpoint and output dir (nothing was consumed
+    exactly-once outside them, so the retry recomputes the identical
+    result); with a caller-managed checkpoint the retry restarts from
+    that same checkpoint — the normal recovery path.  The crash message
+    (which carries the Spark-captured worker stderr) is logged either
+    way."""
+    from pyspark.errors import StreamingQueryException
+
+    last_crash: BaseException | None = None
+    for attempt in range(2):
+        try:
+            # fresh out_dir per attempt: a crashed attempt may have
+            # committed batches into its own directory already
+            return _run_tws_attempt(df, mode, checkpoint, timeout_s)
+        except StreamingQueryException as exc:
+            if attempt == 0 and _is_tws_worker_crash(exc):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native TWS runner worker crashed on first attempt; "
+                    "retrying once from a %s checkpoint. Worker error:\n%s",
+                    "fresh" if checkpoint is None else "caller-managed",
+                    exc,
+                )
+                last_crash = exc
+                continue
+            raise
+    raise last_crash  # second crash: surface the real error
+
+
+def _run_tws_attempt(
+    df,
+    mode: str,
+    checkpoint: str | None,
+    timeout_s: float,
+):
+    """One start-to-drain execution (see run_native_tws_to_table)."""
     from ..scratch import scratch_dir
 
     out_dir = scratch_dir("tws_out_")
@@ -378,13 +472,15 @@ def run_native_tws_to_table(
     def sink(batch_df, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        df.writeStream.foreachBatch(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    with _rocksdb_state_provider(df.sparkSession):
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
     def _drained(progresses: list[dict]) -> bool:
         # ONE zero-input batch is not drained: restarting from a
         # checkpoint whose final empty wake-up batch never committed

@@ -200,3 +200,148 @@ def test_native_tws_ttl_evicts_idle_key(spark, sf_dir, tmp_path):
     second = {(r["user_id"], r["base_offset"], r["n"]) for r in run_once().collect()}
     # evicted entry -> fresh stream -> base offset restarts at 0
     assert (7, 0, 1) in second
+
+
+def _make_events_frame(spark, tmp_path, name):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    src = str(tmp_path / f"src_{name}")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"user_id": [7, 7, 9], "event_id": [1, 2, 3]}),
+        f"{src}/c0.parquet",
+    )
+    ev = (
+        spark.readStream.schema("user_id long, event_id long")
+        .parquet(src)
+    )
+    return ss.keyed_offset_assignment_native_tws(
+        ev, "user_id", str(tmp_path / f"bq_{name}"), "p.d.t"
+    )
+
+
+def test_native_tws_worker_crash_retries_once(spark, tmp_path, monkeypatch):
+    """A TWS Python-runner death (the one observed driver-round red row:
+    'TransformWithStateInPySpark driver worker exited unexpectedly') is
+    a transient environment event: the runner must retry exactly once
+    from a fresh checkpoint and still return the correct table."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        _pytest.skip("google.protobuf absent: native TWS runner cannot run")
+
+    frame = _make_events_frame(spark, tmp_path, "retry")
+    calls = []
+    real = ss._run_tws_attempt
+
+    def flaky(df, mode, checkpoint, timeout_s):
+        calls.append(checkpoint)
+        if len(calls) == 1:
+            raise StreamingQueryException(
+                desc=(
+                    "TransformWithStateInPySpark driver worker exited "
+                    "unexpectedly (crashed)"
+                ),
+                stackTrace="",
+            )
+        return real(df, mode, checkpoint, timeout_s)
+
+    monkeypatch.setattr(ss, "_run_tws_attempt", flaky)
+    out = ss.run_native_tws_to_table(frame, "append")
+    got = {(r["user_id"], r["base_offset"], r["n"]) for r in out.collect()}
+    assert got == {(7, 0, 2), (9, 0, 1)}
+    # two attempts, both run-owned (fresh) checkpoints
+    assert calls == [None, None]
+
+
+def test_native_tws_non_crash_error_does_not_retry(spark, tmp_path, monkeypatch):
+    """Only worker-death signatures are retried: a semantic streaming
+    failure surfaces immediately after ONE attempt."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        _pytest.skip("google.protobuf absent: native TWS runner cannot run")
+
+    frame = _make_events_frame(spark, tmp_path, "noretry")
+    calls = []
+
+    def broken(df, mode, checkpoint, timeout_s):
+        calls.append(checkpoint)
+        raise StreamingQueryException(
+            desc="[STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE] bad plan",
+            stackTrace="",
+        )
+
+    monkeypatch.setattr(ss, "_run_tws_attempt", broken)
+    with _pytest.raises(StreamingQueryException, match="NOT_COMPATIBLE"):
+        ss.run_native_tws_to_table(frame, "append")
+    assert len(calls) == 1
+
+
+def test_native_tws_second_crash_surfaces(spark, tmp_path, monkeypatch):
+    """Two consecutive worker crashes: the second one is raised (one
+    retry, never a loop)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        _pytest.skip("google.protobuf absent: native TWS runner cannot run")
+
+    frame = _make_events_frame(spark, tmp_path, "twice")
+    calls = []
+
+    def always_crash(df, mode, checkpoint, timeout_s):
+        calls.append(checkpoint)
+        raise StreamingQueryException(
+            desc="Python worker exited unexpectedly (crashed)",
+            stackTrace="",
+        )
+
+    monkeypatch.setattr(ss, "_run_tws_attempt", always_crash)
+    with _pytest.raises(StreamingQueryException, match="worker exited"):
+        ss.run_native_tws_to_table(frame, "append")
+    assert len(calls) == 2
+
+
+def test_rocksdb_provider_conf_is_scoped_and_restored(spark):
+    """The RocksDB stateStore.providerClass conf is held only for the
+    query-start window and the session's previous value (set or unset)
+    is restored — no session-wide leak into later streaming queries."""
+    from flink_big_query_connector_spark.streaming.stream_state import (
+        _PROVIDER_KEY,
+        _ROCKSDB_PROVIDER,
+        _rocksdb_state_provider,
+    )
+
+    # case 1: conf previously unset -> unset again afterwards
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    if prev is not None:
+        spark.conf.unset(_PROVIDER_KEY)
+    try:
+        with _rocksdb_state_provider(spark):
+            assert spark.conf.get(_PROVIDER_KEY) == _ROCKSDB_PROVIDER
+        assert spark.conf.get(_PROVIDER_KEY, None) is None
+
+        # case 2: caller had an explicit provider -> restored verbatim
+        sentinel = "com.example.SentinelProvider"
+        spark.conf.set(_PROVIDER_KEY, sentinel)
+        with _rocksdb_state_provider(spark):
+            assert spark.conf.get(_PROVIDER_KEY) == _ROCKSDB_PROVIDER
+        assert spark.conf.get(_PROVIDER_KEY) == sentinel
+        spark.conf.unset(_PROVIDER_KEY)
+    finally:
+        if prev is not None:
+            spark.conf.set(_PROVIDER_KEY, prev)
