@@ -3481,6 +3481,32 @@ def llm_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SHARDS = 8
 
 
+def _export_manifest(df: DataFrame) -> DataFrame:
+    """Per-shard (n_docs, total_tokens, order-free integer checksum)."""
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("fp") % F.lit(2147483647))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _export_post_write_hook(out_dir: str, attempt: int) -> None:
+    """Test seam: called after each export write attempt so the
+    file-loss failure mode (the one a manifest mismatch detects) can be
+    injected; a no-op in production."""
+
+
+_MANIFEST_SCHEMA = (
+    "shard long, n_docs long, total_tokens long, content_checksum long"
+)
+
+
 @register(
     "llm_corpus_export",
     oracle=f"""
@@ -3506,10 +3532,21 @@ def llm_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-free integer content checksum = sum of per-doc fingerprints
     mod P) is computed by READING THE EXPORT BACK, so the manifest
     certifies the files on disk rather than the plan that produced them.
-    A checksum mismatch against the source oracle means lost/duplicated
-    docs — exactly what a 100 TB export job must detect before training
-    starts.  All manifest arithmetic is exact integers, so any
-    partitioning gives the same manifest."""
+    A checksum mismatch against the source means lost/duplicated docs —
+    exactly what a 100 TB export job must detect before training starts.
+    All manifest arithmetic is exact integers, so any partitioning gives
+    the same manifest.
+
+    SELF-CHECKING AND SELF-HEALING (one r8 driver round saw a read-back
+    manifest diverge from the source — transient file loss on a loaded
+    host): the expected manifest is computed from the source plan
+    BEFORE writing; after the write the read-back manifest is compared
+    shard by shard.  On divergence the export is rewritten ONCE to a
+    fresh directory; if the second read-back still diverges, the error
+    names every divergent shard with its (expected, on-disk) triple —
+    so a red row diagnoses itself.  The returned frame is built from
+    the VERIFIED read-back rows, so downstream consumers (and the
+    correctness driver's collect) see exactly the certified manifest."""
     from ..operators.hashing import hash60_expr
     from ..scratch import scratch_dir
 
@@ -3525,23 +3562,48 @@ def llm_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
         text.fingerprint_expr(toks).alias("fp"),
     )
-    out = scratch_dir("corpus_export_")
-    base.write.mode("overwrite").partitionBy("shard").parquet(out)
-    # explicit schema: an empty export writes no data files and schema
-    # inference would fail; the manifest of an empty corpus is 0 rows
-    exported = spark.read.schema(
-        "doc_id long, text string, n_tokens long, fp long, shard long"
-    ).parquet(out)
-    return (
-        exported.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            (F.sum("fp") % F.lit(2147483647))
-            .cast("long")
-            .alias("content_checksum"),
+    expected = {
+        r["shard"]: (r["n_docs"], r["total_tokens"], r["content_checksum"])
+        for r in _export_manifest(base).collect()
+    }
+    diff: dict = {}
+    for attempt in range(2):
+        out = scratch_dir("corpus_export_")
+        base.write.mode("overwrite").partitionBy("shard").parquet(out)
+        _export_post_write_hook(out, attempt)
+        # explicit schema: an empty export writes no data files and
+        # schema inference would fail; empty corpus -> 0-row manifest
+        exported = spark.read.schema(
+            "doc_id long, text string, n_tokens long, fp long, shard long"
+        ).parquet(out)
+        got_rows = _export_manifest(exported).collect()
+        got = {
+            r["shard"]: (
+                r["n_docs"], r["total_tokens"], r["content_checksum"]
+            )
+            for r in got_rows
+        }
+        if got == expected:
+            return spark.createDataFrame(
+                [tuple(r) for r in got_rows], schema=_MANIFEST_SCHEMA
+            ).orderBy("shard")
+        diff = {
+            s: {"expected": expected.get(s), "on_disk": got.get(s)}
+            for s in sorted(set(expected) | set(got))
+            if expected.get(s) != got.get(s)
+        }
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "corpus export manifest diverged from source on attempt %d "
+            "(lost/duplicated docs)%s. Per-shard diff: %s",
+            attempt,
+            "; rewriting to a fresh directory" if attempt == 0 else "",
+            diff,
         )
-        .orderBy("shard")
+    raise RuntimeError(
+        "corpus export lost/duplicated documents in two consecutive "
+        f"write attempts; per-shard (expected, on_disk) diff: {diff}"
     )
 
 

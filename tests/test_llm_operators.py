@@ -1285,3 +1285,63 @@ def test_bpe_train_batched_registry_happy_path(spark, sf_dir):
     # each merge is "a b" — two learned pair halves
     assert len(row["merge1"].split(" ")) == 2
     assert len(row["merge2"].split(" ")) == 2
+
+
+def _corrupt_one_shard(attempts_to_corrupt):
+    """Build an _export_post_write_hook that deletes one shard directory
+    (the transient file-loss failure mode the manifest check exists to
+    catch) on the given attempt numbers."""
+    import glob
+    import shutil
+
+    def hook(out, attempt):
+        if attempt in attempts_to_corrupt:
+            shards = sorted(glob.glob(f"{out}/shard=*"))
+            assert shards, "export wrote no shard directories"
+            shutil.rmtree(shards[0])
+
+    return hook
+
+
+def test_corpus_export_self_heals_on_transient_file_loss(
+    spark, sf_dir, monkeypatch
+):
+    """First write loses a shard -> manifest diverges -> the export is
+    rewritten once to a fresh dir and the verified manifest is returned,
+    identical to an uncorrupted run."""
+    from flink_big_query_connector_spark.plans import REGISTRY, llm_ops
+
+    clean = {
+        tuple(r)
+        for r in REGISTRY["llm_corpus_export"].fn(spark, sf_dir).collect()
+    }
+    assert clean, "corpus export returned an empty manifest"
+
+    monkeypatch.setattr(
+        llm_ops, "_export_post_write_hook", _corrupt_one_shard({0})
+    )
+    healed = {
+        tuple(r)
+        for r in REGISTRY["llm_corpus_export"].fn(spark, sf_dir).collect()
+    }
+    assert healed == clean
+
+
+def test_corpus_export_persistent_loss_raises_with_shard_diff(
+    spark, sf_dir, monkeypatch
+):
+    """Both write attempts lose a shard: the error must NAME the
+    divergent shard with its (expected, on_disk) triples — a red row
+    that diagnoses itself."""
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.plans import REGISTRY, llm_ops
+
+    monkeypatch.setattr(
+        llm_ops, "_export_post_write_hook", _corrupt_one_shard({0, 1})
+    )
+    with _pytest.raises(RuntimeError) as exc:
+        REGISTRY["llm_corpus_export"].fn(spark, sf_dir).collect()
+    msg = str(exc.value)
+    assert "lost/duplicated" in msg
+    assert "expected" in msg and "on_disk" in msg
