@@ -50,24 +50,67 @@ _BUNDLE_CANDIDATES = (
 _VERSION_CHECK_ENV = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
 
+def _private_shim_base() -> str | None:
+    """A per-user 0700 directory to hold shims, ownership-verified.
+
+    The shim goes on every child interpreter's PYTHONPATH, so its path
+    must not be writable by any other local user: a shared /tmp
+    location with ``makedirs(exist_ok=True)`` would silently ADOPT a
+    directory another user pre-created (and they could then swap the
+    symlink target between our check and a worker's import — TOCTOU —
+    injecting code into driver and workers).  Candidates are
+    ``~/.cache/fbqcs`` then ``<tmp>/fbqcs-<uid>``; whichever exists or
+    is created must be a real directory (not a symlink), owned by the
+    current uid, with no group/other permission bits — refused (and
+    repaired by chmod only when we own it) otherwise."""
+    import stat as _stat
+
+    uid = os.getuid()
+    candidates = []
+    home = os.path.expanduser("~")
+    if home and not home.startswith("~"):
+        candidates.append(os.path.join(home, ".cache", "fbqcs"))
+    candidates.append(
+        os.path.join(tempfile.gettempdir(), f"fbqcs-{uid}")
+    )
+    for base in candidates:
+        try:
+            os.makedirs(base, mode=0o700, exist_ok=True)
+            st = os.lstat(base)
+            if not _stat.S_ISDIR(st.st_mode) or st.st_uid != uid:
+                continue  # someone else's object at this path: refuse
+            if st.st_mode & 0o077:
+                os.chmod(base, 0o700)
+                st = os.lstat(base)
+                if st.st_mode & 0o077:
+                    continue
+            return base
+        except OSError:
+            continue
+    return None
+
+
 def _make_shim(bundle_root: str) -> str | None:
     """Build (or reuse) a shim dir exposing only ``google/protobuf``.
 
-    Layout: ``<tmp>/fbqcs_protobuf_shim_<pid-stable-key>/google/protobuf``
-    where ``protobuf`` is a symlink into the bundle and ``google`` is a
-    bare implicit-namespace directory (no ``__init__.py`` — so a real
-    ``google.*`` install elsewhere on the path still merges with it).
-    A stable, world-readable path keyed on the bundle location (not the
-    pid) so worker processes spawned later resolve the same PYTHONPATH
-    entry.  Returns None if the shim cannot be built (e.g. no symlink
+    Layout: ``<base>/protobuf_shim_<key>/google/protobuf`` where
+    ``protobuf`` is a symlink into the bundle, ``google`` is a bare
+    implicit-namespace directory (no ``__init__.py`` — so a real
+    ``google.*`` install elsewhere on the path still merges with it),
+    and ``<base>`` is the user-private 0700 directory from
+    :func:`_private_shim_base` — nobody else can retarget the symlink.
+    The path is keyed on the bundle location (not the pid) so worker
+    processes spawned later resolve the same PYTHONPATH entry.  Returns
+    None if the shim cannot be built (no private base, no symlink
     support) — callers then skip this bundle.
     """
     import hashlib
 
+    base = _private_shim_base()
+    if base is None:
+        return None
     key = hashlib.md5(bundle_root.encode()).hexdigest()[:8]
-    shim = os.path.join(
-        tempfile.gettempdir(), f"fbqcs_protobuf_shim_{key}"
-    )
+    shim = os.path.join(base, f"protobuf_shim_{key}")
     link = os.path.join(shim, "google", "protobuf")
     target = os.path.join(bundle_root, "google", "protobuf")
     try:

@@ -725,6 +725,25 @@ def pq_encode(
     return spread(emb_df).select(*cols)
 
 
+def _adc_dist(codebooks: list[list[tuple[int, list[float]]]]):
+    """Asymmetric distance: one ``dt`` lookup per subspace, summed.
+
+    ``dt`` is the flattened per-query distance table (subspace-major,
+    ``n_codes`` entries per segment); the candidate's code ``c{s}``
+    indexes segment ``s``.  Built as a sum over ``len(codebooks)``
+    subspaces — NOT an unrolled 4-term expression, which silently
+    ranked by a partial distance whenever a model had more than four
+    subspaces and failed analysis with fewer."""
+    n_codes = len(codebooks[0])
+    dist = None
+    for s in range(len(codebooks)):
+        term = F.element_at(
+            "dt", F.lit(s * n_codes) + F.col(f"c{s}").cast("int") + 1
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_adc_topk(
     emb_df: DataFrame,
     id_col: str,
@@ -741,14 +760,15 @@ def pq_adc_topk(
     touches only its code columns, never the embeddings.  At 100 TB this
     is the PQ payoff: the scan reads ~4 bytes/vector instead of 256, and
     the broadcast carries |Q| x 64 doubles."""
-    n_codes = len(codebooks[0])
-    codes = pq_encode(emb_df, id_col, vec_col, codebooks)
-    if n_codes == 0:
-        # empty corpus -> empty model -> no candidates (pq_encode already
-        # rejected the non-empty-corpus/empty-model case loudly)
-        return codes.sparkSession.createDataFrame(
+    if not codebooks or len(codebooks[0]) == 0:
+        # no-subspace or empty model -> no candidates (pq_encode rejects
+        # the non-empty-corpus/empty-model case loudly; probe it first
+        # so that contract still holds for codebooks == [])
+        pq_encode(emb_df, id_col, vec_col, codebooks or [[]])
+        return emb_df.sparkSession.createDataFrame(
             [], "query_id long, cand_id long, dist double, rank long"
         )
+    codes = pq_encode(emb_df, id_col, vec_col, codebooks)
     qv = F.col("qv")
     # per-subspace distance-table segments (codebook/positional order),
     # flattened into the 64-entry lookup array — one transform lambda per
@@ -762,16 +782,7 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
     ).select("query_id", F.flatten(F.array(*segments)).alias("dt"))
-    dist = (
-        F.element_at("dt", F.col("c0").cast("int") + 1)
-        + F.element_at("dt", F.lit(n_codes) + F.col("c1").cast("int") + 1)
-        + F.element_at(
-            "dt", F.lit(2 * n_codes) + F.col("c2").cast("int") + 1
-        )
-        + F.element_at(
-            "dt", F.lit(3 * n_codes) + F.col("c3").cast("int") + 1
-        )
-    )
+    dist = _adc_dist(codebooks)
     scored = (
         codes.crossJoin(F.broadcast(dt))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -812,12 +823,15 @@ def ivfpq_adc_topk(
     embeddings nor other cells are ever scanned.  Both prune levels are
     deterministic (6dp-rounded argmax/argmin, ties low), keeping the
     approximate result hash-exact against the mirrored SQL oracle."""
-    n_codes = len(codebooks[0])
-    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
-    if n_codes == 0:
+    if not codebooks or len(codebooks[0]) == 0:
+        # same empty-model contract as pq_adc_topk: loud on a non-empty
+        # corpus, typed-empty result on an empty one
+        pq_encode(emb_df, id_col, vec_col, codebooks or [[]])
         return emb_df.sparkSession.createDataFrame(
             [], "query_id long, cand_id long, dist double, rank long"
         )
+    n_codes = len(codebooks[0])
+    cells = scoped_persist(ivf_cells(emb_df, id_col, vec_col))
     index = pq_encode(
         cells.select(id_col, F.col("v").alias(vec_col), "cell"),
         id_col, vec_col, codebooks, keep_cols=["cell"],
@@ -834,12 +848,7 @@ def ivfpq_adc_topk(
             "query_id", "cell", F.flatten(F.array(*segments)).alias("dt")
         )
     )
-    dist = (
-        F.element_at("dt", F.col("c0").cast("int") + 1)
-        + F.element_at("dt", F.lit(n_codes) + F.col("c1").cast("int") + 1)
-        + F.element_at("dt", F.lit(2 * n_codes) + F.col("c2").cast("int") + 1)
-        + F.element_at("dt", F.lit(3 * n_codes) + F.col("c3").cast("int") + 1)
-    )
+    dist = _adc_dist(codebooks)
     scored = (
         index.join(F.broadcast(q), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

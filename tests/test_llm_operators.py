@@ -1345,3 +1345,135 @@ def test_corpus_export_persistent_loss_raises_with_shard_diff(
     msg = str(exc.value)
     assert "lost/duplicated" in msg
     assert "expected" in msg and "on_disk" in msg
+
+
+def _adc_expected(vecs, cbs, query_ids, cand_ids, k=5):
+    """Reference ADC ranking in plain Python: encode each candidate
+    (argmin rounded-6dp squared L2, ties to the lowest positional code),
+    then dist(q, x) = sum over ALL subspaces of the query's distance-
+    table entry at x's code.  Integer-valued inputs keep every float
+    step exact, so the engine must match bitwise."""
+    n_sub = len(cbs)
+    sublen = len(cbs[0][0][1])
+
+    def seg(v, s):
+        return v[s * sublen:(s + 1) * sublen]
+
+    def d2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    def encode(v):
+        return [
+            min(range(len(cbs[s])), key=lambda c: (d2(seg(v, s), cbs[s][c][1]), c))
+            for s in range(n_sub)
+        ]
+
+    out = {}
+    for q in query_ids:
+        scored = []
+        for x in cand_ids:
+            if x == q:
+                continue
+            code = encode(vecs[x])
+            dist = sum(
+                d2(seg(vecs[q], s), cbs[s][code[s]][1]) for s in range(n_sub)
+            )
+            scored.append((dist, x))
+        scored.sort()
+        out[q] = [
+            (q, x, float(d), r + 1) for r, (d, x) in enumerate(scored[:k])
+        ]
+    return out
+
+
+def test_pq_adc_sums_every_subspace(spark):
+    """The ADC distance must be the sum over ALL len(codebooks)
+    subspaces: with 8 subspaces the old unrolled 4-term expression
+    silently ranked by a half distance, and with 2 it failed analysis.
+    Exercise 8, 2, and the empty-model guards."""
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.operators import similarity
+
+    # integer-valued dim-8 vectors; ids 0..5; codebooks from ids 0,1
+    vecs = {
+        0: [0, 0, 1, 2, 0, 1, 0, 3],
+        1: [4, 1, 0, 0, 2, 0, 1, 0],
+        2: [0, 1, 1, 2, 0, 1, 1, 3],
+        3: [4, 0, 0, 1, 2, 0, 0, 0],
+        4: [2, 2, 2, 2, 2, 2, 2, 2],
+        5: [0, 0, 0, 0, 4, 1, 0, 3],
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id IN (4, 5)")
+    for n_sub in (8, 2):
+        cbs = similarity.pq_codebooks(
+            emb, "vec_id", "embedding", n_subspaces=n_sub, n_codes=2
+        )
+        got = {}
+        rows = similarity.pq_adc_topk(
+            emb, "vec_id", "embedding", queries, cbs, k=5
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["query_id"], r["cand_id"], r["dist"], r["rank"])
+            )
+        expected = _adc_expected(vecs, cbs, [4, 5], list(vecs), k=5)
+        for q in (4, 5):
+            assert sorted(got[q]) == sorted(expected[q]), (n_sub, q)
+
+    # empty-model guards: loud on a non-empty corpus, typed-empty on an
+    # empty one — for both [] and [[]] shapes
+    for bad in ([], [[]]):
+        with _pytest.raises(ValueError, match="empty codebook"):
+            similarity.pq_adc_topk(
+                emb, "vec_id", "embedding", queries, bad
+            )
+        empty = emb.filter("vec_id < 0")
+        out = similarity.pq_adc_topk(
+            empty, "vec_id", "embedding", empty, bad
+        )
+        assert out.columns == ["query_id", "cand_id", "dist", "rank"]
+        assert out.count() == 0
+
+
+def test_ivfpq_adc_sums_every_subspace(spark):
+    """Same full-sum contract on the IVFPQ path (cell prune taken from
+    the engine's own ivf_cells assignment; the changed part under test
+    is the distance summation)."""
+    from flink_big_query_connector_spark.operators import similarity
+
+    vecs = {
+        0: [0, 0, 1, 2, 0, 1, 0, 3],
+        1: [4, 1, 0, 0, 2, 0, 1, 0],
+        2: [0, 1, 1, 2, 0, 1, 1, 3],
+        3: [4, 0, 0, 1, 2, 0, 0, 0],
+        4: [2, 2, 2, 2, 2, 2, 2, 2],
+        5: [0, 0, 0, 0, 4, 1, 0, 3],
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id IN (4, 5)")
+    cbs = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", n_subspaces=8, n_codes=2
+    )
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_cells(emb, "vec_id", "embedding").collect()
+    }
+    got = {4: [], 5: []}
+    for r in similarity.ivfpq_adc_topk(
+        emb, "vec_id", "embedding", queries, cbs, k=5
+    ).collect():
+        got[r["query_id"]].append(
+            (r["query_id"], r["cand_id"], r["dist"], r["rank"])
+        )
+    for q in (4, 5):
+        same_cell = [x for x in vecs if cell_of[x] == cell_of[q]]
+        expected = _adc_expected(vecs, cbs, [q], same_cell, k=5)
+        assert sorted(got[q]) == sorted(expected[q]), q
