@@ -579,8 +579,13 @@ class MultiTableBufferedSink(BufferedStreamSink):
     (table, batch, partition), ALREADY_EXISTS trimming absorbs partial
     first attempts, the partition-layout manifest pins the batch's
     layout, and a committed batch id is a no-op.  The commit log is
-    keyed by the SINK (routing column), not a table — one sink, one
-    log."""
+    keyed by the SINK IDENTITY — routing column PLUS a per-query
+    ``sink_id`` (derived from the checkpoint location at ``start()``
+    when not given explicitly): two independent queries sharing one
+    backend root must not share a log, or the second query's batch ids
+    would look already-committed and its rows silently drop.  A
+    checkpoint-derived id is stable across restarts of the SAME query,
+    which is exactly the scope exactly-once replay needs."""
 
     def __init__(
         self,
@@ -588,12 +593,20 @@ class MultiTableBufferedSink(BufferedStreamSink):
         table_col: str,
         settings: WriterSettings | None = None,
         metrics=None,
+        trigger: BatchTriggerSettings | None = None,
+        sink_id: str | None = None,
     ):
+        self.table_col = table_col
+        self.sink_id = sink_id
         super().__init__(
-            backend_root, table=f"__routed__{table_col}", settings=settings,
+            backend_root, table=self._log_key(), settings=settings,
             metrics=metrics,
         )
-        self.table_col = table_col
+        self.trigger = trigger or BatchTriggerSettings()
+
+    def _log_key(self) -> str:
+        base = f"__routed__{self.table_col}"
+        return f"{base}__{self.sink_id}" if self.sink_id else base
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -603,30 +616,68 @@ class MultiTableBufferedSink(BufferedStreamSink):
 
         ensure_package_on_executors(df.sparkSession)
         root, settings = self.backend_root, self.settings
+        trigger = self.trigger
         metrics = self.metrics
         data_cols = [c for c in df.columns if c != self.table_col]
         routed = df.select(
             F.col(self.table_col).cast("string").alias("t"),
             F.to_json(F.struct(*data_cols)).alias("j"),
         )
+        # the sink discriminator must reach the STREAM names too: two
+        # queries hitting the same destination table with the same
+        # (batch, partition) ids would otherwise share a stream, and the
+        # second query's appends trim against the first query's durable
+        # rows into silent no-ops
+        stream_prefix = f"s{self.sink_id}-" if self.sink_id else ""
 
         def write_partition(pid: int, rows_iter):
-            by_table: dict[str, list[str]] = {}
-            for t, j in rows_iter:
-                by_table.setdefault(t, []).append(j)
-            if not by_table:
-                return iter(())
+            # Same memory shape as the at-least-once router: rows stream
+            # once through a per-table open-chunk map, flushed at trigger
+            # size — memory per task is (#tables seen) x (one
+            # trigger-sized chunk), NEVER the whole partition.  Chunks
+            # append at a RUNNING offset within the table's
+            # per-(batch, partition) stream; chunk boundaries are
+            # deterministic for a replayed partition (same rows, same
+            # order — the layout manifest pins the partitioning), so
+            # ALREADY_EXISTS trimming still absorbs partial first
+            # attempts chunk by chunk.
             client = FakeBigQuery(root)
-            out = []
-            for table, rows in by_table.items():
-                stream = client.create_write_stream(
-                    table, "BUFFERED",
-                    name=f"{table}/streams/b{batch_id}-p{pid}",
-                )
+            streams: dict[str, str] = {}
+            bases: dict[str, int] = {}
+            open_chunks: dict[str, list[str]] = {}
+            open_bytes: dict[str, int] = {}
+
+            def flush(table: str) -> None:
+                chunk = open_chunks.pop(table)
+                open_bytes.pop(table)
+                if table not in streams:
+                    streams[table] = client.create_write_stream(
+                        table, "BUFFERED",
+                        name=(
+                            f"{table}/streams/"
+                            f"{stream_prefix}b{batch_id}-p{pid}"
+                        ),
+                    )
+                    bases[table] = 0
                 write_with_retry(
-                    client, table, stream, rows, 0, settings,
-                    metrics=metrics,
+                    client, table, streams[table], chunk, bases[table],
+                    settings, metrics=metrics,
                 )
+                bases[table] += len(chunk)
+
+            for t, j in rows_iter:
+                chunk = open_chunks.setdefault(t, [])
+                chunk.append(j)
+                open_bytes[t] = open_bytes.get(t, 0) + json_size_of(j)
+                if (
+                    len(chunk) >= trigger.max_count
+                    or open_bytes[t] >= trigger.max_bytes
+                ):
+                    flush(t)
+            for t in list(open_chunks):
+                flush(t)
+            out = []
+            for table, stream in streams.items():
                 end = client.get_write_stream(table, stream).offset
                 out.append((table, stream, end))
             return iter(out)
@@ -641,6 +692,23 @@ class MultiTableBufferedSink(BufferedStreamSink):
         for table, stream, end in committables:
             self.client.flush_rows(table, stream, end - 1)
         self._record_commit(batch_id, committables)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
+        if self.sink_id is None:
+            # the checkpoint location IS the streaming query's durable
+            # identity: same query restart -> same commit log (replay
+            # no-ops hold); different query on the same backend root ->
+            # its own log (no cross-query batch-id collisions)
+            import hashlib
+            import os as _os
+
+            self.sink_id = hashlib.md5(
+                _os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:12]
+            self.table = self._log_key()
+        return _start_foreach_batch(
+            self.write_batch, stream_df, checkpoint_dir, **options
+        )
 
 
 # ---------------------------------------------------------------------------

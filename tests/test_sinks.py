@@ -722,3 +722,127 @@ def test_multi_table_buffered_sink_poison_table_blocks_whole_batch(
     }
     for table, n in expected.items():
         assert bq.table_count(table) == n
+
+
+def test_multi_table_buffered_sinks_do_not_share_commit_logs(
+    spark, sf_dir, tmp_path
+):
+    """Two independent routed sinks sharing one backend root whose
+    routing columns happen to share a NAME must not share a commit log:
+    before the sink_id discriminator, the second query's batch 0 looked
+    already-committed and its rows silently dropped."""
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    ev_a = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "concat('qa_', event_type) AS dest"
+    )
+    ev_b = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "concat('qb_', event_type) AS dest"
+    )
+    a = MultiTableBufferedSink(root, "dest", FAST, sink_id="query-a")
+    b = MultiTableBufferedSink(root, "dest", FAST, sink_id="query-b")
+    a.write_batch(ev_a, 0)
+    assert a.is_committed(0) and not b.is_committed(0)
+    b.write_batch(ev_b, 0)  # same batch id, own log: must actually write
+    bq = FakeBigQuery(root)
+    n = ev_b.count()
+    assert sum(
+        bq.table_count(f"qb_{r[0]}")
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type").distinct().collect()
+    ) == n
+
+
+def test_multi_table_buffered_sink_start_derives_sink_id_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """start() without an explicit sink_id keys the commit log off the
+    checkpoint location: stable across restarts of the same query,
+    distinct between different queries."""
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "concat('ck_', event_type) AS dest"
+    ).write.parquet(src)
+
+    def run(ckpt):
+        sink = MultiTableBufferedSink(root, "dest", FAST)
+        ev = spark.readStream.schema("event_id long, dest string").parquet(src)
+        q = sink.start(ev, ckpt, available_now=True)
+        q.awaitTermination()
+        return sink
+
+    s1 = run(str(tmp_path / "ckpt1"))
+    s2 = run(str(tmp_path / "ckpt2"))
+    assert s1.sink_id is not None and s2.sink_id is not None
+    assert s1.sink_id != s2.sink_id
+    assert s1.table != s2.table
+    # same checkpoint -> same derived identity (restart scope)
+    s1b = MultiTableBufferedSink(root, "dest", FAST)
+    s1b.start(
+        spark.readStream.schema("event_id long, dest string").parquet(src),
+        str(tmp_path / "ckpt1"),
+        available_now=True,
+    ).awaitTermination()
+    assert s1b.sink_id == s1.sink_id
+    # both queries delivered every row exactly once
+    bq = FakeBigQuery(root)
+    n = spark.read.parquet(src).count()
+    total = sum(
+        bq.table_count(f"ck_{r[0]}")
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type").distinct().collect()
+    )
+    assert total == 2 * n  # query1 (replay no-op on restart) + query2
+
+
+def test_multi_table_buffered_sink_chunked_appends_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """Trigger-sized chunked appends (the bounded-memory path: one open
+    chunk per table, never the whole partition in a dict) deliver every
+    row once, and a full replay of the batch trims chunk-by-chunk to a
+    no-op."""
+    from flink_big_query_connector_spark.streaming.config import (
+        BatchTriggerSettings,
+    )
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type", "concat('chk_', event_type) AS dest"
+    ).repartition(3)
+    expected = {
+        f"chk_{t}": n
+        for t, n in events.groupBy("event_type").count().collect()
+    }
+    tiny = BatchTriggerSettings(max_count=2)  # force many chunks
+    sink = MultiTableBufferedSink(
+        root, "dest", FAST, trigger=tiny, sink_id="chunked"
+    )
+    sink.write_batch(events, 11)
+    bq = FakeBigQuery(root)
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+    # replay of the committed id: no-op
+    sink.write_batch(events, 11)
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
+    # uncommitted replay with the commit record removed but durable
+    # streams intact: chunked ALREADY_EXISTS trim absorbs every chunk
+    import os as _os
+
+    _os.remove(sink._commit_path(11))
+    assert not sink.is_committed(11)
+    sink.write_batch(events, 11)
+    for table, n in expected.items():
+        assert bq.table_count(table) == n
