@@ -815,11 +815,11 @@ def ivfpq_adc_topk(
 
     The index is ONE map stage over the corpus — nearest-centroid cell
     (argmax over the literal centroid array) plus per-subspace PQ codes
-    (argmin over the literal codebooks) — yielding a (cell, c0..c3)
+    (argmin over the literal codebooks) — yielding a (cell, one code per subspace: c0..c3 with the default model)
     table of ~12 bytes/vector.  At 100 TB that table is written
     partitioned by ``cell``; a probe reads ONE partition per query
-    (partition pruning) and ranks candidates with 4 lookups into the
-    query's broadcast 64-entry distance table, so neither the
+    (partition pruning) and ranks candidates with one lookup per
+    subspace into the query's broadcast distance table, so neither the
     embeddings nor other cells are ever scanned.  Both prune levels are
     deterministic (6dp-rounded argmax/argmin, ties low), keeping the
     approximate result hash-exact against the mirrored SQL oracle."""

@@ -2472,7 +2472,7 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS IVFPQ serving shape): the coarse quantizer prunes each probe
     to ONE cell (1/16 of the corpus), then PQ asymmetric distance ranks
     the survivors with 4 lookups per candidate into the query's
-    broadcast distance table.  The index — (cell, c0..c3), ~12
+    broadcast distance table.  The index — (cell, one code per subspace), ~12
     bytes/vector from one map stage — is all a probe scans at 100 TB
     (cell-partitioned layout + code columns; embeddings untouched).
     Deterministic two-level pruning keeps even this doubly-approximate

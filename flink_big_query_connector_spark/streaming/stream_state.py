@@ -435,26 +435,23 @@ def run_native_tws_to_table(
     way."""
     from pyspark.errors import StreamingQueryException
 
-    last_crash: BaseException | None = None
-    for attempt in range(2):
-        try:
-            # fresh out_dir per attempt: a crashed attempt may have
-            # committed batches into its own directory already
-            return _run_tws_attempt(df, mode, checkpoint, timeout_s)
-        except StreamingQueryException as exc:
-            if attempt == 0 and _is_tws_worker_crash(exc):
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "native TWS runner worker crashed on first attempt; "
-                    "retrying once from a %s checkpoint. Worker error:\n%s",
-                    "fresh" if checkpoint is None else "caller-managed",
-                    exc,
-                )
-                last_crash = exc
-                continue
+    try:
+        # each attempt gets a fresh out_dir: a crashed attempt may have
+        # committed batches into its own directory already
+        return _run_tws_attempt(df, mode, checkpoint, timeout_s)
+    except StreamingQueryException as exc:
+        if not _is_tws_worker_crash(exc):
             raise
-    raise last_crash  # second crash: surface the real error
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native TWS runner worker crashed on first attempt; "
+            "retrying once from a %s checkpoint. Worker error:\n%s",
+            "fresh" if checkpoint is None else "caller-managed",
+            exc,
+        )
+        # a second crash (or any other failure) surfaces from here
+        return _run_tws_attempt(df, mode, checkpoint, timeout_s)
 
 
 def _run_tws_attempt(
