@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric
 from ..functions.numeric import dbl, dec
 from ..operators import dedup, multimodal, similarity, text
 from ..operators.hashing import (
@@ -1171,9 +1172,10 @@ def llm_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d
         )
         SELECT doc_id, n_tokens, logit_sum,
-               round(CASE WHEN n_tokens > 0
-                          THEN logit_sum / (1000.0 * n_tokens)
-                          ELSE 0.0 END, 6) AS score,
+               CASE WHEN n_tokens > 0
+                    THEN {numeric.sql_round6_ratio("logit_sum",
+                                                   "1000 * n_tokens")}
+                    ELSE 0.0 END AS score,
                (logit_sum > 0) AS keep
         FROM scored
     """,
@@ -1184,9 +1186,13 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLASSIFIER_DIM buckets, score the doc with a literal integer weight
     vector (the "model" ships in the plan — no join, no Python UDF), keep
     docs with positive logit.  The integer logit sum is exact in both
-    engines; only the final mean-per-token division is float.  At 100 TB
-    this is a zero-shuffle map stage — exactly how model-based quality
-    filtering (DCLM/fastText) runs over a corpus."""
+    engines; only the final mean-per-token division is float — rounded
+    with the tie-safe floor form (numeric.round6_ratio_expr), because
+    an integer/integer ratio can land EXACTLY on a 6dp boundary (seed
+    202 produced -10211/80000 = -0.1276375, which F.round and DuckDB
+    round() split on).  At 100 TB this is a zero-shuffle map stage —
+    exactly how model-based quality filtering (DCLM/fastText) runs over
+    a corpus."""
     t = load_tables(spark, sf_dir)
     toks = text.tokens_expr(F.col("text"))
     n_tok = F.size(toks).cast("long")
@@ -1195,12 +1201,12 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         logit.alias("logit_sum"),
-        F.round(
-            F.when(n_tok > 0, logit / (F.lit(1000.0) * n_tok)).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        ).alias("score"),
+        F.when(
+            n_tok > 0,
+            numeric.round6_ratio_expr(logit, F.lit(1000) * n_tok),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
         (logit > 0).alias("keep"),
     )
 

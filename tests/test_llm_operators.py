@@ -1477,3 +1477,47 @@ def test_ivfpq_adc_sums_every_subspace(spark):
         same_cell = [x for x in vecs if cell_of[x] == cell_of[q]]
         expected = _adc_expected(vecs, cbs, [q], same_cell, k=5)
         assert sorted(got[q]) == sorted(expected[q]), q
+
+
+def test_round6_ratio_tie_safe_cross_engine(spark):
+    """Integer/integer ratios can land EXACTLY on a 6dp rounding
+    boundary (seed-202 driver data produced -10211/80000 = -0.1276375);
+    F.round and DuckDB round() split on such ties.  The floor-form
+    helper must agree with its SQL twin bitwise on ties of both signs
+    and on non-tie values."""
+    import duckdb
+
+    from flink_big_query_connector_spark.functions import numeric
+
+    cases = [
+        (-10211, 80000),  # the observed tie
+        (10211, 80000),
+        (1, 128),         # 0.0078125: 7-digit terminating, trailing 5
+        (-1, 128),
+        (3, 128),
+        (1, 3),           # repeating: no tie
+        (-7, 11),
+        (0, 5),
+    ]
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["score"]
+        for r in df.select(
+            "n", "d",
+            numeric.round6_ratio_expr(F.col("n"), F.col("d")).alias("score"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for n, d in cases:
+        (exp,) = con.execute(
+            f"SELECT {numeric.sql_round6_ratio(str(n), str(d))}"
+        ).fetchone()
+        assert got[(n, d)] == exp, (n, d, got[(n, d)], exp)
+    # pinned values: ties resolve by the DOUBLE's position against the
+    # boundary (10211/80000's nearest double sits just below .5, so both
+    # signs floor to ...637), identically in both engines; exact-double
+    # ties like 1/128 round half toward +inf
+    assert got[(-10211, 80000)] == -0.127637
+    assert got[(10211, 80000)] == 0.127637
+    assert got[(1, 128)] == 0.007813
+    assert got[(-1, 128)] == -0.007812
