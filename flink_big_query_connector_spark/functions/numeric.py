@@ -34,29 +34,42 @@ def dbl(col: Column) -> Column:
     return col.cast("double")
 
 
-def round6_ratio_expr(numer: Column, denom: Column) -> Column:
-    """6dp rounding of an integer/integer ratio that is SAFE at exact
-    decimal ties, via the identical-IEEE-formula pattern:
-    ``floor(x * 1e6 + 0.5) / 1e6`` (half toward +inf in float domain,
-    evaluated bitwise-identically by Spark and DuckDB — twin:
-    :func:`sql_round6_ratio`).
+def round6_expr(x: Column) -> Column:
+    """6dp rounding of a double that is SAFE at exact decimal ties, via
+    the identical-IEEE-formula pattern: ``floor(x * 1e6 + 0.5) / 1e6``
+    (evaluated bitwise-identically by Spark and DuckDB — twin:
+    :func:`sql_round6`).
 
-    ``F.round(x, 6)`` is NOT cross-engine-safe here: when the exact
-    rational terminates at 7 decimal digits ending in 5 (e.g.
-    -10211/80000 = -0.1276375, any odd/128), Spark rounds the double's
-    shortest STRING repr half-up while DuckDB rounds in float
-    arithmetic, and the two split at the boundary.  Ratios of integers
-    hit such ties routinely (denominators of form 2^a*5^b); irrational-
-    ish values (cosines, logs) effectively never do, which is why the
-    plain round(_, 6) convention is fine there."""
-    x = numer.cast("double") / denom.cast("double")
-    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    ``F.round(x, 6)`` is NOT cross-engine-safe when the value's exact
+    decimal form can terminate ON the 6dp boundary: Spark rounds the
+    double's shortest STRING repr half-up while DuckDB rounds in float
+    arithmetic, and the two split there.  Two value classes hit such
+    ties routinely and must use this form: (a) integer/integer ratios
+    (seed 202: -10211/80000 = -0.1276375), and (b) doubles cast from
+    exact DECIMAL sums of scale >= 7 and their per-count means (seed
+    505: a DECIMAL(20,9) logprob sum ending in ...500).  Irrational-ish
+    values (cosines, raw logs, regression moments of irrational inputs)
+    effectively never tie, so the plain round(_, 6) convention stays
+    fine there."""
+    return F.floor(
+        x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+    ) / F.lit(1000000.0)
+
+
+def sql_round6(x: str) -> str:
+    """DuckDB twin of :func:`round6_expr` (same IEEE ops, same order)."""
+    return f"floor(CAST({x} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def round6_ratio_expr(numer: Column, denom: Column) -> Column:
+    """Tie-safe 6dp rounding of an integer/integer ratio (see
+    :func:`round6_expr`, class (a))."""
+    return round6_expr(numer.cast("double") / denom.cast("double"))
 
 
 def sql_round6_ratio(numer: str, denom: str) -> str:
     """DuckDB twin of :func:`round6_ratio_expr` (same IEEE ops, same
     order)."""
-    return (
-        f"floor(CAST({numer} AS DOUBLE) / CAST({denom} AS DOUBLE) "
-        f"* 1000000.0 + 0.5) / 1000000.0"
+    return sql_round6(
+        f"CAST({numer} AS DOUBLE) / CAST({denom} AS DOUBLE)"
     )

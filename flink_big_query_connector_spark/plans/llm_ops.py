@@ -3103,9 +3103,11 @@ def _bigram_lm_per_doc(docs: DataFrame) -> DataFrame:
           FROM scored GROUP BY doc_id)
         SELECT d.doc_id,
                CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-               ROUND(COALESCE(sum_lp, 0.0), 6) AS sum_logprob,
-               ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
-                          THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+               {numeric.sql_round6("COALESCE(sum_lp, 0.0)")}
+                   AS sum_logprob,
+               {numeric.sql_round6(
+                   "CASE WHEN COALESCE(n_bigrams, 0) > 0 "
+                   "THEN sum_lp / n_bigrams ELSE 0.0 END")}
                    AS avg_logprob
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
@@ -3119,9 +3121,13 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Order-free exactness: each bigram's ln(p) rounds to 9dp and sums in
     the DECIMAL domain (float addition is order-dependent across
     partitions; decimal addition is not), then converts to double once.
-    Scale shape: doc bigrams join the corpus LM table on (w1, w2) — one
-    corpus-linear shuffle each side, the standard LM-scoring join; the
-    per-doc rollup combines map-side."""
+    The final 6dp rounding uses the tie-safe floor form
+    (numeric.round6_expr): a scale-9 decimal sum can terminate EXACTLY
+    on the 6dp boundary (seed 505 produced one ending in ...500), where
+    F.round and DuckDB round() split.  Scale shape: doc bigrams join
+    the corpus LM table on (w1, w2) — one corpus-linear shuffle each
+    side, the standard LM-scoring join; the per-doc rollup combines
+    map-side."""
     t = load_tables(spark, sf_dir)
     per = _bigram_lm_per_doc(t["documents"])
     return (
@@ -3133,15 +3139,14 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_bigrams"), F.lit(0))
             .cast("long")
             .alias("n_bigrams"),
-            F.round(F.coalesce(F.col("sum_lp"), F.lit(0.0)), 6).alias(
-                "sum_logprob"
-            ),
-            F.round(
+            numeric.round6_expr(
+                F.coalesce(F.col("sum_lp"), F.lit(0.0))
+            ).alias("sum_logprob"),
+            numeric.round6_expr(
                 F.when(
                     F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
                     F.col("sum_lp") / F.col("n_bigrams"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("avg_logprob"),
         )
     )
@@ -3165,8 +3170,9 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg AS (
           SELECT d.doc_id, d.lang,
                  COALESCE(n_bigrams, 0) > 0 AS has_lm,
-                 ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
-                            THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+                 {numeric.sql_round6(
+                     "CASE WHEN COALESCE(n_bigrams, 0) > 0 "
+                     "THEN sum_lp / n_bigrams ELSE 0.0 END")}
                      AS avg_logprob
           FROM documents d LEFT JOIN per USING (doc_id)),
         tiled AS (
@@ -3210,12 +3216,11 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             # unscoreable (no-bigram) docs must sort LAST, not ride their
             # 0.0 sentinel into the head tertile — has_lm leads the key
             (F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0).alias("has_lm"),
-            F.round(
+            numeric.round6_expr(
                 F.when(
                     F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
                     F.col("sum_lp") / F.col("n_bigrams"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("avg_logprob"),
         )
     )
@@ -3275,9 +3280,11 @@ def llm_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored GROUP BY doc_id)
         SELECT d.doc_id,
                CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-               ROUND(COALESCE(sum_lp, 0.0), 6) AS sum_logprob,
-               ROUND(CASE WHEN COALESCE(n_bigrams, 0) > 0
-                          THEN sum_lp / n_bigrams ELSE 0.0 END, 6)
+               {numeric.sql_round6("COALESCE(sum_lp, 0.0)")}
+                   AS sum_logprob,
+               {numeric.sql_round6(
+                   "CASE WHEN COALESCE(n_bigrams, 0) > 0 "
+                   "THEN sum_lp / n_bigrams ELSE 0.0 END")}
                    AS avg_logprob
         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN per USING (doc_id)
@@ -3339,15 +3346,14 @@ def llm_text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_bigrams"), F.lit(0))
             .cast("long")
             .alias("n_bigrams"),
-            F.round(F.coalesce(F.col("sum_lp"), F.lit(0.0)), 6).alias(
-                "sum_logprob"
-            ),
-            F.round(
+            numeric.round6_expr(
+                F.coalesce(F.col("sum_lp"), F.lit(0.0))
+            ).alias("sum_logprob"),
+            numeric.round6_expr(
                 F.when(
                     F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
                     F.col("sum_lp") / F.col("n_bigrams"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("avg_logprob"),
         )
     )
@@ -5103,7 +5109,7 @@ _DSIR_B = 64  # hashed feature buckets
           FROM btok b JOIN w USING (bucket) GROUP BY b.doc_id)
         SELECT d.doc_id,
                CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
-               ROUND(CAST(COALESCE(per.s, 0) AS DOUBLE), 6) AS dsir_score,
+               {numeric.sql_round6("CAST(COALESCE(per.s, 0) AS DOUBLE)")} AS dsir_score,
                (d.doc_id % 5 = 0) AS is_target
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
@@ -5178,7 +5184,7 @@ def llm_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(F.coalesce(F.col("s"), F.lit(0)).cast("double"), 6).alias(
+        numeric.round6_expr(F.coalesce(F.col("s"), F.lit(0))).alias(
             "dsir_score"
         ),
         is_t.alias("is_target"),
@@ -5544,7 +5550,7 @@ _BM25_SQL_CTES = f"""d AS (
         per AS (
           SELECT doc_id, SUM(st) AS s FROM scored GROUP BY doc_id),
         ranked AS (
-          SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS bm25,
+          SELECT doc_id, {numeric.sql_round6("CAST(s AS DOUBLE)")} AS bm25,
                  CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
                       AS BIGINT) AS rank
           FROM per)"""
@@ -5622,7 +5628,7 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOPK)
         .select(
             "doc_id",
-            F.round(F.col("s").cast("double"), 6).alias("bm25"),
+            numeric.round6_expr(F.col("s")).alias("bm25"),
             "rank",
         )
     )
@@ -5666,7 +5672,7 @@ _RRF_K = 10
           FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id),
         out AS (
           SELECT doc_id, r_lex, r_dense,
-                 ROUND(CAST(s AS DOUBLE), 6) AS rrf,
+                 {numeric.sql_round6("CAST(s AS DOUBLE)")} AS rrf,
                  CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
                       AS BIGINT) AS rank
           FROM fused)
@@ -5721,7 +5727,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "r_lex",
             "r_dense",
-            F.round(F.col("s").cast("double"), 6).alias("rrf"),
+            numeric.round6_expr(F.col("s")).alias("rrf"),
             "rank",
         )
     )
