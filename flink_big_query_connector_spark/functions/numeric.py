@@ -47,10 +47,15 @@ def round6_expr(x: Column) -> Column:
     ties routinely and must use this form: (a) integer/integer ratios
     (seed 202: -10211/80000 = -0.1276375), and (b) doubles cast from
     exact DECIMAL sums of scale >= 7 and their per-count means (seed
-    505: a DECIMAL(20,9) logprob sum ending in ...500).  Irrational-ish
-    values (cosines, raw logs, regression moments of irrational inputs)
-    effectively never tie, so the plain round(_, 6) convention stays
-    fine there."""
+    505: a DECIMAL(20,9) logprob sum ending in ...500).  A third class
+    is SIGNED ZERO, (c): for values in (-5e-7, 0) DuckDB's round
+    returns -0.0 while Spark's never does (BigDecimal has no signed
+    zero), and the two are repr-distinct to the driver hash (seed 606:
+    a signed random projection) — the floor form is immune, since
+    ``floor`` of the shifted value is integer zero and both engines
+    emit +0.0.  Irrational-ish values bounded away from zero (cosines
+    near +-1, raw logs) effectively never hit any class, so the plain
+    round(_, 6) convention stays fine there."""
     return F.floor(
         x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
     ) / F.lit(1000000.0)

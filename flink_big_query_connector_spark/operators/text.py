@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round6_ratio_expr
 from .hashing import P, hash_mod_p_expr, sql_hash_mod_p
 
 # language -> stopword list (order = argmax tie-break priority)
@@ -331,10 +332,8 @@ def dup_ngram_coverage(
             "covered_chars",
             F.when(
                 F.col("total_chars") > 0,
-                F.round(
-                    F.col("covered_chars").cast("double")
-                    / F.col("total_chars").cast("double"),
-                    6,
+                round6_ratio_expr(
+                    F.col("covered_chars"), F.col("total_chars")
                 ),
             )
             .otherwise(F.lit(0.0))

@@ -376,11 +376,11 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells,
                        MAX(n) AS max_n FROM sizes)
         SELECT s.cell, s.n,
-               ROUND(CAST(s.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
-                   AS frac,
-               ROUND(CAST(t.max_n AS DOUBLE)
-                     / (CAST(t.total AS DOUBLE) / CAST(t.n_cells AS DOUBLE)),
-                     6) AS imbalance,
+               floor(CAST(s.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS frac,
+               floor(CAST(t.max_n AS DOUBLE)
+                     / (CAST(t.total AS DOUBLE) / CAST(t.n_cells AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS imbalance,
                CAST(16 - t.n_cells AS BIGINT) AS empty_cells
         FROM sizes s CROSS JOIN tot t
     """,
@@ -415,11 +415,12 @@ def llm_ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.crossJoin(F.broadcast(tot)).select(
         "cell",
         "n",
-        F.round(F.col("n").cast("double") / td, 6).alias("frac"),
-        F.round(
+        numeric.round6_expr(F.col("n").cast("double") / td).alias(
+            "frac"
+        ),
+        numeric.round6_expr(
             F.col("max_n").cast("double")
-            / (td / F.col("n_cells").cast("double")),
-            6,
+            / (td / F.col("n_cells").cast("double"))
         ).alias("imbalance"),
         (F.lit(similarity.N_CENTROIDS) - F.col("n_cells"))
         .cast("long")
@@ -2665,10 +2666,11 @@ def llm_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT doc_id, source,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round(CASE WHEN len(toks) > 0
+                   floor((CASE WHEN len(toks) > 0
                          THEN CAST(len(list_distinct(toks)) AS DOUBLE)
                               / CAST(len(toks) AS DOUBLE)
-                         ELSE 0.0 END, 6) AS distinct_ratio
+                         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
+                       AS distinct_ratio
             FROM d),
         ranked AS (
             SELECT *, PERCENT_RANK() OVER (PARTITION BY source
@@ -2694,13 +2696,12 @@ def llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
+        numeric.round6_expr(
             F.when(
                 F.size(toks) > 0,
                 F.size(F.array_distinct(toks)).cast("double")
                 / F.size(toks).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
+            ).otherwise(F.lit(0.0))
         ).alias("distinct_ratio"),
     )
     w = Window.partitionBy("source").orderBy("distinct_ratio", "doc_id")
@@ -2776,9 +2777,10 @@ _VOCAB_K = 30
         SELECT d.doc_id,
                CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
                CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
-               round(CASE WHEN COALESCE(n_tokens, 0) > 0
+               floor((CASE WHEN COALESCE(n_tokens, 0) > 0
                           THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                          ELSE 0.0 END, 6) AS oov_rate
+                          ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
+                   AS oov_rate
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
     tags=("text",),
@@ -2827,13 +2829,12 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
-            F.round(
+            numeric.round6_expr(
                 F.when(
                     F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
                     F.col("n_oov").cast("double")
                     / F.col("n_tokens").cast("double"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("oov_rate"),
         )
     )
@@ -2963,17 +2964,20 @@ _SQL_BIGRAM_CTES = f"""
           FROM m)
         SELECT lang, CAST(n AS BIGINT) AS n_vocab,
                CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0 THEN
-                 ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+                 floor((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS zipf_slope,
                CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0 THEN
-                 ROUND((syd - (nd * sxyd - sxd * syd)
-                        / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+                 floor((syd - (nd * sxyd - sxd * syd)
+                        / (nd * sxxd - sxd * sxd) * sxd) / nd
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS intercept,
                CASE WHEN n > 2 AND nd * sxxd - sxd * sxd > 0
                          AND nd * syyd - syd * syd > 0 THEN
-                 ROUND((nd * sxyd - sxd * syd)
+                 floor((nd * sxyd - sxd * syd)
                        / sqrt((nd * sxxd - sxd * sxd)
-                              * (nd * syyd - syd * syd)), 6)
+                              * (nd * syyd - syd * syd))
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS corr
         FROM d
     """,
@@ -3029,11 +3033,15 @@ def llm_text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lang",
         F.col("n").cast("long").alias("n_vocab"),
-        F.when(ok, F.round(slope, 6)).alias("zipf_slope"),
-        F.when(ok, F.round((syd - slope * sxd) / nd, 6)).alias("intercept"),
+        F.when(ok, numeric.round6_expr(slope)).alias("zipf_slope"),
+        F.when(
+            ok, numeric.round6_expr((syd - slope * sxd) / nd)
+        ).alias("intercept"),
         F.when(
             ok & (vary > 0),
-            F.round((nd * sxyd - sxd * syd) / F.sqrt(varx * vary), 6),
+            numeric.round6_expr(
+                (nd * sxyd - sxd * syd) / F.sqrt(varx * vary)
+            ),
         ).alias("corr"),
     )
 
@@ -3684,10 +3692,11 @@ def llm_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id,
                CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
                CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen,
-               round(CASE WHEN COALESCE(n_grams, 0) > 0
+               floor((CASE WHEN COALESCE(n_grams, 0) > 0
                           THEN 1.0 - CAST(n_seen AS DOUBLE)
                                      / CAST(n_grams AS DOUBLE)
-                          ELSE 1.0 END, 6) AS novelty
+                          ELSE 1.0 END) * 1000000.0 + 0.5) / 1000000.0
+                   AS novelty
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
     tags=("text", "dedup"),
@@ -3739,14 +3748,13 @@ def llm_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
-            F.round(
+            numeric.round6_expr(
                 F.when(
                     F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
                     F.lit(1.0)
                     - F.col("n_seen").cast("double")
                     / F.col("n_grams").cast("double"),
-                ).otherwise(F.lit(1.0)),
-                6,
+                ).otherwise(F.lit(1.0))
             ).alias("novelty"),
         )
     )
@@ -4261,8 +4269,9 @@ def _bpe_encode_oracle() -> str:
                 FROM {last})
         SELECT doc_id, n_tokens, n_symbols, sym_hash,
                CASE WHEN n_tokens > 0
-                    THEN round(CAST(n_symbols AS DOUBLE) /
-                               CAST(n_tokens AS DOUBLE), 6)
+                    THEN floor(CAST(n_symbols AS DOUBLE) /
+                               CAST(n_tokens AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                END AS compression
         FROM fin
     """
@@ -4296,10 +4305,9 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sym_hash",
         F.when(
             F.col("n_tokens") > 0,
-            F.round(
+            numeric.round6_expr(
                 F.col("n_symbols").cast("double")
-                / F.col("n_tokens").cast("double"),
-                6,
+                / F.col("n_tokens").cast("double")
             ),
         ).alias("compression"),
     )
@@ -4314,9 +4322,10 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM d)
         SELECT labeled_lang, predicted_lang,
                COUNT(*) AS n_docs,
-               round(CAST(COUNT(*) AS DOUBLE) /
+               floor(CAST(COUNT(*) AS DOUBLE) /
                      CAST(SUM(COUNT(*)) OVER (PARTITION BY labeled_lang)
-                          AS DOUBLE), 6) AS frac_of_label
+                          AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                   AS frac_of_label
         FROM pred
         GROUP BY 1, 2
     """.replace("{pred}", text.sql_lang_id("toks")),
@@ -4345,10 +4354,9 @@ def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         "predicted_lang",
         "n_docs",
-        F.round(
+        numeric.round6_expr(
             F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(w).cast("double"),
-            6,
+            / F.sum("n_docs").over(w).cast("double")
         ).alias("frac_of_label"),
     )
 
@@ -4396,9 +4404,10 @@ def llm_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_exact,
                CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_hit,
-               round(CAST(SUM(CASE WHEN i.cand_id IS NOT NULL
+               floor(CAST(SUM(CASE WHEN i.cand_id IS NOT NULL
                                    THEN 1 ELSE 0 END) AS DOUBLE) /
-                     CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+                     CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS recall_at_10
         FROM exact e
         LEFT JOIN ivf i
           ON i.query_id = e.query_id AND i.cand_id = e.cand_id
@@ -4427,10 +4436,9 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-        F.round(
+        numeric.round6_expr(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
+            / F.count(F.lit(1)).cast("double")
         ).alias("recall_at_10"),
     )
 
@@ -4465,10 +4473,17 @@ def _rp_matrix() -> list[list[float]]:
 
 def _rp_oracle() -> str:
     rows = _rp_matrix()
+    # floor-form 6dp rounding (numeric.sql_round6): a signed projection
+    # can land in (-5e-7, 0), where DuckDB's round returns -0.0 but
+    # Spark's never does (BigDecimal has no signed zero) — the floor
+    # form yields +0.0 in both engines (seed-606 finding)
     cols = ",\n               ".join(
-        "round(list_dot_product(v, ["
-        + ",".join(f"{x:.1f}" for x in row)
-        + "]::DOUBLE[]), 6) AS y" + str(i)
+        numeric.sql_round6(
+            "list_dot_product(v, ["
+            + ",".join(f"{x:.1f}" for x in row)
+            + "]::DOUBLE[])"
+        )
+        + " AS y" + str(i)
         for i, row in enumerate(rows)
     )
     return f"""
@@ -4496,7 +4511,10 @@ def llm_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; the model is 512 literal doubles on both engines, and the
     fold dot is bitwise-equal to DuckDB's list_dot_product (the SQ8/PQ
     oracle identity), so components match exactly before the 6dp
-    round."""
+    round.  The round itself is the floor form (numeric.round6_expr):
+    signed projections land arbitrarily close to zero, and for values
+    in (-5e-7, 0) DuckDB's round returns -0.0 where Spark's returns
+    0.0 — repr-distinct to the driver's hash (seed-606 finding)."""
     from ..functions.vectors import dot_product_expr
 
     t = load_tables(spark, sf_dir)
@@ -4511,7 +4529,9 @@ def llm_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         *[
-            F.round(dot_product_expr(v, darr(row)), 6).alias(f"y{i}")
+            numeric.round6_expr(dot_product_expr(v, darr(row))).alias(
+                f"y{i}"
+            )
             for i, row in enumerate(_rp_matrix())
         ],
     )
@@ -4622,8 +4642,9 @@ def _bpe_fertility_oracle() -> str:
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST(SUM(n_symbols) AS BIGINT) AS total_symbols,
                CASE WHEN SUM(n_tokens) > 0
-                    THEN round(CAST(SUM(n_symbols) AS DOUBLE) /
-                               CAST(SUM(n_tokens) AS DOUBLE), 6)
+                    THEN floor(CAST(SUM(n_symbols) AS DOUBLE) /
+                               CAST(SUM(n_tokens) AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                END AS fertility
         FROM fin
         GROUP BY 1
@@ -4662,10 +4683,8 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_symbols",
         F.when(
             F.col("total_tokens") > 0,
-            F.round(
-                F.col("total_symbols").cast("double")
-                / F.col("total_tokens").cast("double"),
-                6,
+            numeric.round6_ratio_expr(
+                F.col("total_symbols"), F.col("total_tokens")
             ),
         ).alias("fertility"),
     )
@@ -4687,12 +4706,14 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(is_cand) AS BIGINT) AS n_cand,
                CAST(SUM(is_true * is_cand) AS BIGINT) AS n_hits,
                CASE WHEN SUM(is_true) > 0
-                    THEN round(CAST(SUM(is_true * is_cand) AS DOUBLE) /
-                               CAST(SUM(is_true) AS DOUBLE), 6)
+                    THEN floor(CAST(SUM(is_true * is_cand) AS DOUBLE) /
+                               CAST(SUM(is_true) AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                END AS recall,
                CASE WHEN SUM(is_cand) > 0
-                    THEN round(CAST(SUM(is_true * is_cand) AS DOUBLE) /
-                               CAST(SUM(is_cand) AS DOUBLE), 6)
+                    THEN floor(CAST(SUM(is_true * is_cand) AS DOUBLE) /
+                               CAST(SUM(is_cand) AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                END AS precision
         FROM m
     """,
@@ -4734,15 +4755,11 @@ def llm_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.when(
             F.col("n_true") > 0,
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_true").cast("double"), 6
-            ),
+            numeric.round6_ratio_expr(F.col("n_hits"), F.col("n_true")),
         ).alias("recall"),
         F.when(
             F.col("n_cand") > 0,
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_cand").cast("double"), 6
-            ),
+            numeric.round6_ratio_expr(F.col("n_hits"), F.col("n_cand")),
         ).alias("precision"),
     )
 
@@ -4949,8 +4966,10 @@ def _recall_matrix_oracle() -> str:
         )
         SELECT index_type,
                COUNT(*) AS n_queries,
-               round(CAST(SUM(CAST(round(r, 6) AS DECIMAL(27,10)))
-                          AS DOUBLE) / COUNT(*), 6) AS macro_recall
+               floor(CAST(SUM(CAST(floor(r * 1000000.0 + 0.5)
+                                    / 1000000.0 AS DECIMAL(27,10)))
+                          AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+                   / 1000000.0 AS macro_recall
         FROM rec
         GROUP BY index_type
     """
@@ -5006,12 +5025,11 @@ def llm_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = perq.agg(
             F.count(F.lit(1)).alias("n_queries"),
-            F.round(
+            numeric.round6_expr(
                 F.sum(
-                    F.round(F.col("r"), 6).cast("decimal(27,10)")
+                    numeric.round6_expr(F.col("r")).cast("decimal(27,10)")
                 ).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("macro_recall"),
         ).select(
             F.lit(name).alias("index_type"), "n_queries", "macro_recall"
@@ -5304,7 +5322,9 @@ _GOPHER_MAX_WORDS = 100_000
         WITH {text.sql_dup_ngram_coverage(text.sql_tokens('text'), 5)}
         SELECT doc_id, total_chars, covered_chars,
                CASE WHEN total_chars > 0
-                    THEN round(CAST(covered_chars AS DOUBLE) / total_chars, 6)
+                    THEN floor(CAST(covered_chars AS DOUBLE)
+                               / CAST(total_chars AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                     ELSE 0.0 END AS dup_char_frac
         FROM dupstats
     """,
@@ -5335,15 +5355,17 @@ def llm_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         m AS (
           SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_words,
-                 CASE WHEN len(toks) > 0 THEN round(
+                 CASE WHEN len(toks) > 0 THEN floor(
                      CAST(list_sum(list_transform(toks, t ->
                           CAST(length(t) AS BIGINT))) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END
+                     / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 0.0 END
                      AS mean_word_len,
-                 CASE WHEN len(toks) > 0 THEN round(
+                 CASE WHEN len(toks) > 0 THEN floor(
                      CAST(len(list_filter(toks, t ->
                           regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END
+                     / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 0.0 END
                      AS alpha_frac,
                  CAST(len(list_intersect(
                      list_distinct(list_transform(toks, t -> lower(t))),
@@ -5380,26 +5402,24 @@ def llm_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_words"),
         F.when(
             F.size(toks) > 0,
-            F.round(
+            numeric.round6_expr(
                 F.aggregate(
                     F.transform(toks, lambda w: F.length(w).cast("long")),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).cast("double")
-                / F.size(toks).cast("double"),
-                6,
+                / F.size(toks).cast("double")
             ),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_word_len"),
         F.when(
             F.size(toks) > 0,
-            F.round(
+            numeric.round6_expr(
                 F.size(
                     F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
                 ).cast("double")
-                / F.size(toks).cast("double"),
-                6,
+                / F.size(toks).cast("double")
             ),
         )
         .otherwise(F.lit(0.0))
@@ -5452,8 +5472,9 @@ def llm_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(p.n_shared AS BIGINT) AS n_shared,
                CAST(ta.n AS BIGINT) AS n_a,
                CAST(tb.n AS BIGINT) AS n_b,
-               ROUND(CAST(p.n_shared AS DOUBLE)
-                     / CAST(LEAST(ta.n, tb.n) AS DOUBLE), 6) AS overlap_frac
+               floor(CAST(p.n_shared AS DOUBLE)
+                     / CAST(LEAST(ta.n, tb.n) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS overlap_frac
         FROM pairs p
         JOIN tot ta ON ta.source = p.src_a
         JOIN tot tb ON tb.source = p.src_b
@@ -5499,10 +5520,9 @@ def llm_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.round(
+            numeric.round6_expr(
                 F.col("n_shared").cast("double")
-                / F.least("n_a", "n_b").cast("double"),
-                6,
+                / F.least("n_a", "n_b").cast("double")
             ).alias("overlap_frac"),
         )
     )

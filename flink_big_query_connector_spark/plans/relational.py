@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
+from ..functions import numeric
 from ..functions.numeric import dbl, dec
 from ..sources.tables import load_tables, register_views, ts_event_time, ts_micros
 from ..scratch import scratch_dir, unique_name
@@ -724,8 +725,8 @@ def b02_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT SUM(tv) AS total FROM per)
         SELECT event_type,
                CAST(tv AS DOUBLE) AS type_value,
-               round(CAST(tv AS DOUBLE) / CAST(total AS DOUBLE), 6)
-                   AS share
+               floor(CAST(tv AS DOUBLE) / CAST(total AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS share
         FROM per, tot
         ORDER BY event_type
     """,
@@ -749,8 +750,8 @@ def b11_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("tv").cast("double").alias("type_value"),
-            F.round(
-                F.col("tv").cast("double") / F.col("total").cast("double"), 6
+            numeric.round6_expr(
+                F.col("tv").cast("double") / F.col("total").cast("double")
             ).alias("share"),
         )
         .orderBy("event_type")
@@ -1156,7 +1157,8 @@ def b01_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id, user_id,
                CASE WHEN n >= 4 AND sqrt(var) > 0.0
-                    THEN round((CAST(v AS DOUBLE) - mean) / sqrt(var), 6)
+                    THEN floor((CAST(v AS DOUBLE) - mean) / sqrt(var)
+                               * 1000000.0 + 0.5) / 1000000.0
                     ELSE NULL END AS z,
                COALESCE(n >= 4 AND sqrt(var) > 0.0
                         AND abs((CAST(v AS DOUBLE) - mean) / sqrt(var))
@@ -1201,7 +1203,9 @@ def b16_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "event_id",
         "user_id",
-        F.when(ok, F.round(z, 6)).otherwise(F.lit(None)).alias("z"),
+        F.when(ok, numeric.round6_expr(z)).otherwise(F.lit(None)).alias(
+            "z"
+        ),
         F.coalesce(ok & (F.abs(z) > 2.0), F.lit(False)).alias(
             "is_anomaly"
         ),
@@ -1637,9 +1641,10 @@ _LPC_M = 16384  # linear-counting bitmap bits per group
           FROM b
         )
         SELECT event_type, set_bits,
-               ROUND({_LPC_M}.0 * x * (1.0 + x / 2.0 + (x * x) / 3.0
+               floor({_LPC_M}.0 * x * (1.0 + x / 2.0 + (x * x) / 3.0
                      + (x * x * x) / 4.0 + (x * x * x * x) / 5.0
-                     + (x * x * x * x * x) / 6.0), 6) AS est_distinct,
+                     + (x * x * x * x * x) / 6.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS est_distinct,
                true_distinct
         FROM e
         ORDER BY event_type
@@ -1683,7 +1688,9 @@ def b18_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_type",
         "set_bits",
-        F.round(F.lit(float(_LPC_M)) * x * series, 6).alias("est_distinct"),
+        numeric.round6_expr(
+            F.lit(float(_LPC_M)) * x * series
+        ).alias("est_distinct"),
         "true_distinct",
     ).orderBy("event_type")
 
@@ -3356,9 +3363,9 @@ def b11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN nab > 0
                          AND nab / 12 * ((nn + 1) - tt / (nn * (nn - 1))) > 0
                     THEN
-                 ROUND((ua - nab / 2)
-                       / sqrt(nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))),
-                       6)
+                 floor((ua - nab / 2)
+                       / sqrt(nab / 12 * ((nn + 1) - tt / (nn * (nn - 1))))
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS z
         FROM stat
     """,
@@ -3429,7 +3436,10 @@ def b16_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig2 = nab / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
     # all-tied or one-armed groups have zero variance: NULL z in BOTH
     # engines (unguarded 0/0 is NULL in Spark, NaN in DuckDB)
-    z = F.when((nab > 0) & (sig2 > 0), F.round((ua - nab / 2) / F.sqrt(sig2), 6))
+    z = F.when(
+        (nab > 0) & (sig2 > 0),
+        numeric.round6_expr((ua - nab / 2) / F.sqrt(sig2)),
+    )
     return agg.select(
         F.col("g").alias("event_type"),
         "n_a",
@@ -3453,8 +3463,8 @@ def b16_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM d GROUP BY 1, 2),
         t AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY 1)
         SELECT c.event_type, c.digit, c.n,
-               ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
-                   AS observed_frac,
+               floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS observed_frac,
                ROUND(log10(1 + 1.0 / CAST(c.digit AS DOUBLE)), 6)
                    AS benford_frac,
                ROUND(pow(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
@@ -3492,7 +3502,7 @@ def b16_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "digit",
         "n",
-        F.round(obs, 6).alias("observed_frac"),
+        numeric.round6_expr(obs).alias("observed_frac"),
         F.round(ben, 6).alias("benford_frac"),
         F.round(
             F.pow(obs - ben, 2) / ben * F.col("total").cast("double"), 6
@@ -3531,23 +3541,26 @@ def b16_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM m)
         SELECT event_type,
                CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-               ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+               floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+               floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
                CASE WHEN na > 1 AND nb > 1
                          AND va / CAST(na AS DOUBLE)
                              + vb / CAST(nb AS DOUBLE) > 0 THEN
-                 ROUND((ma - mb)
+                 floor((ma - mb)
                        / sqrt(va / CAST(na AS DOUBLE)
-                              + vb / CAST(nb AS DOUBLE)), 6)
+                              + vb / CAST(nb AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS t_stat,
                CASE WHEN na > 1 AND nb > 1
                          AND va / CAST(na AS DOUBLE)
                              + vb / CAST(nb AS DOUBLE) > 0 THEN
-                 ROUND(pow(va / CAST(na AS DOUBLE)
+                 floor(pow(va / CAST(na AS DOUBLE)
                            + vb / CAST(nb AS DOUBLE), 2)
                        / (pow(va / CAST(na AS DOUBLE), 2)
                           / (CAST(na AS DOUBLE) - 1)
                           + pow(vb / CAST(nb AS DOUBLE), 2)
-                            / (CAST(nb AS DOUBLE) - 1)), 6)
+                            / (CAST(nb AS DOUBLE) - 1))
+                       * 1000000.0 + 0.5) / 1000000.0
                END AS welch_df
         FROM d
     """,
@@ -3598,10 +3611,10 @@ def b16_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
-        F.round(ma, 6).alias("mean_a"),
-        F.round(mb, 6).alias("mean_b"),
-        F.when(ok, F.round(t_stat, 6)).alias("t_stat"),
-        F.when(ok, F.round(welch_df, 6)).alias("welch_df"),
+        numeric.round6_expr(ma).alias("mean_a"),
+        numeric.round6_expr(mb).alias("mean_b"),
+        F.when(ok, numeric.round6_expr(t_stat)).alias("t_stat"),
+        F.when(ok, numeric.round6_expr(welch_df)).alias("welch_df"),
     )
 
 
@@ -3691,13 +3704,13 @@ def b15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, CAST(day AS TIMESTAMP) AS day,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
-               ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
                      ELSE CAST(prev_v AS DOUBLE)
                           + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
                             * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
                                / CAST(date_diff('day', prev_day, next_day)
                                       AS DOUBLE))
-                     END, 6) AS interp_value,
+                     END) * 1000000.0 + 0.5) / 1000000.0 AS interp_value,
                (n IS NULL) AS was_gap
         FROM ctx
     """,
@@ -3768,11 +3781,10 @@ def b15_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
-        F.round(
+        numeric.round6_expr(
             F.when(F.col("v").isNotNull(), F.col("v").cast("double")).otherwise(
                 interp
-            ),
-            6,
+            )
         ).alias("interp_value"),
         F.col("n").isNull().alias("was_gap"),
     )
@@ -4268,13 +4280,14 @@ def b04_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM m)
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n,
-               ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
-                   AS slope,
-               ROUND((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
-                      * sxd) / nd, 6) AS intercept,
-               ROUND((nd * sxyd - sxd * syd)
-                     / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
-                     6) AS corr_xy
+               floor((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                     * 1000000.0 + 0.5) / 1000000.0 AS slope,
+               floor((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                      * sxd) / nd * 1000000.0 + 0.5) / 1000000.0
+                   AS intercept,
+               floor((nd * sxyd - sxd * syd)
+                     / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                     * 1000000.0 + 0.5) / 1000000.0 AS corr_xy
         FROM d
         ORDER BY l_returnflag
     """,
@@ -4311,12 +4324,11 @@ def b16_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
-        F.round(
+        numeric.round6_expr(slope).alias("slope"),
+        numeric.round6_expr((syd - slope * sxd) / nd).alias("intercept"),
+        numeric.round6_expr(
             (nd * sxyd - sxd * syd)
-            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
-            6,
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
         ).alias("corr_xy"),
     ).orderBy("l_returnflag")
 
@@ -4435,10 +4447,11 @@ _PH_W = 25.0  # bucket width over events.value (observed domain 0..~500)
                               (CAST(0.99 AS DOUBLE))) AS p(p)
           WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.n AS DOUBLE))
         SELECT g AS event_type, CAST(n AS BIGINT) AS n, p,
-               ROUND(bucket * {_PH_W}
+               floor((bucket * {_PH_W}
                      + {_PH_W} * (p * CAST(n AS DOUBLE)
                                   - CAST(cum_before AS DOUBLE))
-                       / CAST(cnt AS DOUBLE), 6) AS value_est
+                       / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS value_est
         FROM qual WHERE rn = 1
     """,
     tags=("profiling", "sketch"),
@@ -4499,15 +4512,14 @@ def b18_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("event_type"),
             F.col("n").cast("long").alias("n"),
             "p",
-            F.round(
+            numeric.round6_expr(
                 F.col("bucket") * F.lit(_PH_W)
                 + F.lit(_PH_W)
                 * (
                     F.col("p") * F.col("n").cast("double")
                     - F.col("cum_before").cast("double")
                 )
-                / F.col("cnt").cast("double"),
-                6,
+                / F.col("cnt").cast("double")
             ).alias("value_est"),
         )
     )
@@ -4540,15 +4552,16 @@ _WEEK_US = 7 * 86_400 * 1_000_000
                COUNT(*) AS n_users,
                CAST(COALESCE(SUM(CASE WHEN converted THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_converted,
-               ROUND(CAST(COALESCE(SUM(CASE WHEN converted THEN 1 ELSE 0 END),
-                          0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-                   AS conversion_rate,
+               floor(CAST(COALESCE(SUM(CASE WHEN converted THEN 1 ELSE 0 END),
+                          0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
                CASE WHEN SUM(CASE WHEN converted THEN 1 ELSE 0 END) > 0
-                    THEN ROUND((CAST(SUM(CASE WHEN converted
+                    THEN floor((CAST(SUM(CASE WHEN converted
                                             THEN fp - fc ELSE 0 END)
                                      AS DOUBLE) / 1000000.0)
                                / CAST(SUM(CASE WHEN converted THEN 1 ELSE 0
-                                          END) AS DOUBLE), 6)
+                                          END) AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS avg_latency_s
         FROM c GROUP BY cohort_week ORDER BY cohort_week
     """,
@@ -4599,17 +4612,14 @@ def b22_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_week").cast("long").alias("cohort_week"),
         "n_users",
         "n_converted",
-        F.round(
-            F.col("n_converted").cast("double")
-            / F.col("n_users").cast("double"),
-            6,
+        numeric.round6_ratio_expr(
+            F.col("n_converted"), F.col("n_users")
         ).alias("conversion_rate"),
         F.when(
             F.col("n_converted") > 0,
-            F.round(
+            numeric.round6_expr(
                 (F.col("lat_total").cast("double") / F.lit(1_000_000.0))
-                / F.col("n_converted").cast("double"),
-                6,
+                / F.col("n_converted").cast("double")
             ),
         ).alias("avg_latency_s"),
     ).orderBy("cohort_week")

@@ -33,6 +33,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import numeric
 from ..functions.numeric import dbl, dec
 from ..sources.tables import load_tables, ts_event_time, ts_micros
 from ..scratch import scratch_dir, unique_name
@@ -2900,10 +2901,11 @@ def b26_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (CAST(0.99 AS DOUBLE))) AS p(p)
           WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.n AS DOUBLE))
         SELECT g AS event_type, CAST(n AS BIGINT) AS n, p,
-               ROUND(bucket * 25.0
+               floor((bucket * 25.0
                      + 25.0 * (p * CAST(n AS DOUBLE)
                                - CAST(cum_before AS DOUBLE))
-                       / CAST(cnt AS DOUBLE), 6) AS value_est
+                       / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS value_est
         FROM qual WHERE rn = 1
     """,
     tags=("sketch", "streaming"),
@@ -3015,7 +3017,7 @@ def b18_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("event_type"),
             F.col("n"),
             "p",
-            F.round(est, 6).alias("value_est"),
+            numeric.round6_expr(est).alias("value_est"),
         )
     )
 
