@@ -41,11 +41,16 @@ def main() -> None:
     window = set(order[:50])
     names = sorted(registry.REGISTRY)
     never = [n for n in names if n not in last]
+    failed = [n for n in names if n in last and not last[n][1]]
     print(
         f"Registry keys: {len(names)}.  Ever driver-checked: "
         f"{len(names) - len(never)}.  Never: {len(never)}.  "
+        f"Latest-row-failed: {len(failed)}.  "
         f"Next window (first 50 of queries()): "
-        f"{sum(1 for n in window if n not in last)} never-checked keys."
+        f"{sum(1 for n in window if n in failed)} failed-tier + "
+        f"{sum(1 for n in window if n not in last)} never-checked + "
+        f"{sum(1 for n in window if n in last and n not in failed)} "
+        f"LRU keys."
     )
     print()
     print("| registry key | driver rounds | next window |")
