@@ -1521,3 +1521,52 @@ def test_round6_ratio_tie_safe_cross_engine(spark):
     assert got[(10211, 80000)] == 0.127637
     assert got[(1, 128)] == 0.007813
     assert got[(-1, 128)] == -0.007812
+
+
+def test_round6_parity_random_and_adversarial_ratios(spark):
+    """Batched cross-engine parity of the floor-form rounding over ~2k
+    ratios built to maximize 6dp-boundary ties: denominators of form
+    2^a * 5^b * small (the only ones whose reciprocals terminate) with
+    dense numerator coverage, signed, plus a PRNG spray.  Any split
+    between round6_ratio_expr and its SQL twin fails with the exact
+    pair."""
+    import random
+
+    import duckdb
+
+    from flink_big_query_connector_spark.functions import numeric
+
+    rng = random.Random(99)
+    cases = []
+    # adversarial: denominators 2^a 5^b scaled; numerators around ties
+    for d in (64, 128, 256, 512, 1024, 80, 160, 400, 800, 80000,
+              125, 625, 320, 2000):
+        for n in range(1, 40):
+            cases.append((n, d))
+            cases.append((-n, d))
+    # PRNG spray
+    for _ in range(800):
+        cases.append((rng.randint(-10**6, 10**6), rng.randint(1, 10**5)))
+    cases = list(dict.fromkeys(cases))
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["s"]
+        for r in df.select(
+            "n", "d",
+            numeric.round6_ratio_expr(F.col("n"), F.col("d")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", cases)
+    exp = {
+        (n, d): s
+        for n, d, s in con.execute(
+            f"SELECT n, d, {numeric.sql_round6_ratio('n', 'd')} FROM c"
+        ).fetchall()
+    }
+    diffs = [
+        (k, got[k], exp[k]) for k in exp if got[k] != exp[k]
+    ]
+    assert not diffs, diffs[:5]
+    assert len(got) == len(cases)
