@@ -2864,8 +2864,8 @@ def b11_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.user_id,
                ROUND(-SUM((CAST(c.n AS DOUBLE) / tot.total)
-                          * ln(CAST(c.n AS DOUBLE) / tot.total)), 9)
-                   AS behavior_entropy
+                          * ln(CAST(c.n AS DOUBLE) / tot.total))
+                     + 0.0, 9) AS behavior_entropy
         FROM c JOIN tot ON c.user_id = tot.user_id
         GROUP BY c.user_id
         ORDER BY c.user_id
@@ -2889,7 +2889,16 @@ def b16_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(tot, "user_id")
         .groupBy("user_id")
-        .agg(F.round(-F.sum(p * F.log(p)), 9).alias("behavior_entropy"))
+        .agg(
+            # + 0.0 normalizes the degenerate single-type user's -0.0
+            # (IEEE: -0.0 + 0.0 = +0.0) BEFORE the round: DuckDB's
+            # round preserves the sign of zero, Spark's BigDecimal
+            # path cannot produce one — repr-distinct to the driver
+            # hash on any data containing a zero-entropy user
+            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 9).alias(
+                "behavior_entropy"
+            )
+        )
         .orderBy("user_id")
     )
 

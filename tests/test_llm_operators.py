@@ -1570,3 +1570,60 @@ def test_round6_parity_random_and_adversarial_ratios(spark):
     ]
     assert not diffs, diffs[:5]
     assert len(got) == len(cases)
+
+
+def test_entropy_zero_is_positive_zero_cross_engine(spark, tmp_path):
+    """A user with a single event type has entropy exactly 0 —
+    computed as -SUM(0.0), which is -0.0 in IEEE.  DuckDB's round
+    preserves the signed zero; Spark's cannot produce one.  The
+    b16_user_entropy plan normalizes with + 0.0 on BOTH sides, so the
+    degenerate user hashes identically (repr '0.0', never '-0.0')."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.sources.tables import TABLES
+
+    # clone the sf tables, replacing events with one single-type user
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in TABLES:
+        if t == "events":
+            continue
+        (d / f"{t}.parquet").symlink_to(f"{src}/{t}.parquet")
+    ev = pq.read_table(f"{src}/events.parquet")
+    one = ev.slice(0, 4)
+    import pyarrow.compute as pc
+
+    one = one.set_column(
+        one.schema.get_field_index("user_id"),
+        "user_id",
+        pa.array([999999] * 4, type=one.schema.field("user_id").type),
+    )
+    one = one.set_column(
+        one.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(["view"] * 4, type=pa.string()),
+    )
+    pq.write_table(pa.concat_tables([ev, one]), str(d / "events.parquet"))
+
+    qd = REGISTRY["b16_user_entropy"]
+    row = [
+        r
+        for r in qd.fn(spark, str(d)).collect()
+        if r["user_id"] == 999999
+    ][0]
+    assert repr(row["behavior_entropy"]) == "0.0"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    (e,) = con.execute(
+        f"SELECT behavior_entropy FROM ({qd.oracle}) "
+        "WHERE user_id = 999999"
+    ).fetchone()
+    assert repr(e) == "0.0"
