@@ -34,6 +34,22 @@ def dbl(col: Column) -> Column:
     return col.cast("double")
 
 
+def roundf_expr(x: Column, digits: int) -> Column:
+    """Tie-safe floor-form rounding at an arbitrary scale (see
+    :func:`round6_expr` for the classes that need it; 9dp integer
+    ratios tie too — 1/1024 terminates at exactly 10 digits ending in
+    5).  Twin: :func:`sql_roundf`."""
+    m = float(10 ** digits)
+    return F.floor(x.cast("double") * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+def sql_roundf(x: str, digits: int) -> str:
+    """DuckDB twin of :func:`roundf_expr` (same IEEE ops, same
+    order)."""
+    m = float(10 ** digits)
+    return f"floor(CAST({x} AS DOUBLE) * {m!r} + 0.5) / {m!r}"
+
+
 def round6_expr(x: Column) -> Column:
     """6dp rounding of a double that is SAFE at exact decimal ties, via
     the identical-IEEE-formula pattern: ``floor(x * 1e6 + 0.5) / 1e6``
@@ -56,14 +72,12 @@ def round6_expr(x: Column) -> Column:
     emit +0.0.  Irrational-ish values bounded away from zero (cosines
     near +-1, raw logs) effectively never hit any class, so the plain
     round(_, 6) convention stays fine there."""
-    return F.floor(
-        x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
-    ) / F.lit(1000000.0)
+    return roundf_expr(x, 6)
 
 
 def sql_round6(x: str) -> str:
     """DuckDB twin of :func:`round6_expr` (same IEEE ops, same order)."""
-    return f"floor(CAST({x} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+    return sql_roundf(x, 6)
 
 
 def round6_ratio_expr(numer: Column, denom: Column) -> Column:

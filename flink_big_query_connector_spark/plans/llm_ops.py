@@ -2137,7 +2137,8 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tot AS (SELECT w1, SUM(n) AS total FROM counts GROUP BY w1)
         SELECT c.w1, c.w2,
-               ROUND(CAST(c.n AS DOUBLE) / tot.total, 9) AS p,
+               floor(CAST(c.n AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS p,
                CAST(rnk AS BIGINT) AS rank
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
@@ -2184,8 +2185,10 @@ def llm_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
-            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 9)
-            .alias("p"),
+            numeric.roundf_expr(
+                F.col("n").cast("double") / F.col("total").cast("double"),
+                9,
+            ).alias("p"),
             "rank",
         )
         .orderBy("w1", "rank")
