@@ -92,3 +92,19 @@ def sql_round6_ratio(numer: str, denom: str) -> str:
     return sql_round6(
         f"CAST({numer} AS DOUBLE) / CAST({denom} AS DOUBLE)"
     )
+
+
+def sql_dbl(expr: str) -> str:
+    """DuckDB DECIMAL -> DOUBLE cast that is CORRECTLY ROUNDED — the
+    twin of the engine's ``dbl()`` (Spark's BigDecimal.doubleValue).
+
+    DuckDB's native decimal->double cast converts the scaled integer to
+    double FIRST and divides by 10^scale second: two roundings.  Once
+    the scaled integer exceeds 2^53 (a money sum over ~9e15 micro
+    units — reached between sf0.1 and sf1 on the Q1 charge column) the
+    first conversion is lossy and the result can differ from the
+    correctly-rounded value by an ulp, hash-splitting against Spark.
+    Routing through VARCHAR makes DuckDB parse the exact decimal string
+    straight to the nearest double — one correctly-rounded conversion,
+    bitwise Spark's."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"

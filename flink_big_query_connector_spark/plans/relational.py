@@ -310,19 +310,27 @@ _Q1_ORACLE = """
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+           AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+           AS DOUBLE) AS sum_base_price,
+      -- VARCHAR route = correctly-rounded decimal->double (DuckDB's
+      -- native cast double-rounds past 2^53 scaled units; see
+      -- functions/numeric.py::sql_dbl)
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+            AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
             AS DECIMAL(18,4))
             * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
-            AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+           AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+           AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR)
+           AS DOUBLE) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
