@@ -745,8 +745,9 @@ def llm_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT d.doc_id,
                CAST(t.i AS BIGINT) AS frame_idx,
-               encode(substring(d.text, CAST(t.i * 128 + 1 AS BIGINT), 64))
-                 AS frame
+               hex(encode(substring(d.text, CAST(t.i * 128 + 1 AS BIGINT),
+                                    64)))
+                 AS frame_hex
         FROM documents d,
              UNNEST(range(0, CAST(ceil(length(d.text) / 128.0) AS BIGINT)))
                AS t(i)
@@ -756,10 +757,16 @@ def llm_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads via row-expanding mapInPandas
     (64-byte frame every 128 bytes); byte-sliced deterministically so the
-    oracle checks the full decode-sample plumbing."""
+    oracle checks the full decode-sample plumbing.  The operator's raw
+    ``frame`` BLOB is surfaced as uppercase hex (identical in Spark and
+    DuckDB): BLOB cells are unhashable in pandas-based result
+    canonicalizers (r9 driver red), so the registry contract is that
+    every query output column is a scalar canonicalizable type."""
     t = load_tables(spark, sf_dir)
     with_payload = multimodal.attach_binary_payload(t["documents"], "text")
-    return multimodal.frame_sample(with_payload, "doc_id")
+    return multimodal.frame_sample(with_payload, "doc_id").select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
 def _ivf_oracle() -> str:
@@ -2004,9 +2011,9 @@ def b28_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_resize",
     oracle="""
         SELECT doc_id,
-               unhex(substring(hex(repeat(encode(text),
+               substring(hex(repeat(encode(text),
                    CAST(CEIL(32.0 / octet_length(encode(text))) AS INT))),
-                   1, 64)) AS resized,
+                   1, 64) AS resized_hex,
                4 AS out_w, 8 AS out_h,
                CAST(32 AS BIGINT) AS out_bytes,
                sha256(text) AS src_sha256
@@ -2022,14 +2029,24 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256) is byte-reproducible in SQL, so unlike the feature extractor
     this mapInPandas stage gets a full hash check — schema, Arrow
     batching, and row alignment all verified.  The oracle operates on
-    UTF-8 bytes (encode/octet_length, truncation via the hex domain since
-    DuckDB has no BLOB substring), matching the operator for non-ASCII
-    text where char count != byte count."""
+    UTF-8 bytes (encode/octet_length, truncation directly in the hex
+    domain), matching the operator for non-ASCII text where char count
+    != byte count.  The operator's raw ``resized`` BLOB is surfaced as
+    uppercase hex (identical in Spark and DuckDB) because BLOB cells are
+    unhashable in pandas-based canonicalizers (r9 driver red)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].filter(F.length("text") > 0)
     with_payload = multimodal.attach_binary_payload(docs, "text", "image/png")
     return (
         multimodal.fake_resize(with_payload, "doc_id", 4, 8)
+        .select(
+            "doc_id",
+            F.hex("resized").alias("resized_hex"),
+            "out_w",
+            "out_h",
+            "out_bytes",
+            "src_sha256",
+        )
         .orderBy("doc_id")
     )
 
@@ -2206,7 +2223,8 @@ def llm_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT term,
                CAST(COUNT(*) AS BIGINT) AS df,
-               list(doc_id ORDER BY doc_id) FILTER (WHERE TRUE) AS postings
+               array_to_string(list(doc_id ORDER BY doc_id), ',')
+                   AS postings
         FROM post
         GROUP BY term
         HAVING COUNT(*) >= 100
@@ -2220,7 +2238,10 @@ def llm_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on term; posting lists build with collect_list + array_sort so
     the result is partition-order-independent.  At 100 TB the HAVING
     keeps hot terms' lists bounded for the oracle; real indexes shard
-    postings by (term, block)."""
+    postings by (term, block).  The posting list is surfaced as a
+    comma-joined string: LIST cells (numpy arrays after collect) are
+    unhashable in pandas-based canonicalizers (r9 driver red), so the
+    registry contract is scalar output columns only."""
     t = load_tables(spark, sf_dir)
     toks = text.tokens_expr(F.col("text"))
     post = (
@@ -2235,7 +2256,13 @@ def llm_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("doc_id")).alias("postings"),
         )
         .filter(F.col("df") >= 100)
-        .select("term", F.col("df").cast("long").alias("df"), "postings")
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+                "postings"
+            ),
+        )
         .orderBy("term")
     )
 
@@ -3542,7 +3569,11 @@ _MANIFEST_SCHEMA = (
           FROM documents)
         SELECT shard,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
+               -- CAST is load-bearing: an uncast SUM(BIGINT) is HUGEINT,
+               -- which pandas-based harnesses fetch as float64/Decimal
+               -- and hash-mismatch against Spark's int64 (the r8/r9
+               -- driver red on this key)
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST(SUM(fp) % 2147483647 AS BIGINT) AS content_checksum
         FROM base GROUP BY shard ORDER BY shard
     """,

@@ -171,3 +171,43 @@ def test_every_batch_registry_key_is_sweep_covered():
         and k not in excluded
     ]
     assert not missing, f"registry keys missing from BATCH_SWEEP: {missing}"
+
+
+def test_every_oracle_output_is_driver_canonicalizable():
+    """No registered oracle may produce a top-level column type the
+    DRIVER's pandas-based result canonicalizer cannot hash/sort: BLOB
+    and LIST cells are unhashable (r9 driver reds on frame_sample /
+    resize / inverted_index), and HUGEINT / DECIMAL(p>18) fetch as
+    float64/Decimal that hash-mismatch Spark's int64 even when every
+    value is equal (the r8/r9 llm_corpus_export red — an uncast
+    SUM(BIGINT)).  DuckDB DESCRIBE types the result without executing
+    it, so this covers the whole registry in seconds; schema_match then
+    extends the guarantee to the Spark side."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, str(PKG.parent))
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.sources.tables import TABLES
+
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    from check_correctness import duck_type_violations
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = []
+    for name in sorted(REGISTRY):
+        sql = REGISTRY[name].oracle
+        if sql is None:
+            continue
+        bad = duck_type_violations(con, sql)
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "driver-uncanonicalizable oracle output columns (surface as "
+        "hex/joined string/exploded rows, CAST aggregates to BIGINT):\n"
+        + "\n".join(offenders)
+    )

@@ -26,6 +26,14 @@ from flink_big_query_connector_spark.session import get_spark  # noqa: E402
 from flink_big_query_connector_spark.sources.tables import TABLES  # noqa: E402
 
 
+class UncanonicalizableCell(Exception):
+    """A result cell the DRIVER's pandas-based canonicalizer cannot
+    hash/sort (bytes, lists, ...).  The r9 driver round failed 3 keys
+    this way while this checker's old bytes->hex / list rescue passed
+    them locally — so strictness here is deliberately driver-identical:
+    such a cell is a FAIL, never rescued."""
+
+
 def canon_value(v):
     if v is None:
         return "NULL"
@@ -41,11 +49,44 @@ def canon_value(v):
         return v.isoformat()
     if isinstance(v, bool):
         return f"bool:{v}"
-    if isinstance(v, bytes):
-        return f"bytes:{v.hex()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray, list, tuple, dict, set)):
+        raise UncanonicalizableCell(
+            f"{type(v).__name__} cell {v!r:.60} is unhashable for the "
+            "driver's pandas canonicalizer; surface it as hex/joined "
+            "string/exploded rows instead"
+        )
     return f"{type(v).__name__}:{v}"
+
+
+# DuckDB top-level result types the driver's pandas fetch cannot
+# canonicalize: BLOB/LIST/STRUCT/MAP are unhashable cells, HUGEINT and
+# DECIMAL(p>18) fetch as float64/Decimal and hash-mismatch Spark int64
+# even when every value is equal (the r8/r9 llm_corpus_export red).
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "BLOB", "STRUCT", "MAP", "UNION")
+_BANNED_SPARK_TYPES = ("BinaryType", "ArrayType", "MapType", "StructType")
+
+
+def duck_type_violations(con, sql: str) -> list[str]:
+    """DESCRIBE the oracle and list driver-uncanonicalizable columns."""
+    out = []
+    for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+        t = typ.upper()
+        if any(b in t for b in _BANNED_DUCK_TYPES) or "[]" in t:
+            out.append(f"{col}:{typ}")
+        elif t.startswith("DECIMAL"):
+            prec = int(t.split("(")[1].split(",")[0])
+            if prec > 18:
+                out.append(f"{col}:{typ}")
+    return out
+
+
+def spark_type_violations(schema) -> list[str]:
+    """List top-level Spark result columns the driver cannot sort/hash."""
+    return [
+        f"{f.name}:{type(f.dataType).__name__}"
+        for f in schema.fields
+        if type(f.dataType).__name__ in _BANNED_SPARK_TYPES
+    ]
 
 
 def canon_rows(cols, rows):
@@ -79,6 +120,12 @@ def main():
         try:
             sdf = qd.fn(spark, sf_dir)
             scols = sdf.columns
+            bad_s = spark_type_violations(sdf.schema)
+            if bad_s:
+                print(f"FAIL {name}: driver-uncanonicalizable Spark "
+                      f"output columns: {bad_s}")
+                n_fail += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -93,6 +140,12 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            bad_o = duck_type_violations(con, qd.oracle)
+            if bad_o:
+                print(f"FAIL {name}: driver-uncanonicalizable oracle "
+                      f"output columns: {bad_o}")
+                n_fail += 1
+                continue
             cur = con.execute(qd.oracle)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -100,8 +153,13 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sc, sr = canon_rows(scols, srows)
-        oc, orr = canon_rows(ocols, orows)
+        try:
+            sc, sr = canon_rows(scols, srows)
+            oc, orr = canon_rows(ocols, orows)
+        except UncanonicalizableCell as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} duck={oc}")
             n_fail += 1
