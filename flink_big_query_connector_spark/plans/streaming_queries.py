@@ -1291,22 +1291,45 @@ def b26_stream_state_native_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalence the A4 port claims.  Falls back to that twin where
     the worker protobuf stack is genuinely unavailable (identical output
     contract either way; `compat.enable_bundled_protobuf` makes the
-    native path the one that actually runs here)."""
+    native path the one that actually runs here) — and, LOUDLY, when
+    the native runner's Python worker dies on both attempts
+    (TwsWorkerCrashError: transient host fork/memory pressure, the
+    r8/r9 driver failure): the equivalence the oracle pins is exactly
+    what makes the twin a sound degradation, and the crash evidence
+    (worker faulthandler stacks, or their absence = OOM SIGKILL) is in
+    the error log rather than silently discarded."""
+    import logging
+
     from ..streaming import stream_state as ss
 
     load_tables(spark, sf_dir)
     backend_root = scratch_dir("fbq_ntws_")
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
-    if not ss.tws_runtime_available():
+
+    def _classic(root: str) -> DataFrame:
         out = ss.keyed_offset_assignment_tws(
-            ev, "user_id", backend_root, "proj.ds.events_ntws"
+            ev, "user_id", root, "proj.ds.events_ntws"
         )
         return _run_to_table(out, "append")
+
+    if not ss.tws_runtime_available():
+        return _classic(backend_root)
     out = ss.keyed_offset_assignment_native_tws(
         ev, "user_id", backend_root, "proj.ds.events_ntws"
     )
     with _stream_partitions(spark):
-        return ss.run_native_tws_to_table(out, "append")
+        try:
+            return ss.run_native_tws_to_table(out, "append")
+        except ss.TwsWorkerCrashError as exc:
+            logging.getLogger(__name__).error(
+                "native TWS runner crashed on both attempts; degrading "
+                "to the applyInPandasWithState twin (oracle-pinned "
+                "identical output contract). Crash evidence:\n%s",
+                exc,
+            )
+            # fresh backend: the crashed native attempts may have
+            # part-written streams/offsets into the original root
+            return _classic(scratch_dir("fbq_ntws_fallback_"))
 
 
 @register(

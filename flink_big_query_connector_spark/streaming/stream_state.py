@@ -293,8 +293,27 @@ def keyed_offset_assignment_native_tws(
     # session-wide set at plan-BUILD time would leak into every later
     # unrelated streaming query in the session.
 
+    fh_dir = _faulthandler_dir()
+
     class OffsetAssigner(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # Fatal-signal stack capture IN the worker process: when an
+            # external driver owns the session, the static
+            # spark.python.worker.faulthandler.enabled conf is out of
+            # reach, so the processor installs its own handler.  A
+            # SIGSEGV/SIGBUS/SIGABRT dumps here and
+            # run_native_tws_to_table attaches it to the crash report;
+            # SIGKILL (OOM killer) leaves the file empty — itself a
+            # diagnostic (see TwsWorkerCrashError).
+            import faulthandler
+
+            try:
+                self._fh_file = open(
+                    os.path.join(fh_dir, f"fh_{os.getpid()}.log"), "a"
+                )
+                faulthandler.enable(file=self._fh_file)
+            except OSError:
+                self._fh_file = None
             self._state = handle.getValueState(
                 "stream_offset",
                 "name string, next_offset long",
@@ -328,7 +347,16 @@ def keyed_offset_assignment_native_tws(
             )
 
         def close(self) -> None:
-            pass
+            # disable BEFORE closing: a fatal signal after close must
+            # not dump into a closed fd
+            import faulthandler
+
+            if getattr(self, "_fh_file", None) is not None:
+                try:
+                    faulthandler.disable()
+                    self._fh_file.close()
+                except Exception:
+                    pass
 
     # Spark only honors state TTL under processing-time mode: with
     # timeMode="None" the ValueState registration with ttlDurationMs
@@ -348,53 +376,134 @@ _ROCKSDB_PROVIDER = (
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-class _rocksdb_state_provider:
-    """Set the RocksDB state-store provider for the duration of a query
-    start and RESTORE the session's previous value on exit.
+class _scoped_sql_conf:
+    """Set runtime SQL confs for the duration of a query start and
+    RESTORE each key's previous value (set or unset) on exit — no
+    session-wide leak into later unrelated queries.  Streaming
+    state-store confs are read once at query START, so holding them for
+    the runner's start-to-stop lifetime is sufficient."""
+
+    def __init__(self, spark, conf: dict):
+        self._spark = spark
+        self._conf = conf
+
+    def __enter__(self):
+        self._prev = {
+            k: self._spark.conf.get(k, None) for k in self._conf
+        }
+        for k, v in self._conf.items():
+            self._spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, prev in self._prev.items():
+            if prev is None:
+                try:
+                    self._spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                self._spark.conf.set(k, prev)
+        return False
+
+
+class _rocksdb_state_provider(_scoped_sql_conf):
+    """Scope the RocksDB state-store provider around a query start.
 
     TWS state (value states + the TTL secondary index) lives in multiple
     column families, which the default HDFS-backed provider rejects;
     RocksDB is also the store you'd run at 100 TB (memory-bounded,
-    changelog checkpointing).  The conf is read once at query START, so
-    holding it for the runner's start-to-stop lifetime is sufficient,
-    and restoring it keeps unrelated later streaming queries in the
-    same session on whatever provider they had configured."""
+    changelog checkpointing)."""
 
     def __init__(self, spark):
-        self._spark = spark
-
-    def __enter__(self):
-        self._prev = self._spark.conf.get(_PROVIDER_KEY, None)
-        self._spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
-        return self
-
-    def __exit__(self, *exc):
-        if self._prev is None:
-            try:
-                self._spark.conf.unset(_PROVIDER_KEY)
-            except Exception:
-                pass
-        else:
-            self._spark.conf.set(_PROVIDER_KEY, self._prev)
-        return False
+        super().__init__(spark, {_PROVIDER_KEY: _ROCKSDB_PROVIDER})
 
 
 def _is_tws_worker_crash(exc: BaseException) -> bool:
     """True when a streaming failure is the TWS Python runner dying
     (state-server/daemon death under memory or fork pressure), not a
-    query-semantics error.  Observed driver signature:
-    ``TransformWithStateInPySpark driver worker exited unexpectedly
-    (crashed)``; the generic python-worker variants are included
-    because the same daemon serves both roles."""
-    msg = str(exc)
-    return any(
-        sig in msg
-        for sig in (
-            "worker exited unexpectedly",
-            "Python worker exited",
-            "worker crashed",
-        )
-    )
+    query-semantics error.  Matched narrowly on Spark's own dead-worker
+    wording — ``... worker exited unexpectedly (crashed)`` — which
+    covers both observed forms (``Python worker exited unexpectedly``
+    and ``TransformWithStateInPySpark driver worker exited
+    unexpectedly``) while NOT matching a deterministic plan/UDF error
+    whose message merely mentions workers or crashes (those must
+    surface immediately, not burn a retry)."""
+    return "worker exited unexpectedly" in str(exc)
+
+
+class TwsWorkerCrashError(RuntimeError):
+    """Raised when the native TWS runner's Python worker died and the
+    run could not (or must not) transparently recover:
+
+    - with a CALLER-MANAGED checkpoint, after the FIRST crash — an
+      in-place auto-retry would reuse the checkpoint but write to a
+      fresh output dir, silently dropping the batches the crashed
+      attempt already committed (partial results); the caller's own
+      restart-from-checkpoint is the correct recovery path, so the
+      crash is surfaced to it;
+    - with a RUN-OWNED checkpoint, after BOTH attempts (the second on a
+      memory-bounded RocksDB) crashed.
+
+    Carries every crash message plus any faulthandler stack dumps the
+    dying workers managed to write (``crash_evidence``) so the failure
+    names its killer; an EMPTY dump set under crash wording means the
+    worker died without Python-signal handling running — i.e. SIGKILL,
+    almost always the host OOM killer."""
+
+    def __init__(self, message: str, crash_evidence: list[str]):
+        super().__init__(message)
+        self.crash_evidence = crash_evidence
+
+
+_FH_DIR: str | None = None
+
+
+def _faulthandler_dir() -> str:
+    """Per-process directory where native-TWS workers dump faulthandler
+    stacks on fatal signals (wired inside the stateful processor's
+    ``init``, which runs IN the worker — the only hook this library
+    controls when the session, and hence the static
+    ``spark.python.worker.faulthandler.enabled`` conf, is owned by an
+    external driver)."""
+    global _FH_DIR
+    if _FH_DIR is None:
+        from ..scratch import scratch_dir
+
+        _FH_DIR = scratch_dir("tws_faulthandler_")
+    return _FH_DIR
+
+
+def _read_faulthandler_dumps(since: float) -> list[str]:
+    """Non-empty worker stack dumps written at/after ``since`` (epoch
+    seconds) — the evidence a crashed attempt leaves behind."""
+    import glob
+
+    out: list[str] = []
+    if _FH_DIR is None:
+        return out
+    for path in sorted(glob.glob(os.path.join(_FH_DIR, "fh_*.log"))):
+        try:
+            if os.path.getmtime(path) < since or not os.path.getsize(path):
+                continue
+            with open(path, "r", errors="replace") as f:
+                out.append(f"{os.path.basename(path)}:\n{f.read()}")
+        except OSError:
+            continue
+    return out
+
+
+# Attempt-2 conf: cap RocksDB native memory (block cache + memtables
+# shared across all state-store instances in the executor) — the most
+# likely killer of a Python/JNI worker in a loaded host session is
+# native memory, so the retry is structurally different, not a replay
+# of the same configuration.  Runtime-settable; scoped+restored like
+# the provider itself.
+_BOUNDED_ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "256",
+    "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "16",
+}
 
 
 def run_native_tws_to_table(
@@ -423,18 +532,40 @@ def run_native_tws_to_table(
     the rows ITS run produced — what the restart/TTL tests diff.
 
     The TWS Python runner daemon can die under host fork/memory
-    pressure (one observed driver-round failure:
+    pressure (observed driver-round failures r8/r9:
     ``TransformWithStateInPySpark driver worker exited unexpectedly``)
-    — a transient environment event, not a plan error.  When the run
-    owns its checkpoint (``checkpoint=None``) such a crash is retried
-    ONCE from a fresh checkpoint and output dir (nothing was consumed
-    exactly-once outside them, so the retry recomputes the identical
-    result); with a caller-managed checkpoint the retry restarts from
-    that same checkpoint — the normal recovery path.  The crash message
-    (which carries the Spark-captured worker stderr) is logged either
-    way."""
+    — a transient environment event, not a plan error.  Crash handling
+    is three-layered:
+
+    1. Workers dump faulthandler stacks into :func:`_faulthandler_dir`
+       (enabled inside the processor's ``init`` — the only hook
+       available when an external driver owns the session and its
+       static faulthandler conf); a crash's dumps are attached to the
+       log/raise so the failure names its killer.  NO dump + crash
+       wording = the worker died without signal handling = SIGKILL,
+       i.e. the host OOM killer.
+    2. When the run OWNS its checkpoint (``checkpoint=None``) a crash
+       is retried ONCE from a fresh checkpoint and output dir, on a
+       STRUCTURALLY DIFFERENT configuration — RocksDB with bounded
+       native memory (:data:`_BOUNDED_ROCKSDB_CONF`) — so the retry
+       isn't a coin-flip replay of the same failure mode.
+    3. With a CALLER-MANAGED checkpoint there is NO auto-retry: the
+       crashed attempt may already have committed batches into its own
+       out_dir, and a same-checkpoint retry into a fresh out_dir would
+       return only post-restart batches — silent partial results.  The
+       crash surfaces as :class:`TwsWorkerCrashError`; the caller's own
+       restart-from-checkpoint (a new call) is the recovery path.
+
+    A second run-owned crash raises :class:`TwsWorkerCrashError` with
+    both crash messages and all captured worker stacks; callers with a
+    semantically equivalent non-native plan (the
+    ``applyInPandasWithState`` twin) may catch it and degrade loudly."""
+    import logging
+
     from pyspark.errors import StreamingQueryException
 
+    log = logging.getLogger(__name__)
+    t0 = time.time()
     try:
         # each attempt gets a fresh out_dir: a crashed attempt may have
         # committed batches into its own directory already
@@ -442,16 +573,50 @@ def run_native_tws_to_table(
     except StreamingQueryException as exc:
         if not _is_tws_worker_crash(exc):
             raise
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "native TWS runner worker crashed on first attempt; "
-            "retrying once from a %s checkpoint. Worker error:\n%s",
-            "fresh" if checkpoint is None else "caller-managed",
+        dumps = _read_faulthandler_dumps(t0)
+        evidence = "\n".join(dumps) if dumps else (
+            "no faulthandler dump -> worker died without Python signal "
+            "handling (SIGKILL, likely host OOM killer)"
+        )
+        if checkpoint is not None:
+            raise TwsWorkerCrashError(
+                "native TWS worker crashed under a caller-managed "
+                "checkpoint; not auto-retrying (batches the crashed "
+                "attempt committed live in its own output dir and a "
+                "same-checkpoint retry would silently drop them). "
+                f"Restart from the checkpoint to recover.\nCrash: {exc}\n"
+                f"Worker evidence: {evidence}",
+                [str(exc), *dumps],
+            ) from exc
+        log.warning(
+            "native TWS runner worker crashed on first attempt; retrying "
+            "once from a fresh checkpoint with memory-bounded RocksDB "
+            "(%s). Worker evidence:\n%s\nCrash:\n%s",
+            _BOUNDED_ROCKSDB_CONF,
+            evidence,
             exc,
         )
-        # a second crash (or any other failure) surfaces from here
-        return _run_tws_attempt(df, mode, checkpoint, timeout_s)
+        t1 = time.time()
+        try:
+            return _run_tws_attempt(
+                df, mode, checkpoint, timeout_s,
+                extra_conf=_BOUNDED_ROCKSDB_CONF,
+            )
+        except StreamingQueryException as exc2:
+            if not _is_tws_worker_crash(exc2):
+                raise
+            dumps2 = _read_faulthandler_dumps(t1)
+            evidence2 = "\n".join(dumps2) if dumps2 else (
+                "no faulthandler dump -> SIGKILL (likely host OOM killer)"
+            )
+            raise TwsWorkerCrashError(
+                "native TWS worker crashed on BOTH attempts (second on "
+                "memory-bounded RocksDB); giving up on the native "
+                f"runner.\nFirst crash: {exc}\nFirst evidence: "
+                f"{evidence}\nSecond crash: {exc2}\nSecond evidence: "
+                f"{evidence2}",
+                [str(exc), *dumps, str(exc2), *dumps2],
+            ) from exc2
 
 
 def _run_tws_attempt(
@@ -459,8 +624,11 @@ def _run_tws_attempt(
     mode: str,
     checkpoint: str | None,
     timeout_s: float,
+    extra_conf: dict | None = None,
 ):
-    """One start-to-drain execution (see run_native_tws_to_table)."""
+    """One start-to-drain execution (see run_native_tws_to_table).
+    ``extra_conf`` is scoped+restored around query start exactly like
+    the provider conf (all state-store confs are read at START)."""
     from ..scratch import scratch_dir
 
     out_dir = scratch_dir("tws_out_")
@@ -469,7 +637,8 @@ def _run_tws_attempt(
     def sink(batch_df, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    with _rocksdb_state_provider(df.sparkSession):
+    conf = {_PROVIDER_KEY: _ROCKSDB_PROVIDER, **(extra_conf or {})}
+    with _scoped_sql_conf(df.sparkSession, conf):
         q = (
             df.writeStream.foreachBatch(sink)
             .outputMode(mode)

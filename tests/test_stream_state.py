@@ -242,8 +242,8 @@ def test_native_tws_worker_crash_retries_once(spark, tmp_path, monkeypatch):
     calls = []
     real = ss._run_tws_attempt
 
-    def flaky(df, mode, checkpoint, timeout_s):
-        calls.append(checkpoint)
+    def flaky(df, mode, checkpoint, timeout_s, extra_conf=None):
+        calls.append((checkpoint, extra_conf))
         if len(calls) == 1:
             raise StreamingQueryException(
                 desc=(
@@ -252,14 +252,15 @@ def test_native_tws_worker_crash_retries_once(spark, tmp_path, monkeypatch):
                 ),
                 stackTrace="",
             )
-        return real(df, mode, checkpoint, timeout_s)
+        return real(df, mode, checkpoint, timeout_s, extra_conf=extra_conf)
 
     monkeypatch.setattr(ss, "_run_tws_attempt", flaky)
     out = ss.run_native_tws_to_table(frame, "append")
     got = {(r["user_id"], r["base_offset"], r["n"]) for r in out.collect()}
     assert got == {(7, 0, 2), (9, 0, 1)}
-    # two attempts, both run-owned (fresh) checkpoints
-    assert calls == [None, None]
+    # two attempts, both run-owned (fresh) checkpoints; the retry is
+    # structurally different — memory-bounded RocksDB
+    assert calls == [(None, None), (None, ss._BOUNDED_ROCKSDB_CONF)]
 
 
 def test_native_tws_non_crash_error_does_not_retry(spark, tmp_path, monkeypatch):
@@ -276,7 +277,7 @@ def test_native_tws_non_crash_error_does_not_retry(spark, tmp_path, monkeypatch)
     frame = _make_events_frame(spark, tmp_path, "noretry")
     calls = []
 
-    def broken(df, mode, checkpoint, timeout_s):
+    def broken(df, mode, checkpoint, timeout_s, extra_conf=None):
         calls.append(checkpoint)
         raise StreamingQueryException(
             desc="[STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE] bad plan",
@@ -290,8 +291,10 @@ def test_native_tws_non_crash_error_does_not_retry(spark, tmp_path, monkeypatch)
 
 
 def test_native_tws_second_crash_surfaces(spark, tmp_path, monkeypatch):
-    """Two consecutive worker crashes: the second one is raised (one
-    retry, never a loop)."""
+    """Two consecutive worker crashes: TwsWorkerCrashError carrying both
+    crash messages is raised (one retry, never a loop) — the typed
+    error is what lets the query layer degrade loudly to the
+    applyInPandasWithState twin."""
     import pytest as _pytest
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -303,7 +306,7 @@ def test_native_tws_second_crash_surfaces(spark, tmp_path, monkeypatch):
     frame = _make_events_frame(spark, tmp_path, "twice")
     calls = []
 
-    def always_crash(df, mode, checkpoint, timeout_s):
+    def always_crash(df, mode, checkpoint, timeout_s, extra_conf=None):
         calls.append(checkpoint)
         raise StreamingQueryException(
             desc="Python worker exited unexpectedly (crashed)",
@@ -311,9 +314,71 @@ def test_native_tws_second_crash_surfaces(spark, tmp_path, monkeypatch):
         )
 
     monkeypatch.setattr(ss, "_run_tws_attempt", always_crash)
-    with _pytest.raises(StreamingQueryException, match="worker exited"):
+    with _pytest.raises(ss.TwsWorkerCrashError, match="BOTH attempts") as ei:
         ss.run_native_tws_to_table(frame, "append")
     assert len(calls) == 2
+    # both crash messages are in the evidence list
+    assert sum("crashed" in e for e in ei.value.crash_evidence) == 2
+
+
+def test_native_tws_caller_checkpoint_crash_never_auto_retries(
+    spark, tmp_path, monkeypatch
+):
+    """With a CALLER-MANAGED checkpoint a crash must surface after ONE
+    attempt: the crashed attempt may already have committed batches
+    into its own out_dir, so a same-checkpoint auto-retry into a fresh
+    out_dir would return only post-restart batches — silent partial
+    results.  The caller's restart-from-checkpoint is the recovery
+    path (exactly what the TTL test's run_once() does)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    if not ss.tws_runtime_available():
+        _pytest.skip("google.protobuf absent: native TWS runner cannot run")
+
+    frame = _make_events_frame(spark, tmp_path, "callerckpt")
+    calls = []
+
+    def crash(df, mode, checkpoint, timeout_s, extra_conf=None):
+        calls.append(checkpoint)
+        raise StreamingQueryException(
+            desc=(
+                "TransformWithStateInPySpark driver worker exited "
+                "unexpectedly (crashed)"
+            ),
+            stackTrace="",
+        )
+
+    monkeypatch.setattr(ss, "_run_tws_attempt", crash)
+    ckpt = str(tmp_path / "caller_ckpt")
+    with _pytest.raises(ss.TwsWorkerCrashError, match="caller-managed"):
+        ss.run_native_tws_to_table(frame, "append", checkpoint=ckpt)
+    assert calls == [ckpt]
+
+
+def test_tws_crash_classifier_is_narrow():
+    """Only Spark's dead-worker wording is classified as a crash; a
+    deterministic failure that merely MENTIONS workers or crashes must
+    surface immediately (no burned retry, no muddied root cause)."""
+    from flink_big_query_connector_spark.streaming.stream_state import (
+        _is_tws_worker_crash,
+    )
+
+    assert _is_tws_worker_crash(RuntimeError(
+        "TransformWithStateInPySpark driver worker exited unexpectedly "
+        "(crashed)"
+    ))
+    assert _is_tws_worker_crash(RuntimeError(
+        "Python worker exited unexpectedly (crashed)"
+    ))
+    assert not _is_tws_worker_crash(RuntimeError(
+        "column 'worker crashed' not found"
+    ))
+    assert not _is_tws_worker_crash(RuntimeError(
+        "UDF failed while parsing 'Python worker exited' marker"
+    ))
 
 
 def test_rocksdb_provider_conf_is_scoped_and_restored(spark):
