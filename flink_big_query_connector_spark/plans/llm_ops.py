@@ -3557,6 +3557,46 @@ _MANIFEST_SCHEMA = (
 )
 
 
+def _export_oracle_crosscheck(sf_dir: str, got: dict) -> None:
+    """In-situ cross-engine audit of the export manifest: run this
+    query's OWN registered DuckDB oracle over the same ``sf_dir``
+    parquet, in-process, and compare shard by shard.  The r8/r9 driver
+    rounds recorded hash_match=false on this key with the Spark-side
+    self-check green — a divergence entirely OUTSIDE the write/read-back
+    fault domain (root cause: the oracle's uncast SUM fetched as
+    HUGEINT; fixed) — and a red row without names costs a round.  Any
+    future Spark-vs-DuckDB split now raises HERE, naming the divergent
+    shard and both (spark, duckdb) triples.  Skips silently only when
+    duckdb itself is unavailable in the process."""
+    try:
+        import duckdb
+    except ImportError:
+        return
+    from .registry import REGISTRY
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        rows = con.execute(REGISTRY["llm_corpus_export"].oracle).fetchall()
+    finally:
+        con.close()
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    if oracle != got:
+        diff = {
+            s: {"spark": got.get(s), "duckdb": oracle.get(s)}
+            for s in sorted(set(got) | set(oracle))
+            if got.get(s) != oracle.get(s)
+        }
+        raise RuntimeError(
+            "corpus export manifest diverges between Spark and the "
+            f"in-situ DuckDB oracle; per-shard (spark, duckdb) diff: "
+            f"{diff}"
+        )
+
+
 @register(
     "llm_corpus_export",
     oracle=f"""
@@ -3638,6 +3678,7 @@ def llm_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in got_rows
         }
         if got == expected:
+            _export_oracle_crosscheck(sf_dir, got)
             return spark.createDataFrame(
                 [tuple(r) for r in got_rows], schema=_MANIFEST_SCHEMA
             ).orderBy("shard")

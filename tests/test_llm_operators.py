@@ -1347,6 +1347,23 @@ def test_corpus_export_persistent_loss_raises_with_shard_diff(
     assert "expected" in msg and "on_disk" in msg
 
 
+def test_corpus_export_oracle_crosscheck_names_divergent_shard(sf_dir):
+    """The in-situ DuckDB audit (the r8/r9 driver red was Spark-vs-
+    oracle divergence INVISIBLE to the write/read-back self-check) must
+    raise with the divergent shard's (spark, duckdb) triples when the
+    Spark manifest disagrees with this query's own oracle."""
+    import pytest as _pytest
+
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _export_oracle_crosscheck,
+    )
+
+    with _pytest.raises(RuntimeError) as exc:
+        _export_oracle_crosscheck(sf_dir, {0: (1, 2, 3)})
+    msg = str(exc.value)
+    assert "diverges" in msg and "spark" in msg and "duckdb" in msg
+
+
 def _adc_expected(vecs, cbs, query_ids, cand_ids, k=5):
     """Reference ADC ranking in plain Python: encode each candidate
     (argmin rounded-6dp squared L2, ties to the lowest positional code),
