@@ -81,12 +81,18 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
+def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """One timed execution: (wall seconds, process-CPU seconds).
+
+    CPU is the python driver process only (the JVM runs the plan), so
+    its value is diagnostic, not a throughput number: a wall increase
+    WITHOUT a matching load/CPU increase is code, with one it's the
+    shared host."""
     fn = plans.REGISTRY[name].fn
-    t0 = time.time()
+    t0, c0 = time.time(), time.process_time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    return time.time() - t0, time.process_time() - c0
 
 
 def main() -> None:
@@ -97,6 +103,12 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Host-load context: three driver rounds of artifact drift
+    # (15.89 -> 17.28 -> 17.90 s shared-21) could not be attributed to
+    # load vs code because the artifact carried no environment data.
+    # loadavg before/after makes a uniform slowdown self-explaining.
+    load_before = os.getloadavg()
 
     # Warm the JVM (codegen compiler, parquet footer cache, shuffle service)
     # and the Python DataSource worker pool with an untimed pass so timings
@@ -114,18 +126,21 @@ def main() -> None:
     # write fresh backend roots each call) stay comparable because each
     # pass does identical work.
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
     for name in HEADLINE:
-        t1 = run_query(spark, name, sf_dir)
-        t2 = run_query(spark, name, sf_dir)
-        ts = [t1, t2]
+        t1, c1 = run_query(spark, name, sf_dir)
+        t2, c2 = run_query(spark, name, sf_dir)
+        ts = [(t1, c1), (t2, c2)]
         # Shared-host noise guard: when the two passes disagree by >1.5x
         # the slower one was almost certainly a CPU-share artifact (round-3
         # records show identical code swinging 2.8x); one extra pass gives
         # the min a second witness.  Still min-of-identical-passes — no
         # methodology change, just variance reduction.
-        if max(ts) > 1.5 * min(ts):
+        if max(t for t, _ in ts) > 1.5 * min(t for t, _ in ts):
             ts.append(run_query(spark, name, sf_dir))
-        timings[name] = round(min(ts), 3)
+        best = min(ts)
+        timings[name] = round(best[0], 3)
+        cpu_s[name] = round(best[1], 3)
         # Cache hygiene BETWEEN queries: operators that persist a multi-
         # consumer intermediate (minhash md5 pass, IVF cells) register it
         # with scoped_persist; release before the next query starts so no
@@ -140,6 +155,7 @@ def main() -> None:
     # cross-round comparability: the original 21-key subtotal (the set
     # BASELINE.md's recorded baseline covers; later rounds appended keys)
     shared21 = round(sum(timings[k] for k in HEADLINE[:21]), 3)
+    load_after = os.getloadavg()
     print(
         json.dumps(
             {
@@ -148,6 +164,9 @@ def main() -> None:
                 "unit": "sec",
                 "shared21_subtotal": shared21,
                 "queries": timings,
+                "query_cpu_sec": cpu_s,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,
             }
         )
