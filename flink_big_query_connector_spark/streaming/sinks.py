@@ -585,7 +585,19 @@ class MultiTableBufferedSink(BufferedStreamSink):
     backend root must not share a log, or the second query's batch ids
     would look already-committed and its rows silently drop.  A
     checkpoint-derived id is stable across restarts of the SAME query,
-    which is exactly the scope exactly-once replay needs."""
+    which is exactly the scope exactly-once replay needs.
+
+    UPGRADE / DIRECT-USE CONTRACT: a query that ran BEFORE sink ids
+    existed committed under the legacy un-suffixed log key; when
+    ``start()`` derives an id for a restart from a PRE-EXISTING
+    checkpoint, the legacy log's commit records (and partition-layout
+    manifests) are migrated into the new key first, so already-committed
+    batch ids still replay as no-ops instead of duplicating into the
+    destination tables.  Callers driving :meth:`write_batch` directly
+    (no ``start()``, so no checkpoint to derive from) MUST pass
+    ``sink_id`` explicitly whenever two sinks can share a backend root —
+    without it they share the legacy log key and inherit exactly the
+    cross-query batch-id collision the discriminator exists to fix."""
 
     def __init__(
         self,
@@ -693,19 +705,59 @@ class MultiTableBufferedSink(BufferedStreamSink):
             self.client.flush_rows(table, stream, end - 1)
         self._record_commit(batch_id, committables)
 
+    def _migrate_legacy_log(self) -> None:
+        """Copy legacy (pre-sink_id) commit records and partition-layout
+        manifests under the new discriminated key.  Pre-upgrade, every
+        query on this backend root shared the legacy log, so claiming
+        its batch ids preserves pre-upgrade replay semantics exactly
+        for old batches while new batches get the isolated log."""
+        import glob
+        import os as _os
+        import shutil
+
+        legacy = _os.path.join(
+            self.backend_root, "commits",
+            f"__routed__{self.table_col}".replace("/", "__"),
+        )
+        if not _os.path.isdir(legacy):
+            return
+        new_dir = _os.path.join(
+            self.backend_root, "commits", self.table.replace("/", "__")
+        )
+        _os.makedirs(new_dir, exist_ok=True)
+        for pattern in ("*.json", "*.json.manifest"):
+            for src in glob.glob(_os.path.join(legacy, pattern)):
+                dst = _os.path.join(new_dir, _os.path.basename(src))
+                if not _os.path.exists(dst):
+                    shutil.copy2(src, dst)
+
+    def _adopt_checkpoint_identity(self, checkpoint_dir: str) -> None:
+        """Derive ``sink_id`` from the checkpoint location (the streaming
+        query's durable identity: same query restart -> same commit log,
+        different query on the same backend root -> its own log).
+
+        A restart from a checkpoint that PREDATES sink ids holds batches
+        committed under the legacy shared key — those are migrated
+        before the first batch or they would replay as duplicates.  A
+        fresh checkpoint migrates nothing: legacy records there can only
+        belong to OTHER queries (the cross-query collision being
+        fixed)."""
+        import hashlib
+        import os as _os
+
+        pre_existing = _os.path.isdir(checkpoint_dir) and bool(
+            _os.listdir(checkpoint_dir)
+        )
+        self.sink_id = hashlib.md5(
+            _os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
+        self.table = self._log_key()
+        if pre_existing:
+            self._migrate_legacy_log()
+
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **options):
         if self.sink_id is None:
-            # the checkpoint location IS the streaming query's durable
-            # identity: same query restart -> same commit log (replay
-            # no-ops hold); different query on the same backend root ->
-            # its own log (no cross-query batch-id collisions)
-            import hashlib
-            import os as _os
-
-            self.sink_id = hashlib.md5(
-                _os.path.abspath(checkpoint_dir).encode()
-            ).hexdigest()[:12]
-            self.table = self._log_key()
+            self._adopt_checkpoint_identity(checkpoint_dir)
         return _start_foreach_batch(
             self.write_batch, stream_df, checkpoint_dir, **options
         )

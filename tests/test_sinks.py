@@ -803,6 +803,62 @@ def test_multi_table_buffered_sink_start_derives_sink_id_from_checkpoint(
     assert total == 2 * n  # query1 (replay no-op on restart) + query2
 
 
+def test_multi_table_buffered_sink_migrates_legacy_log_on_upgrade_restart(
+    spark, sf_dir, tmp_path
+):
+    """A query that committed batches BEFORE sink ids existed wrote the
+    legacy un-suffixed log key.  Restarting it post-upgrade from its
+    EXISTING checkpoint derives a sink_id — the legacy commit records
+    (and layout manifests) must migrate under the new key, or every
+    already-committed batch id replays as a duplicate into the
+    destination tables.  A FRESH checkpoint must migrate nothing: its
+    legacy records can only belong to other queries (the cross-query
+    collision the discriminator fixes)."""
+    import os
+
+    from flink_big_query_connector_spark.streaming.sinks import (
+        MultiTableBufferedSink,
+    )
+
+    root = str(tmp_path / "bq")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "concat('mg_', event_type) AS dest"
+    )
+    # pre-upgrade writer: no sink_id, driven directly -> legacy log key
+    legacy = MultiTableBufferedSink(root, "dest", FAST)
+    legacy.write_batch(ev, 0)
+    legacy.write_batch(ev, 1)
+    assert legacy.table == "__routed__dest"
+
+    # post-upgrade restart from the query's existing checkpoint
+    ckpt = tmp_path / "ckpt_upgrade"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text("{}")  # non-empty = pre-existing
+    upgraded = MultiTableBufferedSink(root, "dest", FAST)
+    upgraded._adopt_checkpoint_identity(str(ckpt))
+    assert upgraded.sink_id and upgraded.table != "__routed__dest"
+    assert upgraded.is_committed(0) and upgraded.is_committed(1)
+    # partition-layout manifests migrated too (replay pinning survives)
+    new_dir = os.path.join(root, "commits", upgraded.table)
+    assert any(f.endswith(".json.manifest") for f in os.listdir(new_dir))
+    # replaying a migrated batch is a no-op, not a duplicate delivery
+    before = {
+        t: FakeBigQuery(root).table_count(f"mg_{t}")
+        for (t,) in ev.selectExpr("substr(dest, 4)").distinct().collect()
+    }
+    upgraded.write_batch(ev, 0)
+    after = {
+        t: FakeBigQuery(root).table_count(f"mg_{t}")
+        for (t,) in ev.selectExpr("substr(dest, 4)").distinct().collect()
+    }
+    assert after == before
+
+    # fresh checkpoint: nothing migrates
+    fresh = MultiTableBufferedSink(root, "dest", FAST)
+    fresh._adopt_checkpoint_identity(str(tmp_path / "ckpt_fresh"))
+    assert not fresh.is_committed(0) and not fresh.is_committed(1)
+
+
 def test_multi_table_buffered_sink_chunked_appends_and_replay(
     spark, sf_dir, tmp_path
 ):
