@@ -38,7 +38,14 @@ def roundf_expr(x: Column, digits: int) -> Column:
     """Tie-safe floor-form rounding at an arbitrary scale (see
     :func:`round6_expr` for the classes that need it; 9dp integer
     ratios tie too — 1/1024 terminates at exactly 10 digits ending in
-    5).  Twin: :func:`sql_roundf`."""
+    5).  Twin: :func:`sql_roundf`.
+
+    CONVENTION: the floor form rounds halves toward +INFINITY, so
+    negative exact ties round toward zero (-0.1276375 -> -0.127637),
+    unlike HALF_UP (-0.127638).  Safe precisely because engine and
+    oracle always change in matched pairs (parity + static-guard tests
+    enforce this); documented as published-output semantics in
+    COVERAGE.md."""
     m = float(10 ** digits)
     return F.floor(x.cast("double") * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
