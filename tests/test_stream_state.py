@@ -410,3 +410,47 @@ def test_rocksdb_provider_conf_is_scoped_and_restored(spark):
     finally:
         if prev is not None:
             spark.conf.set(_PROVIDER_KEY, prev)
+
+
+def test_faulthandler_dumps_are_collected_and_attached(tmp_path, monkeypatch):
+    """A worker stack dump written into the faulthandler dir after the
+    attempt started is collected (non-empty, mtime-filtered) and lands
+    in the crash evidence; empty files (healthy workers / SIGKILL) are
+    skipped — their absence under crash wording is the OOM diagnostic."""
+    import time as _time
+
+    from flink_big_query_connector_spark.streaming import stream_state as ss
+
+    monkeypatch.setattr(ss, "_FH_DIR", str(tmp_path))
+    t0 = _time.time() - 1
+    (tmp_path / "fh_111.log").write_text("")  # healthy worker: empty
+    (tmp_path / "fh_222.log").write_text(
+        "Fatal Python error: Segmentation fault\nStack: ..."
+    )
+    stale = tmp_path / "fh_333.log"
+    stale.write_text("old crash from a previous attempt")
+    import os as _os
+
+    _os.utime(stale, (t0 - 100, t0 - 100))
+
+    dumps = ss._read_faulthandler_dumps(t0)
+    assert len(dumps) == 1
+    assert "fh_222.log" in dumps[0]
+    assert "Segmentation fault" in dumps[0]
+
+
+def test_scoped_sql_conf_sets_and_restores_multiple_keys(spark):
+    """The attempt-2 bounded-RocksDB confs are scoped exactly like the
+    provider: every key restored to its previous set/unset state."""
+    from flink_big_query_connector_spark.streaming.stream_state import (
+        _scoped_sql_conf,
+    )
+
+    k1 = "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+    k2 = "spark.sql.shuffle.partitions"  # has a session value already
+    prev2 = spark.conf.get(k2)
+    with _scoped_sql_conf(spark, {k1: "256", k2: "7"}):
+        assert spark.conf.get(k1) == "256"
+        assert spark.conf.get(k2) == "7"
+    assert spark.conf.get(k2) == prev2
+    assert spark.conf.get(k1, None) in (None, "500")  # unset or default
