@@ -43,6 +43,24 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def default_shuffle_partitions(cpus: int | str) -> int:
+    """Initial shuffle-partition count: 8x cores, AQE coalesces down.
+
+    The initial count is the UPPER bound AQE can never raise, so it must
+    be sized for the largest shuffle in the workload, not the core
+    count: at 1x cores a decade of data growth multiplies per-task
+    sort/agg memory tenfold and large window sorts start spilling
+    (measured at sf10: b11_window_rank 32.8 s -> 4.4 s, and
+    b20_q5_local_supplier 34.7 s -> 18.6 s, going 32 -> 256 partitions
+    in one session), while AQE coalescing makes the higher count free on
+    small inputs (paired idle sf0.1 bench: shared-21 15.77 s @32 vs
+    15.58 s @256).  See BASELINE.md "partition-sizing experiment"."""
+    try:
+        return 8 * int(cpus)
+    except (TypeError, ValueError):  # cpus="*" etc.
+        return 256
+
+
 def get_spark(
     app_name: str = "flink-big-query-connector-spark",
     cpus: int | str | None = None,
@@ -50,22 +68,11 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # Initial shuffle-partition count ~8x cores, relying on AQE to
-    # coalesce small shuffles back down (the canonical production
-    # sizing): the initial count is the UPPER bound AQE can never raise,
-    # so it must be set for the largest shuffle in the workload, not the
-    # core count.  At 1x cores a decade of data growth multiplies
-    # per-task sort/agg memory tenfold and large window sorts start
-    # spilling (measured at sf10: b11_window_rank 32.8 s -> 4.4 s and
-    # b20_q5_local_supplier 34.7 s -> 18.6 s going 32 -> 256 partitions,
-    # same session), while at sf0.1 AQE coalescing makes the higher
-    # count free (shared-21 15.77 s -> 15.58 s, paired idle runs).
-    try:
-        default_parts = 8 * int(cpus)
-    except ValueError:  # cpus="*" etc.
-        default_parts = 256
     shuffle_partitions = shuffle_partitions or int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(default_parts))
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            str(default_shuffle_partitions(cpus)),
+        )
     )
     # Before the JVM launches: worker processes inherit PYTHONPATH from
     # the JVM's environment snapshot, so the bundled-protobuf shim (the
