@@ -206,11 +206,24 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents
         ),
         sh AS (SELECT doc_id, CAST({_simhash_sql_value()} AS BIGINT) AS simhash
-               FROM h)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+               FROM h),
+        -- pigeonhole banding (hamming <= 3 shares one of 4 8-bit bands):
+        -- the oracle itself must stay sub-quadratic or full-registry
+        -- verification at sf1+ stalls on this one key (an unbanded
+        -- a.doc_id < b.doc_id join is 1.25e9 bit_count pairs at 50k docs)
+        bands AS (
+          SELECT doc_id, simhash, t.j AS band,
+                 (simhash >> (8 * t.j)) & 255 AS key
+          FROM sh, range(0, 4) t(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                          b.doc_id AS id_b, b.simhash AS sb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
     tags=("dedup",),
 )

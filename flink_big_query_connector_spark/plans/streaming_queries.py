@@ -1696,12 +1696,23 @@ def _simhash_band_keys(sig: DataFrame) -> DataFrame:
           FROM documents
         ),
         sh AS (SELECT doc_id, CAST({_sq_simhash_value()} AS BIGINT) AS simhash
-               FROM h)
+               FROM h),
+        -- pigeonhole banding (hamming <= 3 shares one of 4 8-bit bands)
+        -- keeps the ORACLE sub-quadratic too: the unbanded NOT EXISTS is
+        -- 1.25e9 bit_count pairs at sf1's 50k docs and stalls
+        -- full-registry verification at scale
+        bands AS (
+          SELECT doc_id, simhash, t.j AS band,
+                 (simhash >> (8 * t.j)) & 255 AS key
+          FROM sh, range(0, 4) t(j)),
+        sup AS (
+          SELECT DISTINCT a.doc_id
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                      AND b.doc_id < a.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
         SELECT a.doc_id, a.simhash FROM sh a
-        WHERE NOT EXISTS (
-          SELECT 1 FROM sh b
-          WHERE b.doc_id < a.doc_id
-            AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        WHERE NOT EXISTS (SELECT 1 FROM sup WHERE sup.doc_id = a.doc_id)
         ORDER BY doc_id
     """,
     tags=("streaming", "dedup"),
