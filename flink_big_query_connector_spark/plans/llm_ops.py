@@ -1046,11 +1046,16 @@ def b08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_oracle() -> str:
+    # MATERIALIZED is load-bearing at scale: edges is referenced many
+    # times (degree/iteration/closure terms) and DuckDB inlines plain
+    # CTEs per reference — re-evaluating the whole shingle/MinHash pair
+    # pipeline each time; at sf1 that spilled >76 GB of temp disk for a
+    # 272-pair graph.  Materializing runs the pipeline exactly once.
     return f"""
-        WITH RECURSIVE pairs AS (
+        WITH RECURSIVE pairs AS MATERIALIZED (
           SELECT id_a, id_b FROM ({_minhash_oracle()})
         ),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs
         ),
@@ -4879,11 +4884,16 @@ def _centrality_oracle() -> str:
           JOIN deg d ON d.u = e.u
           GROUP BY e.v
         )"""
+    # MATERIALIZED is load-bearing at scale: edges is referenced many
+    # times (degree/iteration/closure terms) and DuckDB inlines plain
+    # CTEs per reference — re-evaluating the whole shingle/MinHash pair
+    # pipeline each time; at sf1 that spilled >76 GB of temp disk for a
+    # 272-pair graph.  Materializing runs the pipeline exactly once.
     return f"""
-        WITH RECURSIVE pairs AS (
+        WITH RECURSIVE pairs AS MATERIALIZED (
           SELECT id_a, id_b FROM ({_minhash_oracle()})
         ),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs
         ),
