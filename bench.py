@@ -101,7 +101,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("bench", cpus=cpus)
+    # The driver records only the LAST ~2000 chars of combined output and
+    # parses the headline JSON line out of that window.  Console progress
+    # bars print AFTER our line (async executor updates), and round 10's
+    # in-line telemetry pushed the line itself past the window, so the
+    # driver saw "parsed": null.  Silence the bars (static conf — must be
+    # set at builder time) and keep the final line compact (telemetry goes
+    # to BENCH_TELEMETRY.json instead).
+    spark = get_spark(
+        "bench",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Host-load context: three driver rounds of artifact drift
@@ -156,22 +167,38 @@ def main() -> None:
     # BASELINE.md's recorded baseline covers; later rounds appended keys)
     shared21 = round(sum(timings[k] for k in HEADLINE[:21]), 3)
     load_after = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "shared21_subtotal": shared21,
-                "queries": timings,
-                "query_cpu_sec": cpu_s,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "sf": sf,
-            }
-        )
-    )
+
+    # Telemetry (per-query CPU, loadavg) lives in a side file so the
+    # headline line stays small; round 10 lost its official bench number
+    # to exactly this (driver tail window cut the front of a long line).
+    telemetry = {
+        "query_cpu_sec": cpu_s,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "sf": sf,
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_TELEMETRY.json"), "w") as f:
+            json.dump(telemetry, f)
+    except OSError:
+        pass  # telemetry is best-effort; never fail the bench over it
+
+    # Stop Spark BEFORE printing so no shutdown log lines land after the
+    # headline line inside the driver's tail window.
     spark.stop()
+    line = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "shared21_subtotal": shared21,
+            "queries": timings,
+            "sf": sf,
+        }
+    )
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -46,15 +46,20 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
 def default_shuffle_partitions(cpus: int | str) -> int:
     """Initial shuffle-partition count: 8x cores, AQE coalesces down.
 
-    The initial count is the UPPER bound AQE can never raise, so it must
-    be sized for the largest shuffle in the workload, not the core
-    count: at 1x cores a decade of data growth multiplies per-task
-    sort/agg memory tenfold and large window sorts start spilling
-    (measured at sf10: b11_window_rank 32.8 s -> 4.4 s, and
-    b20_q5_local_supplier 34.7 s -> 18.6 s, going 32 -> 256 partitions
-    in one session), while AQE coalescing makes the higher count free on
-    small inputs (paired idle sf0.1 bench: shared-21 15.77 s @32 vs
-    15.58 s @256).  See BASELINE.md "partition-sizing experiment"."""
+    The initial count is the UPPER bound AQE can never raise, so it is
+    sized for the largest shuffle in the workload, not the core count:
+    at a fixed 1x-cores count a decade of data growth multiplies
+    per-task sort/agg memory tenfold, and on a real cluster that is
+    where large sorts start spilling.  AQE coalescing makes the higher
+    count free on small inputs (paired idle sf0.1 bench: shared-21
+    15.77 s @32 vs 15.58 s @256).  NOTE on measurements: the round-10
+    loaded-box single runs that motivated this change (b11_window_rank
+    "32.8 s @32") did NOT reproduce under a round-11 idle-box
+    interleaved min-of-3 protocol — at sf10 local[32] the @32 vs @256
+    delta is within noise (b11 1.65 vs 2.37 s; b20_q5 8.4 vs 10.4 s) —
+    so the default stands on the AQE-upper-bound argument and the
+    ~128 MB-per-task cluster sizing rule, not on a local[32] win.  See
+    BASELINE.md "partition-sizing experiment" for the full record."""
     try:
         return 8 * int(cpus)
     except (TypeError, ValueError):  # cpus="*" etc.

@@ -211,3 +211,42 @@ def test_every_oracle_output_is_driver_canonicalizable():
         "hex/joined string/exploded rows, CAST aggregates to BIGINT):\n"
         + "\n".join(offenders)
     )
+
+
+def test_bench_headline_line_fits_driver_tail_window():
+    """The driver records only the last ~2000 chars of bench output and
+    parses the headline JSON line from that window.  Round 10 lost its
+    official bench number because in-line telemetry pushed the line past
+    the window ("parsed": null in BENCH_r10.json).  Guard both invariants:
+    the worst-case headline line stays well under 2000 chars, and bench.py
+    writes telemetry to the side file rather than the headline line."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    worst = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": 99999.999,
+            "unit": "sec",
+            "shared21_subtotal": 99999.999,
+            "queries": {k: 99999.999 for k in bench.HEADLINE},
+            "sf": 0.1,
+        }
+    )
+    assert len(worst) < 1800, (
+        f"headline JSON line would be {len(worst)} chars; the driver tail "
+        "window is ~2000 — trim HEADLINE or move fields to "
+        "BENCH_TELEMETRY.json"
+    )
+
+    src = (PKG.parent / "bench.py").read_text()
+    assert "BENCH_TELEMETRY.json" in src
+    assert '"query_cpu_sec": cpu_s' not in src.split("line = json.dumps")[-1], (
+        "per-query CPU telemetry must not ride the headline line"
+    )
+    # spark.stop() must precede the final print so no shutdown logging
+    # lands inside the tail window after the headline line.
+    assert src.index("spark.stop()") < src.index("print(line)")
