@@ -78,6 +78,12 @@ HEADLINE = [
     "llm_ann_range_search",
     # round-8 addition (set 38 -> 39): per-record multi-table routing sink
     "b26_sink_multi_table",
+    # round-11 additions (set 39 -> 42): the calibrated semantic quality
+    # cascade, fuzzy URL/metadata dedup, and cross-snapshot incremental
+    # decontamination
+    "llm_quality_cascade",
+    "llm_dedup_url_fuzzy",
+    "llm_decontaminate_incremental",
 ]
 
 

@@ -464,27 +464,42 @@ def minhash_neardup_pairs(
 # -- SimHash -----------------------------------------------------------------
 
 
-def _bit_vote(th: Column, j: int) -> Column:
-    """Sum of +-1 votes for bit j across the token-hash array."""
-
-    def step(acc: Column, h: Column) -> Column:
-        bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-        return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    return F.aggregate(th, F.lit(0).cast("long"), step)
-
-
 def simhash_expr(toks: Column) -> Column:
     """32-bit SimHash over token hashes (bit j set iff the sum of +-1 votes
-    from each token's bit j is positive)."""
+    from each token's bit j is positive).
+
+    ONE fold with an array-of-votes accumulator: the earlier form built
+    32 separate ``aggregate`` expressions over the shared token-hash
+    array, and Catalyst's project collapse re-inlined the md5 transform
+    into every one of them — 32 md5 evaluations per token, measured 8x
+    slower at sf0.1 (10.5 s vs 1.2 s for 5 k docs) and the dominant cost
+    of b24_stream_neardup_history at sf1.  The single fold evaluates
+    md5 once per token and updates all 32 vote counters per step
+    (bit-identical output, zero shuffle; literal mask array because
+    ``shiftright`` takes only literal shift counts inside lambdas)."""
+    masks = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)]
+    )
     th = F.transform(toks, lambda t: hash60_expr(t))
-    value = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        vote = _bit_vote(th, j)
-        value = value + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return value
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -1644,3 +1644,186 @@ def test_entropy_zero_is_positive_zero_cross_engine(spark, tmp_path):
         "WHERE user_id = 999999"
     ).fetchone()
     assert repr(e) == "0.0"
+
+
+# -- round-11 surface: cascade / url dedup / incremental decon ---------------
+
+
+class TestRound11Operators:
+    SF = "/root/testdata/sf0.001"
+
+    def test_quality_cascade_partitions_every_doc_once(self, spark):
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            out = REGISTRY["llm_quality_cascade"].fn(spark, self.SF).collect()
+        finally:
+            release_caches(spark)
+        n_docs = spark.read.parquet(f"{self.SF}/documents.parquet").count()
+        assert len(out) == n_docs
+        assert len({r.doc_id for r in out}) == n_docs
+        by_verdict = {}
+        for r in out:
+            by_verdict.setdefault(r.verdict, []).append(r)
+        assert set(by_verdict) <= {
+            "drop_heuristic",
+            "drop_classifier",
+            "keep_no_embedding",
+            "keep_semantic",
+            "drop_semantic",
+        }
+        # the calibrated threshold SEPARATES the semantic verdicts: every
+        # kept score clears it, every dropped score misses it
+        kept = [r.sem_score for r in by_verdict.get("keep_semantic", [])]
+        dropped = [r.sem_score for r in by_verdict.get("drop_semantic", [])]
+        if kept and dropped:
+            assert min(kept) > max(dropped)
+        for r in by_verdict.get("keep_semantic", []) + by_verdict.get(
+            "drop_semantic", []
+        ):
+            assert r.threshold is not None
+            assert (r.sem_score >= r.threshold) == (
+                r.verdict == "keep_semantic"
+            )
+        # early-stage drops never paid for the semantic stage
+        for r in by_verdict.get("drop_heuristic", []) + by_verdict.get(
+            "drop_classifier", []
+        ):
+            assert r.sem_score is None and r.threshold is None
+        # keep flag is derived from the verdict, nothing else
+        for r in out:
+            assert r.keep == (
+                r.verdict in ("keep_semantic", "keep_no_embedding")
+            )
+
+    def test_quality_cascade_keeps_roughly_top_two_fifths(self, spark):
+        """The calibration contract: among semantically-scored survivors,
+        the kept fraction tracks the sample's 2/5 rank (loose band —
+        survivors are not the calibration sample)."""
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            out = REGISTRY["llm_quality_cascade"].fn(spark, self.SF).collect()
+        finally:
+            release_caches(spark)
+        scored = [r for r in out if r.sem_score is not None]
+        if len(scored) >= 50:
+            frac = sum(r.verdict == "keep_semantic" for r in scored) / len(
+                scored
+            )
+            assert 0.15 <= frac <= 0.65, frac
+
+    def test_url_fuzzy_finds_planted_mirror_and_recrawl(self, spark):
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            out = REGISTRY["llm_dedup_url_fuzzy"].fn(spark, self.SF).collect()
+        finally:
+            release_caches(spark)
+        pairs = {(r.id_a, r.id_b): r for r in out}
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        planted = [r.doc_id for r in docs.select("doc_id").collect()
+                   if r.doc_id % 23 == 1]
+        assert planted
+        for d in planted:
+            # exact mirror: same text, same canonical URL -> hamming 0 dup
+            m = pairs[(d, d + 1_000_000)]
+            assert m.hamming == 0 and m.verdict == "dup"
+            # changed re-crawl: same canonical URL, edited content
+            assert (d, d + 2_000_000) in pairs
+        # block discipline: every pair shares its normalized (host, path)
+        assert all(r.canon_host.endswith(".example.com") for r in out)
+        assert not any(
+            r.canon_host.startswith(("www.", "m-")) for r in out
+        )
+
+    def test_url_fuzzy_shuffles_carry_hashes_not_text(self, spark):
+        """The candidate join must exchange (host, path, simhash) — raw
+        document text never crosses a shuffle boundary (the span/band
+        dedup scale rule applied to the metadata path)."""
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            df = REGISTRY["llm_dedup_url_fuzzy"].fn(spark, self.SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            release_caches(spark)
+        assert "CartesianProduct" not in plan
+        for frag in plan.split("Exchange hashpartitioning(")[1:]:
+            key = frag.split(")")[0]
+            assert "text" not in key, key
+
+    def test_decontaminate_incremental_scans_only_the_new_snapshot(
+        self, spark
+    ):
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            out = (
+                REGISTRY["llm_decontaminate_incremental"]
+                .fn(spark, self.SF)
+                .collect()
+            )
+        finally:
+            release_caches(spark)
+        assert out, "decon fixture must flag at least one new doc"
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+        for r in out:
+            assert r.doc_id % 2 == 1, "only the new snapshot is reported"
+            assert src[r.doc_id] not in ("src0", "src1")
+            assert r.n_bench > 0 or r.n_proxy > 0
+            if r.via == "proxy":
+                assert r.n_bench == 0
+            if r.via in ("bench", "both"):
+                assert r.n_bench > 0
+
+    def test_decontaminate_incremental_bench_counts_match_one_shot(
+        self, spark
+    ):
+        """Consistency with the one-shot operator: for every flagged new
+        doc, n_bench equals llm_decontaminate's n_shared for that doc."""
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            inc = {
+                r.doc_id: r.n_bench
+                for r in REGISTRY["llm_decontaminate_incremental"]
+                .fn(spark, self.SF)
+                .collect()
+            }
+            one = {
+                r.doc_id: r.n_shared
+                for r in REGISTRY["llm_decontaminate"]
+                .fn(spark, self.SF)
+                .collect()
+            }
+        finally:
+            release_caches(spark)
+        for doc_id, n_bench in inc.items():
+            if n_bench > 0:
+                assert one.get(doc_id) == n_bench
+        # and no bench-contaminated NEW doc is missed by the incremental
+        for doc_id, n_shared in one.items():
+            if doc_id % 2 == 1:
+                assert inc.get(doc_id, 0) >= n_shared or inc[doc_id] == n_shared
+
+    def test_decontaminate_incremental_probe_sets_broadcast(self, spark):
+        """Both gram probes (bench, proxy) must reach the corpus join as
+        broadcasts — the asymmetric pattern's whole point at 100 TB."""
+        from flink_big_query_connector_spark.cache import release_caches
+        from flink_big_query_connector_spark.plans import REGISTRY
+
+        try:
+            df = REGISTRY["llm_decontaminate_incremental"].fn(spark, self.SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            release_caches(spark)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3  # bench x2, proxy, contam

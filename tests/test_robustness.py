@@ -25,6 +25,9 @@ pytestmark = pytest.mark.filterwarnings(
 # >=64-row layout precondition raises loudly by design — both excluded.
 BATCH_SWEEP = [
     "b01_scan_count",
+    "llm_quality_cascade",
+    "llm_dedup_url_fuzzy",
+    "llm_decontaminate_incremental",
     "b01_zorder_layout",
     "b04_dpp_join",
     "b16_group_regression",
@@ -297,6 +300,8 @@ NULL_SWEEP = [
     "b15_gap_fill_locf", "b16_winsorized_stats", "b17_json_extract",
     "b17_bad_records", "b17_explode_tokens",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
+    "llm_quality_cascade", "llm_dedup_url_fuzzy",
+    "llm_decontaminate_incremental",
     "llm_dedup_containment",
     "llm_dedup_span_removal", "llm_text_stats", "llm_text_quality_filter",
     "llm_quality_classifier", "llm_text_tfidf", "llm_text_novelty",
@@ -579,6 +584,8 @@ UNICODE_SWEEP = [
     "llm_text_repetition", "llm_text_novelty", "llm_text_pii_scrub",
     "llm_text_inverted_index", "llm_text_bigram_lm", "llm_text_logprob",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
+    "llm_quality_cascade", "llm_dedup_url_fuzzy",
+    "llm_decontaminate_incremental",
     "llm_dedup_ngram_jaccard", "llm_dedup_spans", "llm_dedup_span_removal",
     "llm_bpe_train", "llm_bpe_train_batched", "llm_bpe_encode", "llm_bpe_fertility",
     "llm_doc_chunking", "llm_pack_sequences", "llm_quality_classifier",
