@@ -41,8 +41,9 @@ from threading import Condition
 from pyspark.sql import DataFrame
 
 from ..session import ensure_package_on_executors
-from ..sources.fake_bigquery import DEFAULT_STREAM, FakeBigQuery
+from ..sources.fake_bigquery import DEFAULT_STREAM
 from .batching import chunk_rows, json_size_of
+from .client_provider import ClientProvider, FakeBigQueryClientProvider
 from .config import BatchTriggerSettings, WriterSettings
 from .errors import (
     AppendException,
@@ -126,7 +127,8 @@ class WriterPool:
 
 
 def write_with_retry(
-    client: FakeBigQuery,
+    client,  # any StorageWriteClient (client_provider.py) — the retry
+    # machine branches only on the typed errors in errors.py
     table: str,
     stream: str,
     rows: list[dict],
@@ -257,6 +259,7 @@ class DefaultStreamSink:
         trigger: BatchTriggerSettings | None = None,
         metrics=None,
         stream_registry=None,
+        client_provider: ClientProvider | None = None,
     ):
         self.backend_root = backend_root
         self.table = table
@@ -264,19 +267,25 @@ class DefaultStreamSink:
         self.trigger = trigger or BatchTriggerSettings()
         self.metrics = metrics
         self.stream_registry = stream_registry
+        # the BigQueryClientProvider seam (client_provider.py): the sink
+        # holds a picklable factory, never a concrete client
+        self.client_provider = client_provider or FakeBigQueryClientProvider(
+            backend_root
+        )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
-        root, table = self.backend_root, self.table
+        table = self.table
         settings, trigger = self.settings, self.trigger
         metrics = self.metrics
         registry = self.stream_registry
+        provider = self.client_provider
 
         def write_partition(rows_iter):
             from .metrics import StreamMetrics
 
             pool = WriterPool(
-                lambda: FakeBigQuery(root),
+                provider.client,
                 settings.streams_per_table,
                 settings.enable_connection_pool,
             )
@@ -342,12 +351,16 @@ class MultiTableSink:
         settings: WriterSettings | None = None,
         trigger: BatchTriggerSettings | None = None,
         metrics=None,
+        client_provider: ClientProvider | None = None,
     ):
         self.backend_root = backend_root
         self.table_col = table_col
         self.settings = settings or WriterSettings()
         self.trigger = trigger or BatchTriggerSettings()
         self.metrics = metrics
+        self.client_provider = client_provider or FakeBigQueryClientProvider(
+            backend_root
+        )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -355,9 +368,9 @@ class MultiTableSink:
         from ..sources.fake_bigquery import default_stream_name
 
         ensure_package_on_executors(df.sparkSession)
-        root = self.backend_root
         settings, trigger = self.settings, self.trigger
         metrics = self.metrics
+        provider = self.client_provider
         data_cols = [c for c in df.columns if c != self.table_col]
         routed = df.select(
             F.col(self.table_col).cast("string").alias("t"),
@@ -366,7 +379,7 @@ class MultiTableSink:
 
         def write_partition(rows_iter):
             pool = WriterPool(
-                lambda: FakeBigQuery(root),
+                provider.client,
                 settings.streams_per_table,
                 settings.enable_connection_pool,
             )
@@ -439,11 +452,15 @@ class BufferedStreamSink:
         settings: WriterSettings | None = None,
         metrics=None,
         stream_registry=None,
+        client_provider: ClientProvider | None = None,
     ):
         self.backend_root = backend_root
         self.table = table
         self.settings = settings or WriterSettings()
-        self.client = FakeBigQuery(backend_root)
+        self.client_provider = client_provider or FakeBigQueryClientProvider(
+            backend_root
+        )
+        self.client = self.client_provider.client()
         self.metrics = metrics
         self.stream_registry = stream_registry
 
@@ -510,9 +527,10 @@ class BufferedStreamSink:
             return  # replay of a committed batch: exactly-once no-op
 
         ensure_package_on_executors(df.sparkSession)
-        root, table, settings = self.backend_root, self.table, self.settings
+        table, settings = self.table, self.settings
         metrics = self.metrics
         registry = self.stream_registry
+        provider = self.client_provider
 
         def write_partition(pid: int, rows_iter):
             from .metrics import StreamMetrics
@@ -520,7 +538,7 @@ class BufferedStreamSink:
             rows = [r[0] for r in rows_iter]
             if not rows:
                 return iter(())
-            client = FakeBigQuery(root)
+            client = provider.client()
             stream = client.create_write_stream(
                 table, "BUFFERED", name=f"{table}/streams/b{batch_id}-p{pid}"
             )
@@ -607,12 +625,13 @@ class MultiTableBufferedSink(BufferedStreamSink):
         metrics=None,
         trigger: BatchTriggerSettings | None = None,
         sink_id: str | None = None,
+        client_provider: ClientProvider | None = None,
     ):
         self.table_col = table_col
         self.sink_id = sink_id
         super().__init__(
             backend_root, table=self._log_key(), settings=settings,
-            metrics=metrics,
+            metrics=metrics, client_provider=client_provider,
         )
         self.trigger = trigger or BatchTriggerSettings()
 
@@ -627,9 +646,10 @@ class MultiTableBufferedSink(BufferedStreamSink):
         from pyspark.sql import functions as F
 
         ensure_package_on_executors(df.sparkSession)
-        root, settings = self.backend_root, self.settings
+        settings = self.settings
         trigger = self.trigger
         metrics = self.metrics
+        provider = self.client_provider
         data_cols = [c for c in df.columns if c != self.table_col]
         routed = df.select(
             F.col(self.table_col).cast("string").alias("t"),
@@ -653,7 +673,7 @@ class MultiTableBufferedSink(BufferedStreamSink):
             # order — the layout manifest pins the partitioning), so
             # ALREADY_EXISTS trimming still absorbs partial first
             # attempts chunk by chunk.
-            client = FakeBigQuery(root)
+            client = provider.client()
             streams: dict[str, str] = {}
             bases: dict[str, int] = {}
             open_chunks: dict[str, list[str]] = {}
@@ -856,6 +876,7 @@ class AsyncSink:
         max_inflight: int = 4,  # reference AsyncBigQuerySink default
         metrics=None,
         stream_registry=None,
+        client_provider: ClientProvider | None = None,
     ):
         self.backend_root = backend_root
         self.table = table
@@ -864,20 +885,24 @@ class AsyncSink:
         self.max_inflight = max_inflight
         self.metrics = metrics
         self.stream_registry = stream_registry
+        self.client_provider = client_provider or FakeBigQueryClientProvider(
+            backend_root
+        )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         ensure_package_on_executors(df.sparkSession)
-        root, table = self.backend_root, self.table
+        table = self.table
         settings, trigger = self.settings, self.trigger
         max_inflight = self.max_inflight
         threads = max(1, settings.writer_threads)
         metrics = self.metrics
         registry = self.stream_registry
+        provider = self.client_provider
 
         def write_partition(rows_iter):
             from .metrics import StreamMetrics
 
-            client = FakeBigQuery(root)
+            client = provider.client()
             # AIMD in place of the fixed quota: equal to it while the
             # backend is healthy, halves under throttling statuses
             sem = AIMDRateLimiter(max_inflight)
