@@ -153,6 +153,40 @@ def _events_stream(spark: SparkSession, sf_dir: str, scheme: str = "ordered"):
 STREAM_SHUFFLE_PARTITIONS = "2"  # measured: 4->2 cuts replay ~18%
 
 
+def _adaptive_stream_partitions(
+    sf_dir: str, table: str = "events", rows_per_partition: int = 100_000
+) -> str:
+    """Stateful-op partition count scaled to the streamed table's size.
+
+    The pinned count freezes into the checkpoint at first batch, so it
+    must be chosen at plan time — and it is a genuine two-sided
+    trade-off, measured both ways: at driver scales (sf0.1, second-long
+    replays) per-partition checkpoint snapshot I/O dominates and 2 is
+    optimal (the 4->2 ~18% note above); at sf1 the per-KEY work of a
+    keyed-state operator dominates and serializing 15k keys' state
+    round-trips into 2 tasks starved the cores — the native-TWS offset
+    assigner measured 114 s @2 vs 44.6 s @10 vs 43.1 s @24 at sf1
+    (round 11, idle box).  One partition per ~100k input rows keeps the
+    driver scales EXACTLY at the measured-optimal 2 and reaches ~10 at
+    sf1 / 32 at sf10 — the "size to key cardinality / executor count"
+    production rule, made concrete.  Parquet footer metadata only; no
+    Spark job."""
+    import pyarrow.parquet as pq
+
+    try:
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return STREAM_SHUFFLE_PARTITIONS
+    return str(
+        min(
+            32,
+            max(int(STREAM_SHUFFLE_PARTITIONS), n // rows_per_partition),
+        )
+    )
+
+
 class _stream_partitions:
     """Pin a small stateful-op partition count for the replay streams.
 
@@ -161,17 +195,17 @@ class _stream_partitions:
     into the checkpoint at first batch) — 32 partitions of per-batch file
     IO dominates these second-long replays.  Production streams size this
     to key cardinality / executor count; the conf is restored afterwards so
-    batch queries keep the session default.
-    """
+    batch queries keep the session default.  Keyed-state-heavy queries
+    pass ``n=_adaptive_stream_partitions(sf_dir)`` so the pin grows with
+    the data instead of starving per-key work at scale."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n: str | None = None):
         self.spark = spark
+        self.n = n or STREAM_SHUFFLE_PARTITIONS
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
-        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
@@ -1317,7 +1351,11 @@ def b26_stream_state_native_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ss.keyed_offset_assignment_native_tws(
         ev, "user_id", backend_root, "proj.ds.events_ntws"
     )
-    with _stream_partitions(spark):
+    # adaptive pin: the per-key state-protocol work (two round-trips +
+    # one backend append per key per batch) serializes within each state
+    # partition — 2 partitions starved 15k keys at sf1 (114 s -> 44.6 s
+    # at 10; see _adaptive_stream_partitions)
+    with _stream_partitions(spark, _adaptive_stream_partitions(sf_dir)):
         try:
             return ss.run_native_tws_to_table(out, "append")
         except ss.TwsWorkerCrashError as exc:
