@@ -364,15 +364,18 @@ N_CENTROIDS = 16
 
 
 def fixed_centroids(
-    emb_df: DataFrame, id_col: str, vec_col: str
+    emb_df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = N_CENTROIDS,
 ) -> list[tuple[int, list]]:
-    """The deterministic first-N_CENTROIDS-by-id centroid set — the ONE
-    definition every IVF consumer (cell assignment, multi-probe lists)
-    shares, so centroid selection can never desynchronize between them.
-    The collect IS the model: N_CENTROIDS x dim floats."""
+    """The deterministic first-``n_centroids``-by-id centroid set — the
+    ONE definition every IVF consumer (cell assignment, multi-probe
+    lists) shares, so centroid selection can never desynchronize between
+    them.  The collect IS the model: n_centroids x dim floats.  The
+    fixed-k index queries keep the N_CENTROIDS default; semantic_dedup
+    passes a data-scaled k (see its docstring)."""
     return sorted(
         (r[0], list(r[1]))
-        for r in emb_df.filter(F.col(id_col) < N_CENTROIDS)
+        for r in emb_df.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect()
     )
@@ -1014,6 +1017,33 @@ def filtered_topk(
     )
 
 
+SEMANTIC_ROWS_PER_CELL = 512  # target cell population for semantic_dedup
+SEMANTIC_MAX_CELLS = 256      # literal-centroid plan-size bound
+
+
+def semantic_cell_count(n_vectors: int) -> int:
+    """Data-scaled cell count for :func:`semantic_dedup`:
+    ``clamp(N_CENTROIDS, n // 512, 256)``, all-integer so a SQL oracle
+    reproduces it exactly (``LEAST(256, GREATEST(16, COUNT(*) // 512))``).
+
+    Round 11's full-headline decade sweep caught the defect this fixes:
+    with the cell count FIXED at 16, cell population grows with the
+    corpus and the within-cell pair join is O(N^2/16) — at sf10 (200k
+    vectors, ~12.5k per cell) that is ~1.2e9 cosine pairs and the query
+    ran 20+ minutes.  Scaling k keeps cells near 512 rows, so pair work
+    is ~N x 512 (linear) until the 256-cell cap, after which cells grow
+    again — at the cap the pair join is still 24x below the fixed-16
+    shape, and a real deployment raises the cap with trained centroids
+    (the literal-centroid plan is what bounds it here).  Driver scales
+    are UNCHANGED — k stays 16 up to n = 16*512 = 8192 vectors and the
+    test data holds 500/500/2000 at sf0.001/0.01/0.1 — so every
+    recorded driver row is bit-identical."""
+    return min(
+        SEMANTIC_MAX_CELLS,
+        max(N_CENTROIDS, n_vectors // SEMANTIC_ROWS_PER_CELL),
+    )
+
+
 def semantic_dedup(
     emb_df: DataFrame,
     id_col: str,
@@ -1036,27 +1066,33 @@ def semantic_dedup(
     minhash pipeline shows that composition).
 
     This is the scale path for embedding dedup: the quadratic pair work is
-    confined to cells instead of the whole corpus — with k chosen so cells
-    hold ~sqrt(N) vectors the total pair count is ~N^1.5, not N^2, and each
-    cell's pairs compute independently (perfectly parallel, no cross-cell
-    traffic).  Only (id, vec, cell) crosses the one clustering shuffle; the
-    drop set that comes back is (id) alone.  At 100 TB the corpus is
-    written partitioned by cell, so the within-cell self-join is a
-    partition-local join with zero shuffle.
+    confined to cells instead of the whole corpus — the cell count scales
+    with the data (:func:`semantic_cell_count`: one cell per ~512
+    vectors, floor 16, cap 256) so the total pair count stays ~N x 512
+    instead of N^2/16, and each cell's pairs compute independently
+    (perfectly parallel, no cross-cell traffic).  Only (id, vec, cell)
+    crosses the one clustering shuffle; the drop set that comes back is
+    (id) alone.  At 100 TB the corpus is written partitioned by cell, so
+    the within-cell self-join is a partition-local join with zero
+    shuffle.
 
-    Deterministic first-N centroids (see :func:`ivf_cells`) make the whole
-    pipeline hash-exact against a SQL oracle; production swaps in
-    :func:`kmeans_centroids` with no plan-shape change.  Returns
+    Deterministic first-k centroids (see :func:`fixed_centroids`) make
+    the whole pipeline hash-exact against a SQL oracle; production swaps
+    in :func:`kmeans_centroids` with no plan-shape change.  Returns
     (id, cell, kept) for every input vector.
     """
     from ..functions.vectors import dot_product_expr, norm_expr
 
+    # one cheap count job decides k; the oracle recomputes the identical
+    # integer formula from COUNT(*)
+    k = semantic_cell_count(emb_df.count())
+    cents = fixed_centroids(emb_df, id_col, vec_col, k)
     # Per-row norms materialize ONCE into the persisted cells: the
     # within-cell pair filter then computes dot/(na*nb) — bitwise the
     # same value as cosine_similarity_expr (identical IEEE ops, the norms
     # just aren't recomputed per pair), at a third of the pair work.
     cells = scoped_persist(
-        ivf_cells(emb_df, id_col, vec_col).withColumn(
+        ivf_cells_with(emb_df, id_col, vec_col, cents).withColumn(
             "vnorm", norm_expr(F.col("v"))
         )
     )

@@ -300,9 +300,15 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_semantic",
     oracle="""
-        WITH cents AS (
+        WITH kc AS (
+          -- semantic_cell_count twin: one cell per ~512 vectors,
+          -- floor 16, cap 256 (all-integer; k = 16 at driver scales)
+          SELECT LEAST(256, GREATEST(16, COUNT(*) // 512)) AS k
+          FROM embx
+        ),
+        cents AS (
           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-          FROM embx embeddings WHERE vec_id < 16
+          FROM embx embeddings, kc WHERE vec_id < kc.k
         ),
         assigned AS (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
