@@ -4403,11 +4403,24 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges' output symbols, exercising hierarchical vocab entries."""
     t = load_tables(spark, sf_dir)
     toks, s = _pretrained_bpe_cols()
-    enc = t["documents"].select(
+    # TWO projections on purpose: n_symbols and sym_hash both consume
+    # the 8-merge fold chain `s`; a single projection pastes that chain
+    # twice and evaluates it twice per row (measured 2x: 22 s -> 11 s at
+    # sf1 — the simhash_expr lesson applied to the fold chain).
+    # CollapseProject keeps the split because `s` is non-cheap and
+    # multiply-referenced.
+    mid = t["documents"].select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(text.bpe_symbols_expr(s)).cast("long").alias("n_symbols"),
-        F.md5(s).alias("sym_hash"),
+        s.alias("s"),
+    )
+    enc = mid.select(
+        "doc_id",
+        "n_tokens",
+        F.size(text.bpe_symbols_expr(F.col("s")))
+        .cast("long")
+        .alias("n_symbols"),
+        F.md5(F.col("s")).alias("sym_hash"),
     )
     return enc.select(
         "doc_id",
