@@ -6076,7 +6076,22 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_MOD = 40  # path-bucket width of the synthetic URL fixture
+_URL_MOD = 40  # path-bucket FLOOR of the synthetic URL fixture
+_URL_DOCS_PER_BUCKET = 128
+
+
+def _url_bucket_count(n_docs: int) -> int:
+    """Data-scaled path-bucket count for the URL fixture:
+    ``max(40, n // 128)`` (all-integer; oracle twin GREATEST(40,
+    COUNT(*) // 128)).  A FIXED bucket width made same-URL block
+    population grow linearly with the corpus — the semantic-dedup
+    fixed-cell disease surfacing in the fixture itself: 5.4k candidate
+    pairs at sf0.1 exploded to 470k at sf1 (O(N²/4000)).  Scaling the
+    bucket count keeps per-URL duplicate cardinality constant, which is
+    also what a real crawl looks like (a URL's duplicate count does not
+    grow because the crawl got bigger).  Driver scales are unchanged
+    (500/500/5000 docs → 40 buckets everywhere)."""
+    return max(_URL_MOD, n_docs // _URL_DOCS_PER_BUCKET)
 
 
 def _url_fixture(docs: DataFrame) -> DataFrame:
@@ -6091,9 +6106,12 @@ def _url_fixture(docs: DataFrame) -> DataFrame:
     The path bucket is md5-derived, NOT doc_id % k: the generator
     assigns source = doc_id % 20, so any affine bucket collapses to 2
     values per source and the (host, path) blocks grow quadratically
-    with sf (93k pairs at sf0.1 under the affine form vs ~5k hashed)."""
+    with sf (93k pairs at sf0.1 under the affine form vs ~5k hashed).
+    ``n_buckets`` scales with the corpus (see :func:`_url_bucket_count`)
+    so per-URL duplicate cardinality stays constant across scales."""
     from ..operators.hashing import hash60_expr
 
+    n_buckets = _url_bucket_count(docs.count())
     b = docs.select(
         "doc_id",
         "source",
@@ -6104,7 +6122,7 @@ def _url_fixture(docs: DataFrame) -> DataFrame:
     path = F.concat(
         F.col("lang"),
         F.lit("/p"),
-        (hash60_expr(F.col("doc_id").cast("string")) % _URL_MOD).cast(
+        (hash60_expr(F.col("doc_id").cast("string")) % n_buckets).cast(
             "string"
         ),
     )
@@ -6146,12 +6164,18 @@ def _url_fixture(docs: DataFrame) -> DataFrame:
     return base.unionByName(mirror).unionByName(recrawl)
 
 
-_SQL_URL_PB = f"({_SQL_H60.format(x='doc_id::VARCHAR')} % {_URL_MOD})"
+_SQL_URL_PB = f"({_SQL_H60.format(x='doc_id::VARCHAR')} % kb.m)"
 _SQL_URL_BASE = (
     f"'https://'||source||'.example.com/'||lang||'/p'||{_SQL_URL_PB}"
 )
 
 _SQL_URL_FIXTURE = f"""
+        kb AS (
+          -- _url_bucket_count twin: one path bucket per ~128 docs,
+          -- floor 40 (all-integer; 40 at every driver scale)
+          SELECT GREATEST({_URL_MOD},
+                          COUNT(*) // {_URL_DOCS_PER_BUCKET}) AS m
+          FROM documents),
         fx AS MATERIALIZED (
           SELECT doc_id,
                  CASE WHEN doc_id % 7 = 0
@@ -6162,18 +6186,18 @@ _SQL_URL_FIXTURE = f"""
                       WHEN doc_id % 13 = 0 THEN {_SQL_URL_BASE}||'/'
                       ELSE {_SQL_URL_BASE} END AS url,
                  COALESCE(text, '') AS text
-          FROM documents
+          FROM documents, kb
           UNION ALL
           SELECT doc_id + 1000000,
                  'https://m-'||source||'.example.com/'
                  ||lang||'/p'||{_SQL_URL_PB},
                  COALESCE(text, '')
-          FROM documents WHERE doc_id % 23 = 1
+          FROM documents, kb WHERE doc_id % 23 = 1
           UNION ALL
           SELECT doc_id + 2000000, {_SQL_URL_BASE}||'-',
                  substr(COALESCE(text, ''), 1,
                         greatest(length(COALESCE(text, '')) - 1, 0)) || '#'
-          FROM documents WHERE doc_id % 23 = 1)
+          FROM documents, kb WHERE doc_id % 23 = 1)
 """
 
 
