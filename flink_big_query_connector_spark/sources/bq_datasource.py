@@ -991,6 +991,7 @@ def register(spark) -> None:
 
     from .. import session as _session
     from ..streaming import batching as _batching
+    from ..streaming import client_provider as _cprov
     from ..streaming import config as _config
     from ..streaming import errors as _errors
     from ..streaming import sinks as _sinks
@@ -1000,6 +1001,15 @@ def register(spark) -> None:
     # One consistent pickle graph: every module whose classes cross the
     # worker boundary is by-value, so e.g. the BigQueryError raised by the
     # unpickled FakeBigQuery IS the class write_with_retry catches.
-    for mod in (_errors, _batching, _config, _sinks, _fbq, sys.modules[__name__]):
+    # client_provider MUST ride along: the sinks' writer factories are
+    # provider objects from that module, and a by-reference provider
+    # would hand workers the REAL FakeBigQuery whose exception classes
+    # the by-value write_with_retry cannot catch (the round-11 ordering
+    # bug: any test registering this DataSource made later sink replay
+    # tests' ALREADY_EXISTS trims miss on class identity).
+    for mod in (
+        _errors, _batching, _config, _sinks, _fbq, _cprov,
+        sys.modules[__name__],
+    ):
         cloudpickle.register_pickle_by_value(mod)
     spark.dataSource.register(FakeBigQueryDataSource)

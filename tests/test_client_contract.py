@@ -152,3 +152,25 @@ def test_google_provider_fails_fast_without_package():
     with pytest.raises((ImportError, NotImplementedError)) as exc:
         p.client()
     assert "seam" in str(exc.value) or "adapter" in str(exc.value)
+
+
+def test_provider_module_is_in_datasource_by_value_pickle_set(spark):
+    """Ordering-bug pin (round 11): registering the DataSource flips the
+    sink/error/backend modules to cloudpickle BY-VALUE pickling; the
+    provider module must flip WITH them, or executor workers unpickle a
+    by-reference provider whose real FakeBigQuery raises exception
+    classes the by-value write_with_retry cannot catch — ALREADY_EXISTS
+    replay trims then fail any sink test that runs after any DataSource
+    test in the same process."""
+    from pyspark import cloudpickle
+
+    from flink_big_query_connector_spark.sources import bq_datasource
+    from flink_big_query_connector_spark.streaming import (
+        client_provider as cprov,
+    )
+
+    bq_datasource.register(spark)
+    assert cprov.__name__ in cloudpickle.list_registry_pickle_by_value()
+    # and the provider's client class is the module-global (not a lazy
+    # in-method import), keeping it inside the same by-value graph
+    assert hasattr(cprov, "FakeBigQuery")
