@@ -84,6 +84,10 @@ HEADLINE = [
     "llm_quality_cascade",
     "llm_dedup_url_fuzzy",
     "llm_decontaminate_incremental",
+    # late round-11 additions (set 42 -> 44): host-diversity capping and
+    # soft-dedup sampling weights
+    "llm_host_diversity_cap",
+    "llm_dedup_soft_weights",
 ]
 
 

@@ -6431,3 +6431,127 @@ def llm_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("proxy"))
         .alias("via"),
     )
+
+
+_HOST_CAP = 15  # max docs kept per host (crawl-diversity cap)
+
+
+@register(
+    "llm_host_diversity_cap",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, source || '.example.com' AS host,
+                 {{CLS}} AS quality
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, host, quality,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY host
+                      ORDER BY quality DESC, doc_id) AS BIGINT) AS host_rank
+          FROM scored)
+        SELECT doc_id, host, quality, host_rank,
+               (host_rank <= {_HOST_CAP}) AS kept
+        FROM ranked
+    """.replace("{CLS}", text.sql_classifier_score(_SQL_TOKS)),
+    tags=("text", "sampling", "metadata"),
+)
+def llm_host_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-diversity capping — the FineWeb/CC pipeline step that runs
+    AFTER URL dedup: keep at most _HOST_CAP documents per host, best
+    quality first (classifier logit, doc_id tie-break), so no single
+    site dominates the training mix however big the crawl gets.  Every
+    doc is returned with its in-host rank and a kept flag, making the
+    cut auditable (how close was the host to its cap, what got dropped).
+
+    Scale shape: one shuffle on host + a per-host rank.  The per-host
+    sort is bounded by host size, not corpus size; for the pathological
+    hot host (a link farm with millions of pages) the production form is
+    the two-phase top-K (per-partition top-_HOST_CAP, then merge — the
+    monotone-merge property b28_stream_incremental_topk pins), since
+    only _HOST_CAP rows per host can ever be kept.  Quality is the
+    integer classifier logit — exact in both engines, no float ordering
+    hazard in the rank."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = dedup.spread(t["documents"])
+    scored = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        text.classifier_score_expr(
+            text.tokens_expr(F.col("text"))
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn(
+            "host_rank", F.row_number().over(w).cast("long")
+        )
+        .withColumn("kept", F.col("host_rank") <= _HOST_CAP)
+    )
+
+
+@register(
+    "llm_dedup_soft_weights",
+    oracle=f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM ({{MH}})
+        ),
+        edges AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+               FROM reach GROUP BY u),
+        fullc AS (
+          SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc USING (doc_id)),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM fullc GROUP BY 1)
+        SELECT f.doc_id, f.cluster_id,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               {numeric.sql_round6_ratio('1', 's.cluster_size')} AS weight
+        FROM fullc f JOIN sizes s USING (cluster_id)
+    """.replace("{MH}", _minhash_oracle()),
+    tags=("dedup", "sampling"),
+)
+def llm_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (the D4/SemDeDup-style sampling alternative to hard
+    removal): every document gets sampling weight 1/|near-dup cluster|,
+    so a page crawled from 40 mirrors contributes ~one document's worth
+    of gradient instead of 40 — duplicates are DOWN-WEIGHTED, not
+    deleted, preserving coverage while killing memorization pressure.
+    Clusters are connected components over the verified MinHash-LSH pair
+    graph; unpaired docs are singletons with weight 1.0.
+
+    Scale shape: reuses the banded pair pipeline (shuffles carry hashes,
+    never text) and the O(diameter)-round min-label propagation of
+    llm_dedup_cluster; the weight join is an equi-join on cluster_id.
+    The integer 1/n ratio rounds via the tie-safe floor form (1/2 and
+    1/4 terminate exactly on 6dp boundaries — precisely the divergence
+    class numeric.round6_ratio_expr exists for)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    pairs = dedup.minhash_neardup_pairs(d, "doc_id", "text", 0.8)
+    cc = dedup.connected_components(pairs)
+    fullc = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = fullc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return fullc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        numeric.round6_ratio_expr(
+            F.lit(1), F.col("cluster_size")
+        ).alias("weight"),
+    )

@@ -25,6 +25,8 @@ pytestmark = pytest.mark.filterwarnings(
 # >=64-row layout precondition raises loudly by design — both excluded.
 BATCH_SWEEP = [
     "b01_scan_count",
+    "llm_host_diversity_cap",
+    "llm_dedup_soft_weights",
     "llm_quality_cascade",
     "llm_dedup_url_fuzzy",
     "llm_decontaminate_incremental",
@@ -301,6 +303,7 @@ NULL_SWEEP = [
     "b17_bad_records", "b17_explode_tokens",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
     "llm_quality_cascade", "llm_dedup_url_fuzzy",
+    "llm_host_diversity_cap", "llm_dedup_soft_weights",
     "llm_decontaminate_incremental",
     "llm_dedup_containment",
     "llm_dedup_span_removal", "llm_text_stats", "llm_text_quality_filter",
@@ -585,6 +588,7 @@ UNICODE_SWEEP = [
     "llm_text_inverted_index", "llm_text_bigram_lm", "llm_text_logprob",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
     "llm_quality_cascade", "llm_dedup_url_fuzzy",
+    "llm_host_diversity_cap", "llm_dedup_soft_weights",
     "llm_decontaminate_incremental",
     "llm_dedup_ngram_jaccard", "llm_dedup_spans", "llm_dedup_span_removal",
     "llm_bpe_train", "llm_bpe_train_batched", "llm_bpe_encode", "llm_bpe_fertility",
