@@ -50,6 +50,16 @@ PICKS = [
     ("llm_dedup_cdc_chunks",
      "content-defined chunk dedup — row-local boundary/slice arrays, "
      "only (hash, len, id) reaches the one aggregate"),
+    ("llm_quality_cascade",
+     "calibrated quality cascade — zero-shuffle feature stages, bounded "
+     "sample rank window, 1-row threshold broadcast into the survivors "
+     "join"),
+    ("llm_dedup_url_fuzzy",
+     "fuzzy URL dedup — regexp normalization, capped (host, path) "
+     "blocked join, shuffles carry (host, path, simhash) never text"),
+    ("llm_decontaminate_incremental",
+     "incremental decontamination — new snapshot streams once through "
+     "two broadcast-hash semi joins (bench grams, proxy grams)"),
 ]
 
 
@@ -57,7 +67,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plans", cpus=8, shuffle_partitions=8)
     out = [
-        "# PLANS — physical-plan evidence (sf0.001, round 7)",
+        "# PLANS — physical-plan evidence (sf0.001, regenerated round 11)",
         "",
         "`df.explain('formatted')` for representative registry queries; "
         "regenerate",
