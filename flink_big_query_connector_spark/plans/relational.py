@@ -1574,7 +1574,7 @@ def b18_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity). duckdb's integer `/` is float division, so the oracle uses
     (n+1)/2 semantics via IN on both integer positions after flooring."""
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("l_quantity")
+    w = Window.orderBy("l_quantity")  # global-order-ok: exact-median canonical check; at scale use approx_percentile (docstring)
     ranked = t["lineitem"].select(
         "l_quantity",
         F.row_number().over(w).alias("rn"),
@@ -2847,7 +2847,7 @@ def b11_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")  # global-order-ok: canonical ntile semantics check; at-scale substitute documented above
     return (
         t["orders"]
         .select(

@@ -1827,3 +1827,59 @@ class TestRound11Operators:
             release_caches(spark)
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastHashJoin") >= 3  # bench x2, proxy, contam
+
+
+def test_quality_cascade_empty_calibration_falls_back_to_keep(
+    spark, tmp_path
+):
+    """ADVICE r11: an empty calibration sample (no embedding id hits the
+    modulus) must NOT silently drop every stage-1/2 survivor through an
+    empty cross join.  With every vec_id % 5 != 0 the threshold degrades
+    to _CAL_FALLBACK and every embedded survivor keeps — identically on
+    both engines."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.plans.llm_ops import _CAL_FALLBACK
+    from flink_big_query_connector_spark.sources.tables import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        (d / f"{t}.parquet").symlink_to(f"{src}/{t}.parquet")
+    emb = pq.read_table(f"{src}/embeddings.parquet")
+    import pyarrow as pa
+
+    mask = pa.array(v % 5 != 0 for v in emb["vec_id"].to_pylist())
+    pq.write_table(emb.filter(mask), str(d / "embeddings.parquet"))
+
+    qd = REGISTRY["llm_quality_cascade"]
+    rows = qd.fn(spark, str(d)).collect()
+    assert rows, "fallback must not empty the output"
+    semantic = [r for r in rows if r["verdict"] == "keep_semantic"]
+    assert semantic, "embedded survivors must exist in the fixture"
+    assert all(r["threshold"] == _CAL_FALLBACK for r in semantic)
+    assert not any(r["verdict"] == "drop_semantic" for r in rows)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+        )
+    oracle = con.execute(qd.oracle).fetchall()
+    assert len(oracle) == len(rows)
+    spark_counts = {}
+    for r in rows:
+        spark_counts[r["verdict"]] = spark_counts.get(r["verdict"], 0) + 1
+    duck_counts = {}
+    vi = [dsc[0] for dsc in con.execute(qd.oracle).description].index(
+        "verdict"
+    )
+    for r in oracle:
+        duck_counts[r[vi]] = duck_counts.get(r[vi], 0) + 1
+    assert spark_counts == duck_counts

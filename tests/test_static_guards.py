@@ -250,3 +250,56 @@ def test_bench_headline_line_fits_driver_tail_window():
     # spark.stop() must precede the final print so no shutdown logging
     # lands inside the tail window after the headline line.
     assert src.index("spark.stop()") < src.index("print(line)")
+
+
+# Sites allowed to use an unpartitioned Window.orderBy, pinned as
+# (relative path, exact expected count).  Every such line must ALSO carry
+# an inline justification marker: `bounded-window-ok:` (input is already
+# top-K/model-sized by construction) or `global-order-ok:` (canonical
+# exact-semantics check whose docstring documents the at-scale
+# substitute).  Growing this map is a reviewed decision, not a drift.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "plans/relational.py": 2,   # b18_median_manual, b11_window_ntile
+    "plans/llm_ops.py": 2,      # llm_text_bm25 (<=20 rows), llm_hybrid_rrf (<=40 rows)
+}
+_WINDOW_MARKERS = ("bounded-window-ok:", "global-order-ok:")
+
+
+def test_no_unpartitioned_window_orderby_outside_allowlist():
+    """An unpartitioned Window.orderBy funnels the whole input through
+    ONE task — the r11 verdict's two perf-weak findings
+    (llm_quality_cascade calibration rank over 20% of the corpus,
+    llm_text_bm25 global row_number) were exactly this shape.  Both are
+    fixed (orderBy().limit(k) / TakeOrderedAndProject); this guard bans
+    the class from re-entering plans/ and operators/: every
+    `Window.orderBy(` not preceded by `.partitionBy(` on the same line
+    must carry a justification marker AND sit in the pinned allowlist."""
+    counts: dict[str, int] = {}
+    offenders = []
+    for sub in ("plans", "operators"):
+        for path in sorted((PKG / sub).rglob("*.py")):
+            rel = str(path.relative_to(PKG))
+            for lineno, line in enumerate(path.read_text().splitlines(), 1):
+                if "Window.orderBy" not in line:
+                    continue
+                if "partitionBy" in line:
+                    continue
+                if not any(m in line for m in _WINDOW_MARKERS):
+                    offenders.append(
+                        f"{rel}:{lineno}: unpartitioned Window.orderBy "
+                        f"without a bounded-window-ok/global-order-ok "
+                        f"marker: {line.strip()}"
+                    )
+                    continue
+                counts[rel] = counts.get(rel, 0) + 1
+    assert not offenders, (
+        "single-partition global sort risk — partitionBy the window, or "
+        "use orderBy().limit(k) (TakeOrderedAndProject) and rank the k "
+        "survivors; if the input is provably bounded, add a marker AND "
+        "extend _GLOBAL_WINDOW_ALLOWLIST:\n" + "\n".join(offenders)
+    )
+    assert counts == _GLOBAL_WINDOW_ALLOWLIST, (
+        f"marked unpartitioned-window sites {counts} != pinned allowlist "
+        f"{_GLOBAL_WINDOW_ALLOWLIST} — update the map ONLY with a "
+        "documented bounded/canonical justification"
+    )
