@@ -171,13 +171,26 @@ def _adaptive_stream_partitions(
     sf1 / 32 at sf10 — the "size to key cardinality / executor count"
     production rule, made concrete.  Parquet footer metadata only; no
     Spark job."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
         n = pq.ParquetFile(
             os.path.join(sf_dir, f"{table}.parquet")
         ).metadata.num_rows
-    except Exception:
+    except (OSError, pa.ArrowInvalid, KeyError) as exc:
+        # Narrow on purpose (ADVICE r11): a typo'd sf_dir or a corrupt
+        # footer falls back LOUDLY to the fixed floor instead of being
+        # swallowed — a silent '2' would reintroduce the 114 s per-key
+        # starvation at sf1 this helper exists to fix.
+        import warnings
+
+        warnings.warn(
+            f"_adaptive_stream_partitions: cannot read {table} footer "
+            f"under {sf_dir!r} ({exc}); falling back to the fixed "
+            f"{STREAM_SHUFFLE_PARTITIONS}-partition floor",
+            stacklevel=2,
+        )
         return STREAM_SHUFFLE_PARTITIONS
     return str(
         min(

@@ -460,9 +460,22 @@ class BufferedStreamSink:
         self.client_provider = client_provider or FakeBigQueryClientProvider(
             backend_root
         )
-        self.client = self.client_provider.client()
+        self._client = None
         self.metrics = metrics
         self.stream_registry = stream_registry
+
+    @property
+    def client(self):
+        """Driver-side commit client, created lazily at FIRST use (the
+        flush step of the commit phase) — never in ``__init__``
+        (ADVICE r11): a provider whose ``client()`` needs a live
+        environment must not fail at sink construction, and the sink
+        must not hold a connection-like handle for its whole lifetime
+        when the provider-never-holds-a-live-connection principle is the
+        module's contract."""
+        if self._client is None:
+            self._client = self.client_provider.client()
+        return self._client
 
     # -- commit log --------------------------------------------------------
     def _commit_path(self, batch_id: int) -> str:

@@ -145,12 +145,14 @@ def test_default_stream_sink_honors_injected_provider(spark, tmp_path):
 
 
 def test_google_provider_fails_fast_without_package():
-    """The real-backend seam must not silently degrade: constructing its
-    client without google-cloud-bigquery-storage raises with the
-    documented mapping, immediately."""
-    p = GoogleBigQueryStorageClientProvider(project="p1")
-    with pytest.raises((ImportError, NotImplementedError)) as exc:
-        p.client()
+    """The real-backend seam must not silently degrade: CONSTRUCTION
+    without google-cloud-bigquery-storage raises immediately
+    (``__post_init__`` import probe — ADVICE r11), so a misconfigured
+    deployment dies at sink wiring, not at first use.  The implemented
+    adapter itself is exercised under a mocked module graph in
+    ``test_google_provider.py``."""
+    with pytest.raises(ImportError) as exc:
+        GoogleBigQueryStorageClientProvider(project="p1")
     assert "seam" in str(exc.value) or "adapter" in str(exc.value)
 
 
