@@ -1018,30 +1018,119 @@ def filtered_topk(
 
 
 SEMANTIC_ROWS_PER_CELL = 512  # target cell population for semantic_dedup
-SEMANTIC_MAX_CELLS = 256      # literal-centroid plan-size bound
+SEMANTIC_LITERAL_MAX_CELLS = 256  # plan-literal assignment path bound
+SEMANTIC_MAX_CELLS = 4096     # broadcast-model path bound (~2 MB model)
 
 
 def semantic_cell_count(n_vectors: int) -> int:
     """Data-scaled cell count for :func:`semantic_dedup`:
-    ``clamp(N_CENTROIDS, n // 512, 256)``, all-integer so a SQL oracle
-    reproduces it exactly (``LEAST(256, GREATEST(16, COUNT(*) // 512))``).
+    ``clamp(N_CENTROIDS, n // 512, 4096)``, all-integer so a SQL oracle
+    reproduces it exactly (``LEAST(4096, GREATEST(16, COUNT(*)//512))``).
 
-    Round 11's full-headline decade sweep caught the defect this fixes:
-    with the cell count FIXED at 16, cell population grows with the
-    corpus and the within-cell pair join is O(N^2/16) — at sf10 (200k
-    vectors, ~12.5k per cell) that is ~1.2e9 cosine pairs and the query
-    ran 20+ minutes.  Scaling k keeps cells near 512 rows, so pair work
-    is ~N x 512 (linear) until the 256-cell cap, after which cells grow
-    again — at the cap the pair join is still 24x below the fixed-16
-    shape, and a real deployment raises the cap with trained centroids
-    (the literal-centroid plan is what bounds it here).  Driver scales
-    are UNCHANGED — k stays 16 up to n = 16*512 = 8192 vectors and the
-    test data holds 500/500/2000 at sf0.001/0.01/0.1 — so every
-    recorded driver row is bit-identical."""
+    Round 11's full-headline decade sweep caught the defect the scaling
+    fixes: with the cell count FIXED at 16, cell population grows with
+    the corpus and the within-cell pair join is O(N^2/16) — at sf10
+    (200k vectors, ~12.5k per cell) that is ~1.2e9 cosine pairs and the
+    query ran 20+ minutes.  Scaling k keeps cells near 512 rows, so pair
+    work is ~N x 512 (linear).
+
+    Round 12 lifted the cap from 256 (the literal-inlined-centroid
+    plan-size bound — r11's residual) to 4096 by adding a second
+    assignment path: beyond :data:`SEMANTIC_LITERAL_MAX_CELLS` the
+    centroid matrix ships as an Arrow-batched pandas closure
+    (:func:`ivf_cells_pandas`, bitwise-identical fold) instead of a plan
+    literal, so sf10's wanted ~390 cells actually take effect.  The
+    4096 bound keeps the first-k-by-id model KB/MB-sized end to end
+    (4096 x 64 doubles ≈ 2 MB — task-broadcast territory); past it a
+    real deployment trains hierarchical k-means centroids
+    (:func:`kmeans_centroids`) rather than widening a flat stand-in
+    model.  Driver scales are UNCHANGED — k stays 16 up to n = 8192
+    vectors and the test data holds 500/500/2000 at sf0.001/0.01/0.1 —
+    so every recorded driver row is bit-identical."""
     return min(
         SEMANTIC_MAX_CELLS,
         max(N_CENTROIDS, n_vectors // SEMANTIC_ROWS_PER_CELL),
     )
+
+
+def ivf_cells_pandas(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list]],
+    with_score: bool = False,
+) -> DataFrame:
+    """:func:`ivf_cells_with` semantics with the centroid model shipped
+    as an Arrow-batched pandas closure instead of a plan literal — the
+    beyond-256-cells assignment path (r12; the literal array is bounded
+    by plan size / py4j transfer, a broadcast closure is not).
+
+    Bitwise parity with the engine path is engineered, not hoped for:
+    the numpy kernel accumulates dot products and norms SEQUENTIALLY
+    ACROSS DIMENSIONS in float64 (``acc += v[:, i] * c[i]``) — exactly
+    the left-to-right ``F.aggregate`` fold of
+    ``functions/vectors.py::dot_product_expr`` element-cast to double,
+    vectorized across the batch axis only — so the unrounded cosines are
+    bit-identical to the literal path and to DuckDB's sequential
+    ``list_cosine_similarity``.  Ties break to the lower centroid id
+    (``np.argmax`` first-max over ascending-cid columns = the literal
+    path's max-struct ``nid`` trick).  The 6dp rounding differs only at
+    exact decimal ties, which 6dp cosines of real-valued data do not hit
+    (the established round6 doctrine).  Zero shuffle: one mapInPandas
+    over the corpus, model in the closure."""
+    if not centroids:
+        return ivf_cells_with(emb_df, id_col, vec_col, centroids, with_score)
+    import math
+
+    centroids = sorted((int(cid), [float(x) for x in cvec])
+                       for cid, cvec in centroids)
+    cent_ids = [cid for cid, _ in centroids]
+    cent_mat = [cvec for _, cvec in centroids]
+    cent_norms = [math.sqrt(_py_self_dot(cvec)) for cvec in cent_mat]
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    fields = [
+        StructField(id_col, emb_df.schema[id_col].dataType),
+        StructField("v", emb_df.schema[vec_col].dataType),
+        StructField("cell", LongType()),
+    ]
+    if with_score:
+        fields.append(StructField("cos", DoubleType()))
+    out_schema = StructType(fields)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_mat, dtype=np.float64)      # k x d
+        cn = np.asarray(cent_norms, dtype=np.float64)   # k
+        cids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            n, d = V.shape
+            dots = np.zeros((n, len(cids)), dtype=np.float64)
+            vn = np.zeros(n, dtype=np.float64)
+            for i in range(d):  # sequential across dims == the engine fold
+                col = V[:, i]
+                dots += col[:, None] * C[None, :, i]
+                vn += col * col
+            cos6 = np.round(dots / (np.sqrt(vn)[:, None] * cn[None, :]), 6)
+            best = np.argmax(cos6, axis=1)  # first max -> lowest cid
+            out = {
+                id_col: pdf[id_col].values,
+                "v": pdf[vec_col].values,
+                "cell": cids[best],
+            }
+            if with_score:
+                out["cos"] = cos6[np.arange(n), best]
+            yield pd.DataFrame(out)
+
+    return spread(emb_df).mapInPandas(assign, out_schema)
 
 
 def semantic_dedup(
@@ -1087,12 +1176,21 @@ def semantic_dedup(
     # integer formula from COUNT(*)
     k = semantic_cell_count(emb_df.count())
     cents = fixed_centroids(emb_df, id_col, vec_col, k)
+    # assignment path by model size: plan-literal centroids up to 256
+    # cells (cheapest, whole-stage codegen), Arrow-batched broadcast
+    # closure beyond (bitwise-identical fold; see ivf_cells_pandas) —
+    # this is what lets sf10's ~390 wanted cells actually take effect
+    assign = (
+        ivf_cells_pandas
+        if len(cents) > SEMANTIC_LITERAL_MAX_CELLS
+        else ivf_cells_with
+    )
     # Per-row norms materialize ONCE into the persisted cells: the
     # within-cell pair filter then computes dot/(na*nb) — bitwise the
     # same value as cosine_similarity_expr (identical IEEE ops, the norms
     # just aren't recomputed per pair), at a third of the pair work.
     cells = scoped_persist(
-        ivf_cells_with(emb_df, id_col, vec_col, cents).withColumn(
+        assign(emb_df, id_col, vec_col, cents).withColumn(
             "vnorm", norm_expr(F.col("v"))
         )
     )

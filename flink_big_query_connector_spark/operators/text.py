@@ -8,6 +8,8 @@ exact SQL twin used by the DuckDB oracle (same arithmetic, same hash).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -888,3 +890,67 @@ def bpe_train_batched(
         cur = cur.select("doc_id", col.alias("s"))
         merges.extend(batch)
     return cur, merges
+
+
+def bpe_encode_pandas_expr(text_col: Column, merges) -> Column:
+    """Arrow-batched pretrained-BPE encoder: the full
+    tokens→initial-symbols→merge-chain pipeline of
+    :func:`bpe_initial_expr` + chained :func:`bpe_merge_expr`, executed
+    as vectorized C regex passes instead of interpreted Catalyst folds
+    (r12; the fold chain was the slowest row-linear key in the decade
+    table — 96 s at sf10 — because higher-order ``F.aggregate`` folds
+    run interpreted per symbol).
+
+    Equivalence to the fold (verified bitwise by
+    ``tests/test_llm_operators.py`` against the whole corpus and by the
+    randomized chain tests): applying merge (a, b) to the
+    delimiter-joined symbol string is exactly one left-to-right
+    non-overlapping regex substitution
+    ``\\x01a\\x01b(?=\\x01|$)  ->  \\x01ab`` —
+
+    - the left symbol is delimiter-anchored, so a symbol merely ENDING
+      in ``a`` can never match (same as the fold's
+      ``endswith(DELIM + a)`` on an accumulator that always ends at a
+      symbol boundary);
+    - the zero-width right lookahead pins ``b`` as a COMPLETE symbol
+      (the fold compares ``x == b`` exactly);
+    - ``re.sub`` resumes scanning after each replacement without
+      re-examining the replaced text, which is precisely the fold's
+      a-symbol-produced-by-a-merge-cannot-merge-again-this-pass rule.
+
+    Scale shape: still one narrow zero-shuffle projection per row —
+    only the execution engine of that projection changes (Arrow batch
+    in, 8 vectorized substitutions, Arrow batch out); the merge table
+    rides the serialized closure exactly like the IVF/PQ plan-literal
+    models ride the plan."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    compiled = [
+        (
+            _re.compile(
+                BPE_DELIM
+                + _re.escape(a)
+                + BPE_DELIM
+                + _re.escape(b)
+                + f"(?={BPE_DELIM}|$)"
+            ),
+            BPE_DELIM + a + b,
+        )
+        for a, b in merges
+    ]
+    token_re = _re.compile(TOKEN_RE)
+
+    @pandas_udf("string")
+    def _encode(texts: pd.Series) -> pd.Series:
+        def initial(t):
+            toks = token_re.findall(t) if t else []
+            return BPE_DELIM + BPE_DELIM.join(toks) if toks else ""
+
+        s = texts.fillna("").map(initial)
+        for pat, repl in compiled:
+            s = s.str.replace(pat, repl, regex=True)
+        return s
+
+    return _encode(text_col)

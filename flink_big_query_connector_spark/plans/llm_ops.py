@@ -302,8 +302,10 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH kc AS (
           -- semantic_cell_count twin: one cell per ~512 vectors,
-          -- floor 16, cap 256 (all-integer; k = 16 at driver scales)
-          SELECT LEAST(256, GREATEST(16, COUNT(*) // 512)) AS k
+          -- floor 16, cap 4096 (all-integer; k = 16 at driver scales;
+          -- the r11 literal-plan 256 cap is lifted by the broadcast
+          -- assignment path, operators/similarity.py::ivf_cells_pandas)
+          SELECT LEAST(4096, GREATEST(16, COUNT(*) // 512)) AS k
           FROM embx
         ),
         cents AS (
@@ -4334,10 +4336,21 @@ _BPE_PRETRAINED_MERGES = (
 )
 
 
-def _pretrained_bpe_cols():
+def _pretrained_bpe_cols(engine: str = "pandas"):
     """(whitespace tokens, encoded symbol string) under the fixed merge
-    table — the shared front of llm_bpe_encode / llm_bpe_fertility."""
+    table — the shared front of llm_bpe_encode / llm_bpe_fertility.
+
+    ``engine='pandas'`` (production default since r12) encodes via the
+    Arrow-batched vectorized-regex path
+    (text.bpe_encode_pandas_expr — the sf10 decade table's slowest
+    row-linear key was this fold chain); ``engine='fold'`` keeps the
+    pure-Catalyst fold chain, bitwise identical (pinned by
+    test_bpe_pandas_encoder_matches_fold_chain), for plan-only contexts."""
     toks = text.tokens_expr(F.col("text"))
+    if engine == "pandas":
+        return toks, text.bpe_encode_pandas_expr(
+            F.col("text"), _BPE_PRETRAINED_MERGES
+        )
     s = text.bpe_initial_expr(toks)
     for a, b in _BPE_PRETRAINED_MERGES:
         s = text.bpe_merge_expr(s, a, b)

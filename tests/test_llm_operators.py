@@ -1883,3 +1883,131 @@ def test_quality_cascade_empty_calibration_falls_back_to_keep(
     for r in oracle:
         duck_counts[r[vi]] = duck_counts.get(r[vi], 0) + 1
     assert spark_counts == duck_counts
+
+
+def test_ivf_cells_pandas_bitwise_matches_literal_path(spark, sf_dir):
+    """The broadcast-closure assignment path (beyond-256-cells, r12) must
+    be BITWISE identical to the plan-literal path: same cells, same 6dp
+    assignment cosines, on the real embeddings table."""
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "embedding IS NOT NULL"
+    )
+    cents = similarity.fixed_centroids(emb, "vec_id", "embedding", 16)
+    lit = {
+        r["vec_id"]: (r["cell"], r["cos"])
+        for r in similarity.ivf_cells_with(
+            emb, "vec_id", "embedding", cents, with_score=True
+        ).collect()
+    }
+    pnd = {
+        r["vec_id"]: (r["cell"], r["cos"])
+        for r in similarity.ivf_cells_pandas(
+            emb, "vec_id", "embedding", cents, with_score=True
+        ).collect()
+    }
+    assert lit == pnd  # bitwise: cells AND rounded cosines
+
+
+def test_semantic_dedup_pandas_path_matches_literal(spark, sf_dir, monkeypatch):
+    """Force the broadcast path at driver scale (literal cap -> 4) and
+    assert semantic_dedup's full output is unchanged — the sf10-shape
+    path proven on oracle-checked data."""
+    from flink_big_query_connector_spark.cache import release_caches
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "embedding IS NOT NULL"
+    )
+    base = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, "vec_id", "embedding", 0.4)
+        .collect()
+    )
+    release_caches()
+    monkeypatch.setattr(similarity, "SEMANTIC_LITERAL_MAX_CELLS", 4)
+    forced = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, "vec_id", "embedding", 0.4)
+        .collect()
+    )
+    release_caches()
+    assert base == forced
+
+
+def test_bpe_pandas_encoder_matches_fold_chain(spark, sf_dir):
+    """The Arrow-batched regex BPE encoder (r12 production path) must be
+    BITWISE identical to the Catalyst fold chain over the whole corpus —
+    including the adversarial left-anchor / complete-right-symbol /
+    no-rescan cases the docstring argues."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import text as T
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _BPE_PRETRAINED_MERGES,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # adversarial rows: prefix-symbol trap (b as a prefix of 'bc'),
+    # produced-symbol chains, a==b runs, empties and NULLs
+    extra = spark.createDataFrame(
+        [
+            (900001, "table hash hash hash tablehash scan"),
+            (900002, "part filter hash filterhash x"),
+            (900003, "slow key keyx slow key"),
+            (900004, None),
+            (900005, ""),
+            (900006, "merge group group merge group"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    fold = T.bpe_initial_expr(T.tokens_expr(F.col("text")))
+    for a, b in _BPE_PRETRAINED_MERGES:
+        fold = T.bpe_merge_expr(fold, a, b)
+    rows = d.select(
+        "doc_id",
+        F.md5(fold).alias("h_fold"),
+        F.md5(
+            T.bpe_encode_pandas_expr(F.col("text"), _BPE_PRETRAINED_MERGES)
+        ).alias("h_pandas"),
+    ).collect()
+    bad = [r["doc_id"] for r in rows if r["h_fold"] != r["h_pandas"]]
+    assert bad == []
+
+
+def test_bpe_pandas_encoder_randomized_chains(spark):
+    """Randomized merge tables (incl. hierarchical and a==b merges) over
+    randomized token streams: pandas encoder == fold chain, bitwise."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import text as T
+
+    rng = random.Random(12012)
+    alphabet = ["a", "b", "ab", "ba", "aa", "c", "bc"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for trial in range(5):
+        merges = []
+        pool = list(alphabet)
+        for _ in range(4):
+            a, b = rng.choice(pool), rng.choice(pool)
+            merges.append((a, b))
+            pool.append(a + b)  # later merges may consume produced symbols
+        fold = T.bpe_initial_expr(T.tokens_expr(F.col("text")))
+        for a, b in merges:
+            fold = T.bpe_merge_expr(fold, a, b)
+        got = df.select(
+            "doc_id",
+            (
+                F.md5(fold)
+                == F.md5(T.bpe_encode_pandas_expr(F.col("text"), merges))
+            ).alias("ok"),
+        ).collect()
+        assert all(r["ok"] for r in got), f"trial {trial} merges {merges}"
