@@ -6605,3 +6605,490 @@ def llm_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1), F.col("cluster_size")
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — cross-snapshot URL-level incremental dedup, repetition-aware
+# Gopher rules, domain-level contamination report (VERDICT r11 Next #6)
+# ---------------------------------------------------------------------------
+
+# best-match encode: hamming (<= 64) * 1e7 + existing doc_id (< 1e7) — an
+# all-integer argmin key both engines decode exactly
+_URLINC_ENC = 10_000_000
+
+# Shared URL-side CTEs: normalized (host, path) + content SimHash per
+# fixture row — textually identical to the llm_dedup_url_fuzzy oracle's
+# chain so the two operators verify the same derivation.
+_SQL_URL_SIDE = f"""
+        parsed AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_replace(
+                     regexp_extract(
+                         regexp_replace(url, '^https?://', ''), '^[^/]+'),
+                     '^(www\\.|m-)', '') AS canon_host,
+                 regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(
+                         regexp_replace(url, '^https?://', ''),
+                         '^[^/]+/', ''),
+                     '\\?.*$', ''), '/+$', ''), '-$', '') AS cpath,
+                 text
+          FROM fx),
+        h AS (SELECT doc_id,
+                     list_transform(
+                         regexp_extract_all(COALESCE(text, ''), '\\S+'),
+                         t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS th
+              FROM parsed),
+        sh AS (SELECT doc_id, CAST({{SIM}} AS BIGINT) AS simhash FROM h),
+        side AS MATERIALIZED (
+          SELECT p.doc_id, p.canon_host, p.cpath, s.simhash
+          FROM parsed p JOIN sh s USING (doc_id))
+""".replace("{SIM}", _simhash_sql_value())
+
+
+@register(
+    "llm_dedup_url_incremental",
+    oracle=f"""
+        WITH {_SQL_URL_FIXTURE},
+        {_SQL_URL_SIDE},
+        newside AS (SELECT * FROM side WHERE doc_id >= 1000000),
+        oldside AS (SELECT * FROM side WHERE doc_id < 1000000),
+        best AS (
+          SELECT n.doc_id,
+                 MIN(CAST(bit_count(xor(n.simhash, o.simhash)) AS BIGINT)
+                     * {_URLINC_ENC} + o.doc_id) AS k
+          FROM newside n JOIN oldside o
+            ON n.canon_host = o.canon_host AND n.cpath = o.cpath
+          GROUP BY n.doc_id)
+        SELECT n.doc_id, n.canon_host, n.cpath,
+               CAST(b.k % {_URLINC_ENC} AS BIGINT) AS matched_doc_id,
+               CAST(b.k // {_URLINC_ENC} AS INTEGER) AS hamming,
+               CASE WHEN b.k IS NULL THEN 'ingest_new'
+                    WHEN b.k // {_URLINC_ENC} <= 3 THEN 'skip_duplicate'
+                    ELSE 'ingest_changed' END AS action
+        FROM newside n LEFT JOIN best b ON n.doc_id = b.doc_id
+    """,
+    tags=("dedup", "metadata", "incremental"),
+)
+def llm_dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL-LEVEL incremental dedup (VERDICT r11 Next #6a):
+    a NEW crawl snapshot (the fixture's mirror/re-crawl rows, doc_id >=
+    1e6) arrives against an EXISTING ingested corpus (the base rows);
+    only the new snapshot is scanned.  Each new document is blocked to
+    the existing corpus by its NORMALIZED (host, path) — the
+    llm_dedup_url_fuzzy regexp chain — and verified against its BEST
+    (lowest-hamming, lowest-id tie-break) existing version by content
+    SimHash:
+
+      no same-URL existing doc       -> 'ingest_new'
+      best match hamming <= 3        -> 'skip_duplicate' (a mirror /
+                                        unchanged re-crawl: don't ingest)
+      best match hamming  > 3        -> 'ingest_changed' (same URL,
+                                        genuinely new content: a re-crawl
+                                        worth keeping)
+
+    This is the crawl-refresh admission decision made BEFORE any text
+    enters the corpus — the asymmetric-snapshot pattern of
+    llm_decontaminate_incremental applied to the URL index: the existing
+    side's (host, path, simhash) triple is a standing per-URL index a
+    production frontier keeps (recomputed here so the registry query is
+    self-contained), never the existing text.
+
+    Scale shape: the pair work is the asymmetric new x existing blocked
+    join, confined to (canon_host, cpath) blocks through
+    operators/skew.py::capped_blocked_join (the big EXISTING side is the
+    salted right side, so a link-farm URL cannot pin a task); the
+    best-match argmin is an all-integer MIN over hamming*1e7+id — one
+    map-combinable aggregate, no window; the shuffle carries (host,
+    path, 64-bit simhash), never text."""
+    from ..operators.skew import capped_blocked_join
+
+    t = load_tables(spark, sf_dir)
+    fx = _url_fixture(dedup.spread(t["documents"]))
+    nosch = F.regexp_replace(F.col("url"), "^https?://", "")
+    parsed = fx.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
+        ).alias("canon_host"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(nosch, "^[^/]+/", ""), "\\?.*$", ""
+                ),
+                "/+$",
+                "",
+            ),
+            "-$",
+            "",
+        ).alias("cpath"),
+    )
+    side = parsed.join(dedup.simhash_df(fx, "doc_id", "text"), "doc_id")
+    new = side.filter(F.col("doc_id") >= 1_000_000)
+    old = side.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("old_id"),
+        "canon_host",
+        "cpath",
+        F.col("simhash").alias("sh_o"),
+    )
+    matches = capped_blocked_join(
+        new.select(
+            "doc_id", "canon_host", "cpath",
+            F.col("simhash").alias("sh_n"),
+        ),
+        old,
+        ["canon_host", "cpath"],
+    )
+    best = matches.groupBy("doc_id").agg(
+        F.min(
+            F.bit_count(F.col("sh_n").bitwiseXOR(F.col("sh_o")))
+            .cast("long")
+            * F.lit(_URLINC_ENC)
+            + F.col("old_id")
+        ).alias("k")
+    )
+    ham = F.expr(f"CAST(k div {_URLINC_ENC} AS INT)")
+    return new.join(best, "doc_id", "left").select(
+        "doc_id",
+        "canon_host",
+        "cpath",
+        (F.col("k") % _URLINC_ENC).cast("long").alias("matched_doc_id"),
+        ham.alias("hamming"),
+        F.when(F.col("k").isNull(), F.lit("ingest_new"))
+        .when(ham <= 3, F.lit("skip_duplicate"))
+        .otherwise(F.lit("ingest_changed"))
+        .alias("action"),
+    )
+
+
+_SEG_TOKENS = 10       # pseudo-paragraph width (the corpus has no \n\n)
+_TOPGRAM_MAX = {2: 0.20, 3: 0.18}  # Gopher top-n-gram char-fraction caps
+_DUP_PARA_MAX = 0.30
+_DUP_PARA_CHAR_MAX = 0.20
+
+
+def _sql_topgram(n: int) -> str:
+    """Per-doc most frequent word n-gram (count desc, gram asc) + its
+    char fraction of the doc."""
+    join = "||' '||".join(f"toks[i+{j}]" for j in range(n))
+    return f"""g{n} AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                            i -> {join})) AS g
+               FROM b WHERE len(toks) >= {n}),
+        c{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2),
+        t{n} AS (SELECT doc_id, c, g FROM (
+                   SELECT doc_id, c, g,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, g) AS rn
+                   FROM c{n}) WHERE rn = 1)"""
+
+
+@register(
+    "llm_text_gopher_repetition",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                         AS total_chars,
+                     toks
+              FROM d),
+        segs AS (SELECT doc_id,
+                        unnest(list_transform(
+                            range(0, (len(toks) + {_SEG_TOKENS - 1})
+                                     // {_SEG_TOKENS}),
+                            i -> array_to_string(
+                                list_slice(toks, i * {_SEG_TOKENS} + 1,
+                                           i * {_SEG_TOKENS}
+                                           + {_SEG_TOKENS}), ' '))) AS seg
+                 FROM b WHERE len(toks) > 0),
+        sc AS (SELECT doc_id, seg, COUNT(*) AS c FROM segs GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_segments,
+                      CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                           AS BIGINT) AS dup_occ,
+                      CAST(SUM(c * length(seg)) AS BIGINT) AS tot_sc,
+                      CAST(SUM(CASE WHEN c >= 2 THEN c * length(seg)
+                               ELSE 0 END) AS BIGINT) AS dup_sc
+               FROM sc GROUP BY 1),
+        {_sql_topgram(2)},
+        {_sql_topgram(3)}
+        SELECT b.doc_id, b.n_words,
+               COALESCE(pd.n_segments, 0) AS n_segments,
+               {numeric.sql_round6(
+                   "CASE WHEN pd.n_segments > 0 THEN CAST(pd.dup_occ AS "
+                   "DOUBLE) / CAST(pd.n_segments AS DOUBLE) ELSE 0.0 END"
+               )} AS dup_para_frac,
+               {numeric.sql_round6(
+                   "CASE WHEN pd.tot_sc > 0 THEN CAST(pd.dup_sc AS DOUBLE)"
+                   " / CAST(pd.tot_sc AS DOUBLE) ELSE 0.0 END"
+               )} AS dup_para_char_frac,
+               {numeric.sql_round6(
+                   "CASE WHEN b.total_chars > 0 AND t2.c IS NOT NULL THEN "
+                   "CAST(t2.c * length(t2.g) AS DOUBLE) / "
+                   "CAST(b.total_chars AS DOUBLE) ELSE 0.0 END"
+               )} AS top2_char_frac,
+               {numeric.sql_round6(
+                   "CASE WHEN b.total_chars > 0 AND t3.c IS NOT NULL THEN "
+                   "CAST(t3.c * length(t3.g) AS DOUBLE) / "
+                   "CAST(b.total_chars AS DOUBLE) ELSE 0.0 END"
+               )} AS top3_char_frac
+        FROM b
+        LEFT JOIN pd ON b.doc_id = pd.doc_id
+        LEFT JOIN t2 ON b.doc_id = t2.doc_id
+        LEFT JOIN t3 ON b.doc_id = t3.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def llm_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware Gopher rules (Rae et al. 2021 §A1.1, the
+    repetition half the llm_text_gopher_rules gate lacked — VERDICT r11
+    Next #6b): per document,
+
+      dup_para_frac       fraction of pseudo-paragraphs (fixed 10-token
+                          segments — the corpus carries no newlines, so
+                          the paragraph boundary is the chunking grid of
+                          llm_doc_chunking) that are duplicates within
+                          the document (every occurrence of a repeated
+                          segment counts, Gopher's definition);
+      dup_para_char_frac  fraction of segment CHARACTERS inside those
+                          duplicated segments;
+      top2/top3_char_frac fraction of document characters covered by the
+                          single most frequent word 2-gram / 3-gram
+                          (count desc, gram asc tie-break) — Gopher's
+                          "top n-gram character fraction" family.
+
+    Complements llm_text_dup_ngrams (coverage of ALL duplicated 5-grams)
+    with the occurrence-ratio and top-gram rules.  Scale shape: segments
+    and grams explode to (doc, unit) rows and aggregate by hash — the
+    relational shape, never nested higher-order lambdas (the projection-
+    collapse hang class); the top-gram pick is a PARTITIONED window over
+    per-doc gram counts; every ratio is a small-integer division rounded
+    via the tie-safe floor form."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = text.tokens_expr(F.col("text"))
+    base = dedup.spread(t["documents"]).select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+    )
+    nseg = F.expr(f"CAST((size(toks) + {_SEG_TOKENS - 1}) "
+                  f"div {_SEG_TOKENS} AS INT)")
+    segs = base.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        i * _SEG_TOKENS + 1,
+                        _SEG_TOKENS,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("seg"),
+    )
+    sc = segs.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("c"))
+    seg_len = F.length(F.col("seg")).cast("long")
+    pd_ = sc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_occ"),
+        F.sum(F.col("c") * seg_len).cast("long").alias("tot_sc"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * seg_len).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_sc"),
+    )
+
+    def topgram(n: int) -> DataFrame:
+        grams = base.filter(F.size("toks") >= n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, n), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+        cnt = grams.groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("c") * F.length(F.col("g")).cast("long")).alias(
+                    f"topc{n}"
+                ),
+            )
+        )
+
+    zero6 = F.lit(0.0)
+    out = (
+        base.join(pd_, "doc_id", "left")
+        .join(topgram(2), "doc_id", "left")
+        .join(topgram(3), "doc_id", "left")
+    )
+    frac = lambda num, den: numeric.round6_expr(  # noqa: E731
+        num.cast("double") / den.cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias(
+            "n_segments"
+        ),
+        F.when(
+            F.col("n_segments") > 0, frac(F.col("dup_occ"), F.col("n_segments"))
+        )
+        .otherwise(zero6)
+        .alias("dup_para_frac"),
+        F.when(F.col("tot_sc") > 0, frac(F.col("dup_sc"), F.col("tot_sc")))
+        .otherwise(zero6)
+        .alias("dup_para_char_frac"),
+        F.when(
+            (F.col("total_chars") > 0) & F.col("topc2").isNotNull(),
+            frac(F.col("topc2"), F.col("total_chars")),
+        )
+        .otherwise(zero6)
+        .alias("top2_char_frac"),
+        F.when(
+            (F.col("total_chars") > 0) & F.col("topc3").isNotNull(),
+            frac(F.col("topc3"), F.col("total_chars")),
+        )
+        .otherwise(zero6)
+        .alias("top3_char_frac"),
+    )
+
+
+_DOMAIN_CONTAM_MIN = 3  # distinct shared 3-grams to call a doc contaminated
+
+
+@register(
+    "llm_corpus_domain_contamination",
+    oracle=f"""
+        WITH {_SQL_URL_FIXTURE},
+        hosts AS (SELECT doc_id,
+                         regexp_replace(
+                             regexp_extract(
+                                 regexp_replace(url, '^https?://', ''),
+                                 '^[^/]+'),
+                             '^(www\\.|m-)', '') AS canon_host
+                  FROM fx WHERE doc_id < 1000000),
+        toks AS (SELECT doc_id, source, {_SQL_TOKS} AS toks
+                 FROM documents),
+        shg AS (SELECT doc_id, source,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+                     ELSE []::VARCHAR[] END AS shingles
+                FROM toks),
+        ex AS MATERIALIZED (
+          SELECT DISTINCT doc_id, source, s
+          FROM (SELECT doc_id, source, unnest(shingles) AS s FROM shg)),
+        bench AS MATERIALIZED (
+          SELECT DISTINCT s FROM ex WHERE source IN ('src0', 'src1')),
+        shared AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+                   FROM ex e JOIN bench USING (s)
+                   WHERE e.source NOT IN ('src0', 'src1')
+                   GROUP BY 1),
+        dh AS (SELECT d.doc_id, h.canon_host,
+                      COALESCE(s.n_bench, 0) AS n_bench
+               FROM documents d
+               JOIN hosts h ON d.doc_id = h.doc_id
+               LEFT JOIN shared s ON d.doc_id = s.doc_id
+               WHERE d.source NOT IN ('src0', 'src1'))
+        SELECT canon_host,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_bench >= {_DOMAIN_CONTAM_MIN}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(n_bench) AS BIGINT) AS n_shared_grams,
+               {numeric.sql_round6(
+                   "CAST(SUM(CASE WHEN n_bench >= "
+                   + str(_DOMAIN_CONTAM_MIN)
+                   + " THEN 1 ELSE 0 END) AS DOUBLE) / "
+                   "CAST(COUNT(*) AS DOUBLE)"
+               )} AS contam_frac
+        FROM dh GROUP BY 1
+    """,
+    tags=("decontamination", "metadata"),
+)
+def llm_corpus_domain_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOMAIN-level contamination report (VERDICT r11 Next #6c): per
+    normalized host, how much of its corpus content overlaps the
+    benchmark set — llm_corpus_overlap_matrix's which-feeds-leak
+    question asked at the granularity operators actually act on (crawl
+    block/allow lists are host-level): a doc is contaminated when it
+    shares >= 3 distinct word-3-grams with the benchmark sources
+    (src0/src1, the llm_decontaminate convention); hosts roll up to
+    (n_docs, n_contaminated, total shared grams, contaminated fraction).
+    Bench-source docs themselves are excluded from the corpus side —
+    the report covers ingestable hosts only.
+
+    Scale shape: bench grams broadcast (fixed eval sets are tiny); the
+    corpus streams once through one broadcast semi-join + two hash
+    rollups (doc, then host) — both map-combinable; host metadata comes
+    from the URL fixture's normalization chain (one regexp projection,
+    no extra shuffle).  The result is |hosts| rows — model-sized."""
+    t = load_tables(spark, sf_dir)
+    d = dedup.spread(t["documents"])
+    fx = _url_fixture(d).filter(F.col("doc_id") < 1_000_000)
+    nosch = F.regexp_replace(F.col("url"), "^https?://", "")
+    hosts = fx.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
+        ).alias("canon_host"),
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            dedup.shingles_expr(dedup.tokens_expr(F.col("text")))
+        ).alias("s"),
+    ).distinct()
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = grams.filter(is_bench).select("s").distinct()
+    shared = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench"))
+    )
+    dh = (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(hosts, "doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "canon_host",
+            F.coalesce(F.col("n_bench"), F.lit(0).cast("long")).alias(
+                "n_bench"
+            ),
+        )
+    )
+    contaminated = F.when(
+        F.col("n_bench") >= _DOMAIN_CONTAM_MIN, F.lit(1)
+    ).otherwise(F.lit(0))
+    return dh.groupBy("canon_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(contaminated).cast("long").alias("n_contaminated"),
+        F.sum("n_bench").cast("long").alias("n_shared_grams"),
+        numeric.round6_expr(
+            F.sum(contaminated).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contam_frac"),
+    )

@@ -25,6 +25,9 @@ pytestmark = pytest.mark.filterwarnings(
 # >=64-row layout precondition raises loudly by design — both excluded.
 BATCH_SWEEP = [
     "b01_scan_count",
+    "llm_dedup_url_incremental",
+    "llm_text_gopher_repetition",
+    "llm_corpus_domain_contamination",
     "llm_host_diversity_cap",
     "llm_dedup_soft_weights",
     "llm_quality_cascade",
@@ -305,6 +308,8 @@ NULL_SWEEP = [
     "llm_quality_cascade", "llm_dedup_url_fuzzy",
     "llm_host_diversity_cap", "llm_dedup_soft_weights",
     "llm_decontaminate_incremental",
+    "llm_dedup_url_incremental", "llm_text_gopher_repetition",
+    "llm_corpus_domain_contamination",
     "llm_dedup_containment",
     "llm_dedup_span_removal", "llm_text_stats", "llm_text_quality_filter",
     "llm_quality_classifier", "llm_text_tfidf", "llm_text_novelty",
@@ -590,6 +595,8 @@ UNICODE_SWEEP = [
     "llm_quality_cascade", "llm_dedup_url_fuzzy",
     "llm_host_diversity_cap", "llm_dedup_soft_weights",
     "llm_decontaminate_incremental",
+    "llm_dedup_url_incremental", "llm_text_gopher_repetition",
+    "llm_corpus_domain_contamination",
     "llm_dedup_ngram_jaccard", "llm_dedup_spans", "llm_dedup_span_removal",
     "llm_bpe_train", "llm_bpe_train_batched", "llm_bpe_encode", "llm_bpe_fertility",
     "llm_doc_chunking", "llm_pack_sequences", "llm_quality_classifier",
