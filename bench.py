@@ -88,6 +88,11 @@ HEADLINE = [
     # soft-dedup sampling weights
     "llm_host_diversity_cap",
     "llm_dedup_soft_weights",
+    # round-12 additions (set 44 -> 47): cross-snapshot URL-level
+    # incremental dedup, Gopher repetition rules, domain contamination
+    "llm_dedup_url_incremental",
+    "llm_text_gopher_repetition",
+    "llm_corpus_domain_contamination",
 ]
 
 

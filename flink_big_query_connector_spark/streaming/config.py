@@ -23,6 +23,11 @@ class WriterRetrySettings:
     max_backoff_s: float = 60.0
     max_attempts: int = 5
     max_retry_duration_s: float = 300.0
+    # gax RetrySettings applies randomized jitter to every delay (the
+    # reference inherits it via WriterRetrySettings.java:54-59 ->
+    # RetrySettings); fraction of the delay the jitter may remove.
+    # 0.0 (default) = deterministic schedule, the harness-friendly mode.
+    jitter_frac: float = 0.0
 
     def backoff(self, attempt: int) -> float:
         """Delay before retry ``attempt`` (0-based)."""
@@ -30,6 +35,13 @@ class WriterRetrySettings:
             self.initial_backoff_s * (self.backoff_multiplier**attempt),
             self.max_backoff_s,
         )
+
+    def backoff_jittered(self, attempt: int, u: float) -> float:
+        """gax-style randomized delay: uniform in
+        ``[delay * (1 - jitter_frac), delay]``.  ``u`` is the uniform
+        [0,1] sample, caller-supplied so retry tests stay deterministic
+        (the same injection seam as write_with_retry's ``sleep``)."""
+        return self.backoff(attempt) * (1.0 - self.jitter_frac * u)
 
 
 @dataclass(frozen=True)

@@ -32,6 +32,7 @@ split in half recursively, OUT_OF_RANGE and everything else fail the batch.
 from __future__ import annotations
 
 import os
+import random
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -217,7 +218,11 @@ def write_with_retry(
                     raise AppendException(
                         trace_id, table, stream, offset, attempt, e
                     )
-                sleep(settings.retry.backoff(attempt - 1))
+                sleep(
+                    settings.retry.backoff_jittered(
+                        attempt - 1, random.random()
+                    )
+                )
                 continue
             if e.code in RECREATE_AND_RETRY:
                 # UNKNOWN / callback timeout: recreate the writer connection

@@ -902,3 +902,20 @@ def test_multi_table_buffered_sink_chunked_appends_and_replay(
     sink.write_batch(events, 11)
     for table, n in expected.items():
         assert bq.table_count(table) == n
+
+
+def test_retry_backoff_jitter_schedule():
+    """gax-parity jitter (r12): jitter_frac=0 keeps the deterministic
+    exponential schedule bit-identical; jitter_frac=j removes at most
+    j of each delay, uniformly in u."""
+    from flink_big_query_connector_spark.streaming.config import (
+        WriterRetrySettings,
+    )
+
+    plain = WriterRetrySettings()
+    assert plain.backoff_jittered(3, 0.99) == plain.backoff(3)
+    j = WriterRetrySettings(jitter_frac=0.5)
+    assert j.backoff_jittered(2, 0.0) == j.backoff(2)
+    assert j.backoff_jittered(2, 1.0) == j.backoff(2) * 0.5
+    # cap still applies before jitter
+    assert j.backoff_jittered(200, 0.0) == 60.0
