@@ -8,6 +8,8 @@ RP-LSH ANN variant and the mapInPandas feature extractor are rows-only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5952,6 +5954,16 @@ def _semantic_score_expr(vec) -> "F.Column":
         lambda acc, v: acc + v,
     )
     return numeric.round6_expr(dot / F.lit(1000.0))
+
+
+# r12 measurement note: an Arrow-batched numpy twin of the stage-3
+# scorer (the ivf_cells_pandas construction, bitwise-verified) was built
+# and REJECTED by measurement — sf10 cascade wall 52.4 s with it vs
+# 49.8 s with the fold, because the embeddings table (~200k rows at
+# sf10) is a tenth of the docs table the stage-1/2 tokenizer+classifier
+# scan (~2M rows): stage 3 is not the cascade's slope.  The ×7.25/decade
+# step is the docs-side row-linear data term, shared with every
+# tokenize-everything key.
 
 
 def _sql_semantic_score(emb: str = "embedding") -> str:

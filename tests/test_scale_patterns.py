@@ -553,16 +553,20 @@ def test_incremental_dedup_band_exchanges_carry_keys_not_shingles(spark):
 
 
 def test_bpe_encode_is_single_stage_no_exchange(spark):
-    """Applying a pretrained BPE merge table is a pure map stage: the
-    8-merge vocab folds are plan literals chained inside ONE narrow
-    projection — no Exchange, no Python evaluation — so a 100 TB encode
-    pass is embarrassingly parallel."""
+    """Applying a pretrained BPE merge table is a pure map stage — no
+    Exchange anywhere, so a 100 TB encode pass stays embarrassingly
+    parallel.  Since r12 the encode projection executes as ONE
+    Arrow-batched vectorized-regex node (ArrowEvalPython — 4.2x faster
+    at sf10 than the interpreted fold chain, bitwise-equal by
+    test_bpe_pandas_encoder_matches_fold_chain); row-at-a-time
+    BatchEvalPython must never appear."""
     from flink_big_query_connector_spark.plans import REGISTRY
 
     df = REGISTRY["llm_bpe_encode"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "Exchange" not in plan
-    assert "Python" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # the 10-100x-slower row path
 
 
 def test_dynamic_partition_pruning_fires_on_partitioned_fact_join(spark, tmp_path):
