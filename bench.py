@@ -88,11 +88,13 @@ HEADLINE = [
     # soft-dedup sampling weights
     "llm_host_diversity_cap",
     "llm_dedup_soft_weights",
-    # round-12 additions (set 44 -> 47): cross-snapshot URL-level
-    # incremental dedup, Gopher repetition rules, domain contamination
+    # round-12 additions (set 44 -> 48): cross-snapshot URL-level
+    # incremental dedup, Gopher repetition rules, domain contamination,
+    # contrastive hard-negative mining
     "llm_dedup_url_incremental",
     "llm_text_gopher_repetition",
     "llm_corpus_domain_contamination",
+    "llm_ann_hard_negatives",
 ]
 
 

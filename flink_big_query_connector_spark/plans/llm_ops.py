@@ -7104,3 +7104,87 @@ def llm_corpus_domain_contamination(
             / F.count(F.lit(1)).cast("double")
         ).alias("contam_frac"),
     )
+
+
+_HARDNEG_QUERIES = 8       # anchor vectors: vec_id < 8
+_HARDNEG_DUP_COS = 0.95    # >= this cosine = near-dup, NOT a negative
+_HARDNEG_K = 5             # hard negatives kept per anchor
+
+
+@register(
+    "llm_ann_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embx embeddings WHERE vec_id < {_HARDNEG_QUERIES}),
+        c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+              FROM embx embeddings),
+        scored AS (SELECT query_id, cand_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM q, c WHERE cand_id <> query_id),
+        eligible AS (SELECT * FROM scored
+                     WHERE cos < {_HARDNEG_DUP_COS}),
+        ranked AS (SELECT query_id, cand_id, cos,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS BIGINT)
+                              AS neg_rank
+                   FROM eligible)
+        SELECT query_id, cand_id, cos, neg_rank
+        FROM ranked WHERE neg_rank <= {_HARDNEG_K}
+    """,
+    tags=("similarity", "training"),
+)
+def llm_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining (the dense-retrieval training
+    prep, e.g. DPR/Contriever): for each anchor vector, the K most
+    similar candidates that are NOT near-duplicates — maximally
+    confusable yet genuinely different examples.  Candidates at cosine
+    >= 0.95 are excluded BEFORE ranking (they are the positives/dups the
+    dedup family removes; training on them as negatives poisons the
+    contrastive objective), then the top-{_HARDNEG_K} of the remainder
+    are the hard negatives.
+
+    Scale shape: identical to llm_ann_topk's proven exact-retrieval
+    shape — anchors broadcast (model-sized query set), the corpus never
+    shuffles vectors (norms materialize once, the ranking exchange
+    carries only (query, cand, cos) triples), and the near-dup cut is a
+    pushed-down filter between scoring and ranking, so the window ranks
+    strictly fewer rows than plain top-k.  At 100 TB the scoring side
+    swaps to the IVF/multiprobe cell-pruned path with no change to the
+    exclusion-then-rank semantics."""
+    t = load_tables(spark, sf_dir)
+    emb = _emb(t)
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot_product_expr, norm_expr
+    from ..operators.similarity import spread
+
+    q = emb.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr(F.col("embedding")).alias("qn"),
+    )
+    c = spread(emb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr(F.col("embedding")).alias("cn"),
+    )
+    pair_cos = dot_product_expr(F.col("qv"), F.col("cv")) / (
+        F.col("qn") * F.col("cn")
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(pair_cos, 6))
+        .filter(F.col("cos") < _HARDNEG_DUP_COS)
+        .select("query_id", "cand_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        eligible.withColumn(
+            "neg_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("neg_rank") <= _HARDNEG_K)
+        .select("query_id", "cand_id", "cos", "neg_rank")
+    )
