@@ -32,8 +32,8 @@ PICKS = [
     ("b16_rolling_zscore",
      "rolling z-score — per-user window, no global partition"),
     ("llm_bpe_encode",
-     "pretrained-BPE encode — literal merge-table fold chain, zero "
-     "Exchange, zero Python"),
+     "pretrained-BPE encode — ONE Arrow-batched vectorized-regex node "
+     "(ArrowEvalPython), zero Exchange, bitwise-equal to the fold chain"),
     ("llm_embedding_drift",
      "embedding drift monitor — one linear pass into a (label x half x "
      "dim) partial aggregation; joins run on the model-sized aggregate"),
@@ -51,15 +51,25 @@ PICKS = [
      "content-defined chunk dedup — row-local boundary/slice arrays, "
      "only (hash, len, id) reaches the one aggregate"),
     ("llm_quality_cascade",
-     "calibrated quality cascade — zero-shuffle feature stages, bounded "
-     "sample rank window, 1-row threshold broadcast into the survivors "
-     "join"),
+     "calibrated quality cascade — zero-shuffle feature stages, "
+     "constant-size calibration sample ranked via TakeOrderedAndProject "
+     "(no unpartitioned window), 1-row threshold broadcast into the "
+     "survivors join"),
     ("llm_dedup_url_fuzzy",
      "fuzzy URL dedup — regexp normalization, capped (host, path) "
      "blocked join, shuffles carry (host, path, simhash) never text"),
     ("llm_decontaminate_incremental",
      "incremental decontamination — new snapshot streams once through "
      "two broadcast-hash semi joins (bench grams, proxy grams)"),
+    ("llm_dedup_url_incremental",
+     "URL-level crawl-refresh admission — asymmetric new x existing "
+     "capped blocked join, all-integer best-match MIN aggregate"),
+    ("llm_text_bm25",
+     "BM25 retrieval — map-combinable postings, broadcast query terms "
+     "and stats, TakeOrderedAndProject top-K (no global row_number)"),
+    ("llm_ann_hard_negatives",
+     "hard-negative mining — broadcast anchors, near-dup cut filters "
+     "between scoring and the per-anchor rank window"),
 ]
 
 
@@ -67,7 +77,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plans", cpus=8, shuffle_partitions=8)
     out = [
-        "# PLANS — physical-plan evidence (sf0.001, regenerated round 11)",
+        "# PLANS — physical-plan evidence (sf0.001, regenerated round 12)",
         "",
         "`df.explain('formatted')` for representative registry queries; "
         "regenerate",
