@@ -6156,7 +6156,7 @@ def _url_bucket_count(n_docs: int) -> int:
     return max(_URL_MOD, n_docs // _URL_DOCS_PER_BUCKET)
 
 
-def _url_fixture(docs: DataFrame) -> DataFrame:
+def _url_fixture(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """(doc_id, url, text) crawl fixture with deterministic DIRTY urls —
     the documents table carries no URL column, so one is derived from
     (source, lang, doc_id), the same fixture-derivation idiom as
@@ -6170,10 +6170,14 @@ def _url_fixture(docs: DataFrame) -> DataFrame:
     values per source and the (host, path) blocks grow quadratically
     with sf (93k pairs at sf0.1 under the affine form vs ~5k hashed).
     ``n_buckets`` scales with the corpus (see :func:`_url_bucket_count`)
-    so per-URL duplicate cardinality stays constant across scales."""
+    so per-URL duplicate cardinality stays constant across scales; a
+    caller that sees only a SLICE of the corpus (the streaming admission
+    op derives fixture rows per micro-batch) must pass the full-table
+    value explicitly or the per-batch count would shift the buckets."""
     from ..operators.hashing import hash60_expr
 
-    n_buckets = _url_bucket_count(docs.count())
+    if n_buckets is None:
+        n_buckets = _url_bucket_count(docs.count())
     b = docs.select(
         "doc_id",
         "source",
@@ -7187,4 +7191,30 @@ def llm_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_rank") <= _HARDNEG_K)
         .select("query_id", "cand_id", "cos", "neg_rank")
+    )
+
+
+def _url_parsed(fx: DataFrame) -> DataFrame:
+    """(doc_id, canon_host, cpath) via the shared normalization chain
+    (strip scheme / www. / mirror-host prefix / query string / trailing
+    slash / '-' variant suffix) — the single Spark-side definition the
+    URL family and its streaming twin share; SQL twin: the ``parsed``
+    CTE of ``_SQL_URL_SIDE``."""
+    nosch = F.regexp_replace(F.col("url"), "^https?://", "")
+    return fx.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
+        ).alias("canon_host"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(nosch, "^[^/]+/", ""), "\\?.*$", ""
+                ),
+                "/+$",
+                "",
+            ),
+            "-$",
+            "",
+        ).alias("cpath"),
     )

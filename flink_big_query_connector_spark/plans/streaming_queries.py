@@ -3331,3 +3331,226 @@ def b26_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("PARSE_ERROR").alias("reason"),
     )
     return first_pass.unionByName(replayed).unionByName(dead)
+
+
+# Shared URL-fixture CTEs from the batch family — module-level import is
+# cycle-safe (llm_ops never imports this module and loads first in
+# plans/__init__).
+from .llm_ops import _SQL_URL_FIXTURE as _URLADM_FIX  # noqa: E402
+from .llm_ops import _SQL_URL_SIDE as _URLADM_SIDE  # noqa: E402
+from .llm_ops import _URLINC_ENC as _URLADM_ENC  # noqa: E402
+
+
+def _url_admission_batch(spark, state, side, out_dir: str, batch_id: int):
+    """One micro-batch of URL admission: decide every fetch in ``side``
+    against the standing index PLUS earlier same-batch fetches, write
+    the replay-idempotent per-batch output, then record every arrival
+    in the index (manifest advance LAST — the crash-replay contract).
+
+    Module-level, not a closure inside the query (the
+    ``_admission_process`` precedent), so unit tests can drive the
+    growing-index arm directly: the URL FIXTURE can never produce a
+    new-matches-new decision (every derived fetch's base document is
+    present in the pre-existing corpus at hamming 0, and ties break to
+    the old smaller id), but a real frontier meets never-before-seen
+    URLs fetched twice across chunks — exactly the arm
+    tests/test_streaming_queries.py::test_url_admission_growing_index
+    pins with synthetic fetches."""
+    sid = batch_id + 1  # store batch 0 = the seed
+    if sid <= state.last_batch():
+        return  # replayed, already merged
+    side = side.persist()
+    try:
+        if side.isEmpty():
+            return
+        enc = F.lit(_URLADM_ENC).cast("long")
+        touched = state.touched_buckets(side)
+        prior = state.read_buckets(spark, touched)
+
+        def cand_view(df):
+            return df.select(
+                "k",
+                F.col("doc_id").alias("cand_id"),
+                F.col("base_id").alias("cand_base"),
+                F.col("simhash").alias("cand_sh"),
+            )
+
+        cands = cand_view(prior).unionByName(cand_view(side))
+        matches = side.join(cands, "k").filter(
+            (F.col("cand_base") < 0)
+            | (F.col("cand_base") < F.col("base_id"))
+        )
+        best = matches.groupBy("doc_id").agg(
+            F.min(
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("cand_sh"))
+                ).cast("long")
+                * enc
+                + F.col("cand_id")
+            ).alias("bk")
+        )
+        ham = F.expr(f"CAST(bk div {_URLADM_ENC} AS INT)")
+        out = side.join(best, "doc_id", "left").select(
+            "doc_id",
+            "canon_host",
+            "cpath",
+            (F.col("bk") % _URLADM_ENC).cast("long").alias(
+                "matched_doc_id"
+            ),
+            ham.alias("hamming"),
+            F.when(F.col("bk").isNull(), F.lit("ingest_new"))
+            .when(ham <= 3, F.lit("skip_duplicate"))
+            .otherwise(F.lit("ingest_changed"))
+            .alias("action"),
+        )
+        # per-batchId dir + overwrite = replay-idempotent output
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+        # record EVERY arrival in the index; manifest advance LAST
+        state.write_buckets(prior.unionByName(side), sid, touched)
+    finally:
+        side.unpersist()
+
+
+@register(
+    "b24_stream_url_admission",
+    oracle="""
+        WITH {FIX},
+        {SIDE},
+        news AS (SELECT side.*, doc_id % 1000000 AS base_id
+                 FROM side WHERE doc_id >= 1000000),
+        olds AS (SELECT * FROM side WHERE doc_id < 1000000),
+        cands AS (
+          SELECT doc_id, canon_host, cpath, simhash,
+                 CAST(-1 AS BIGINT) AS base_id, 0 AS origin FROM olds
+          UNION ALL
+          SELECT doc_id, canon_host, cpath, simhash, base_id, 1 FROM news),
+        best AS (
+          SELECT n.doc_id,
+                 MIN(CAST(bit_count(xor(n.simhash, c.simhash)) AS BIGINT)
+                     * {ENC} + c.doc_id) AS k
+          FROM news n JOIN cands c
+            ON c.canon_host = n.canon_host AND c.cpath = n.cpath
+           AND (c.origin = 0 OR c.base_id < n.base_id)
+          GROUP BY n.doc_id)
+        SELECT n.doc_id, n.canon_host, n.cpath,
+               CAST(b.k % {ENC} AS BIGINT) AS matched_doc_id,
+               CAST(b.k // {ENC} AS INTEGER) AS hamming,
+               CASE WHEN b.k IS NULL THEN 'ingest_new'
+                    WHEN b.k // {ENC} <= 3 THEN 'skip_duplicate'
+                    ELSE 'ingest_changed' END AS action
+        FROM news n LEFT JOIN best b ON n.doc_id = b.doc_id
+    """.replace("{FIX}", _URLADM_FIX)
+    .replace("{SIDE}", _URLADM_SIDE)
+    .replace("{ENC}", str(_URLADM_ENC)),
+    tags=("streaming", "dedup", "metadata"),
+)
+def b24_stream_url_admission(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """INGEST-TIME URL admission — the streaming twin of
+    llm_dedup_url_incremental: crawl chunks arrive in crawl order and
+    every micro-batch decides, for each arriving URL fetch, against a
+    DURABLE per-URL index (``BucketedKeyedState`` keyed by the
+    normalized (host, path) block):
+
+      no seen version of this URL        -> 'ingest_new'
+      best seen version hamming <= 3     -> 'skip_duplicate'
+      best seen version hamming  > 3     -> 'ingest_changed'
+
+    Unlike the batch operator (one static existing corpus), the index
+    GROWS as the crawl streams: every arrival — admitted or skipped —
+    is recorded (a real frontier remembers every fetch), so a later
+    chunk's fetch of the same URL is matched against earlier NEW
+    arrivals too, not just the pre-existing corpus.  Fetches of the
+    same crawl position (the fixture's mirror/re-crawl pair of one base
+    doc) do not see each other — simultaneous fetches in one wave.
+
+    Settled-state contract: candidates(n) = existing corpus ∪ earlier
+    new arrivals, which is chunk-count-INDEPENDENT because within-batch
+    pairs are handled explicitly (same-batch self-join on the block key
+    with the strict crawl-position order) — the union of per-batch
+    decisions equals the batch oracle for ANY chunking.
+
+    Scale shape: the standing index is hash-bucketed parquet; each
+    micro-batch reads back ONLY the buckets its block keys touch
+    (copy-on-write versioned rewrite, replay-guarded by the manifest's
+    last-batch id — the StreamStateHandler keyed-state discipline,
+    reference ``process/StreamStateHandler.java:53-102``); per-key
+    populations are constant-size by the fixture's data-scaled bucket
+    construction, and only (block key, 64-bit simhash, ids) ever cross
+    a shuffle — never text."""
+    from ..operators import dedup
+    from ..streaming.keyed_state import BucketedKeyedState
+    from .llm_ops import (
+        _URLINC_ENC,
+        _url_bucket_count,
+        _url_fixture,
+        _url_parsed,
+    )
+
+    chunk_dir = _write_ordered_chunks(sf_dir, "documents", "doc_id", n_chunks)
+    out_dir = scratch_dir("urladm_out_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = docs.schema
+    # fixture invariants computed from the FULL table, never per batch
+    n_buckets = _url_bucket_count(docs.count())
+
+    def _side(docs_df: DataFrame, new_only: bool) -> DataFrame:
+        fx = _url_fixture(dedup.spread(docs_df), n_buckets=n_buckets)
+        fx = fx.filter(
+            F.col("doc_id") >= 1_000_000
+            if new_only
+            else F.col("doc_id") < 1_000_000
+        )
+        parsed = _url_parsed(fx)
+        return parsed.join(
+            dedup.simhash_df(fx, "doc_id", "text"), "doc_id"
+        ).select(
+            F.concat_ws("|", "canon_host", "cpath").alias("k"),
+            "doc_id",
+            "canon_host",
+            "cpath",
+            F.when(
+                F.col("doc_id") >= 1_000_000, F.col("doc_id") % 1_000_000
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("base_id"),
+            "simhash",
+        )
+
+    state = BucketedKeyedState(
+        scratch_dir("urladm_state_"),
+        "k",
+        "k string, doc_id long, canon_host string, cpath string, "
+        "base_id long, simhash long",
+    )
+    # seed the index with the pre-existing corpus (batch 0 of the store)
+    seeded = _side(docs, new_only=False)
+    state.write_buckets(
+        seeded, 0, state.touched_buckets(seeded)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        side = _side(batch_df, new_only=True)
+        _url_admission_batch(spark, state, side, out_dir, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", scratch_dir("ckpt_urladm_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "b*")))
+    return spark.read.parquet(*parts)

@@ -402,3 +402,99 @@ def test_dlq_router_ledger_contract():
     sq._ledger_record(cum, 1, 50 * sq._US)
     assert cum == before
     assert sq._ledger_watermark(cum, 3, delay) == 100 * sq._US - delay
+
+
+def test_url_admission_is_chunking_independent(spark, sf_dir):
+    """b24_stream_url_admission's settled decisions must equal the
+    chunk-count-independent contract (candidates = existing corpus ∪
+    strictly-earlier crawl positions) for ANY chunking: 1 chunk (all
+    within-batch) vs 5 chunks (the growing bucketed index path) — and
+    each new fetch decides exactly once."""
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        b24_stream_url_admission,
+    )
+
+    def settle(n):
+        rows = b24_stream_url_admission(spark, sf_dir, n_chunks=n).collect()
+        return {
+            r.doc_id: (r.matched_doc_id, r.hamming, r.action) for r in rows
+        }, len(rows)
+
+    one, n_one = settle(1)
+    five, n_five = settle(5)
+    assert one == five and len(one) > 0
+    assert n_one == len(one) and n_five == len(five)  # one decision/fetch
+    # NOTE: on the URL fixture every decision matches an OLD version
+    # (each fetch's base doc is present in the corpus at hamming 0 and
+    # ties break to the smaller old id) — the growing-index arm is
+    # unreachable here BY CONSTRUCTION, so it is pinned separately with
+    # synthetic fetches in test_url_admission_growing_index.
+    assert all(
+        m is None or m < 1_000_000 for m, _, _ in one.values()
+    )
+
+
+def test_url_admission_growing_index(spark, tmp_path):
+    """The frontier scenario the fixture cannot produce: a
+    never-before-seen URL fetched in two waves.  Wave 1 must admit
+    ('ingest_new'); wave 2's identical fetch must match WAVE 1's
+    arrival (a new, >=1e6 id — the growing index) and skip; a changed
+    re-fetch must land 'ingest_changed' against the closer version."""
+    import os
+
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        _url_admission_batch,
+    )
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    schema = (
+        "k string, doc_id long, canon_host string, cpath string, "
+        "base_id long, simhash long"
+    )
+    state = BucketedKeyedState(str(tmp_path / "state"), "k", schema)
+    out_dir = str(tmp_path / "out")
+
+    def side(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def read_out(batch_id):
+        return {
+            r.doc_id: (r.matched_doc_id, r.hamming, r.action)
+            for r in spark.read.parquet(
+                os.path.join(out_dir, f"b{batch_id}")
+            ).collect()
+        }
+
+    K = "h.example.com|en/p7"
+    # wave 1: brand-new URL, one fetch (crawl position 1)
+    _url_admission_batch(
+        spark, state,
+        side([(K, 1_000_001, "h.example.com", "en/p7", 1, 0b1010)]),
+        out_dir, 0,
+    )
+    assert read_out(0) == {1_000_001: (None, None, "ingest_new")}
+    # wave 2: same URL again (identical content) + a changed re-fetch
+    _url_admission_batch(
+        spark, state,
+        side([
+            (K, 1_000_024, "h.example.com", "en/p7", 24, 0b1010),
+            (K, 2_000_047, "h.example.com", "en/p7", 47, 0b1010 ^ 0xFF),
+        ]),
+        out_dir, 1,
+    )
+    got = read_out(1)
+    # identical re-fetch: matched to wave-1's NEW arrival, skipped
+    assert got[1_000_024] == (1_000_001, 0, "skip_duplicate")
+    # changed content (hamming 8 > 3): same-URL match, ingest anyway;
+    # best match is the EARLIEST equal-distance version (min id)
+    assert got[2_000_047] == (1_000_001, 8, "ingest_changed")
+    # replayed batch is a no-op on the index (manifest guard)
+    last = state.last_batch()
+    _url_admission_batch(
+        spark, state,
+        side([(K, 1_000_099, "h.example.com", "en/p7", 99, 0b1010)]),
+        out_dir, 1,
+    )
+    assert state.last_batch() == last
