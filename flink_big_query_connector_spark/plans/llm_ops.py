@@ -7218,3 +7218,76 @@ def _url_parsed(fx: DataFrame) -> DataFrame:
             "",
         ).alias("cpath"),
     )
+
+
+@register(
+    "llm_corpus_shard_tokens",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                 {_SQL_H60.format(x="'shtok1:' || CAST(doc_id AS VARCHAR)")}
+                     AS ord_key
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY ord_key, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cum_before
+          FROM base),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM cum)
+        SELECT c.doc_id, c.n_tokens, c.cum_before,
+               CASE WHEN t.total > 0
+                    THEN LEAST({_N_SHARDS - 1},
+                               (c.cum_before * {_N_SHARDS}) // t.total)
+                    ELSE 0 END AS shard
+        FROM cum c, tot t
+    """,
+    tags=("export", "sampling"),
+)
+def llm_corpus_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-balanced shard assignment — the export-time complement of
+    llm_corpus_shard (which balances document COUNTS): training shards
+    should hold equal token mass, or short-doc shards starve the data
+    loader while long-doc shards lag an epoch.  Each doc's shard is
+    ``cum_before * N // total`` over the exclusive token prefix sum in
+    salted-hash order, so shard token totals differ by at most one
+    boundary document (the pack_sequences honest-overshoot semantics),
+    deterministically on any cluster size.
+
+    Scale shape: the prefix sum is operators/sampling.py::
+    salted_cum_before — the TWO-LEVEL distributed form (bucket totals +
+    within-bucket windows), never a global-order window; the corpus
+    total is a 1-row broadcast.  The DuckDB twin computes the identical
+    exclusive sum with a plain window (oracle-side, scale-exempt).
+    Balance is asserted in tests/test_llm_operators.py."""
+    from ..operators.sampling import salted_cum_before
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id",
+        F.size(text.tokens_expr(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    cum = salted_cum_before(base, "doc_id", "n_tokens", "shtok1")
+    tot = cum.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.when(
+            F.col("total") > 0,
+            F.least(
+                F.lit(_N_SHARDS - 1).cast("long"),
+                # all-integer division (oracle twin `//`) — never the
+                # double-divide-then-floor form, whose rounding can
+                # disagree at extreme magnitudes
+                F.expr(f"cum_before * {_N_SHARDS} div total"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("shard"),
+    )

@@ -2011,3 +2011,26 @@ def test_bpe_pandas_encoder_randomized_chains(spark):
             ).alias("ok"),
         ).collect()
         assert all(r["ok"] for r in got), f"trial {trial} merges {merges}"
+
+
+def test_corpus_shard_tokens_balance_and_coverage(spark, sf_dir):
+    """Token-balanced sharding: every doc assigned exactly once, shard
+    ids dense in [0, N), and every shard's token total within one
+    boundary document of the ideal total/N slice."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.plans.llm_ops import _N_SHARDS
+
+    rows = REGISTRY["llm_corpus_shard_tokens"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    totals = {}
+    max_doc = 0
+    for r in rows:
+        assert 0 <= r.shard < _N_SHARDS
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+        max_doc = max(max_doc, r.n_tokens)
+    total = sum(totals.values())
+    ideal = total / _N_SHARDS
+    assert set(totals) == set(range(_N_SHARDS))
+    for s, tok in totals.items():
+        assert abs(tok - ideal) <= max_doc, (s, tok, ideal, max_doc)
