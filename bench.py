@@ -90,7 +90,11 @@ HEADLINE = [
     "llm_dedup_soft_weights",
     # round-12 additions (set 44 -> 48): cross-snapshot URL-level
     # incremental dedup, Gopher repetition rules, domain contamination,
-    # contrastive hard-negative mining
+    # contrastive hard-negative mining.  (The two round-12 REPORTING keys
+    # — llm_quality_funnel, llm_text_gopher_ablation — are deliberately
+    # NOT in the headline: at 50 keys the worst-case headline line is
+    # 1830 chars, inside the driver's ~2000 tail window but past the
+    # 1800 safety bound the r10 parsed-null incident taught us to keep.)
     "llm_dedup_url_incremental",
     "llm_text_gopher_repetition",
     "llm_corpus_domain_contamination",

@@ -5975,9 +5975,10 @@ def _sql_semantic_score(emb: str = "embedding") -> str:
     return numeric.sql_round6(f"({dot} / 1000.0)")
 
 
-@register(
-    "llm_quality_cascade",
-    oracle=f"""
+# Shared by llm_quality_cascade and the per-source funnel report — one
+# definition so the two can never drift.
+_SQL_CASCADE_ORACLE = (
+    f"""
         WITH feat AS MATERIALIZED (
           SELECT doc_id,
                  CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
@@ -6024,7 +6025,13 @@ def _sql_semantic_score(emb: str = "embedding") -> str:
                verdict IN ('keep_semantic', 'keep_no_embedding') AS keep
         FROM (SELECT * FROM surv UNION ALL SELECT * FROM fails)
     """.replace("{CLS}", text.sql_classifier_score(_SQL_TOKS))
-       .replace("{SEM}", _sql_semantic_score()),
+    .replace("{SEM}", _sql_semantic_score())
+)
+
+
+@register(
+    "llm_quality_cascade",
+    oracle=_SQL_CASCADE_ORACLE,
     tags=("text", "classifier", "similarity"),
 )
 def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7290,4 +7297,185 @@ def llm_corpus_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("shard"),
+    )
+
+
+@register(
+    "llm_quality_funnel",
+    oracle=f"""
+        WITH casc AS ({{CASCADE}}),
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.verdict <> 'drop_heuristic'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_heuristic,
+               CAST(SUM(CASE WHEN c.verdict NOT IN
+                        ('drop_heuristic', 'drop_classifier')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_classifier,
+               CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               {numeric.sql_round6(
+                   "CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS "
+                   "DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+               )} AS keep_frac
+        FROM casc c JOIN src s ON c.doc_id = s.doc_id
+        GROUP BY s.source
+    """.replace("{CASCADE}", _SQL_CASCADE_ORACLE.strip()),
+    tags=("text", "classifier", "reporting"),
+)
+def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality funnel — the acceptance report every corpus
+    filter ships to its operators: how many of each feed's documents
+    survive each cascade stage (heuristics → classifier → semantic
+    keep), straight off llm_quality_cascade's verdict column (ONE
+    definition of the cascade — the funnel can never drift from the
+    filter; oracle reuses the identical shared SQL).  A feed whose
+    keep_frac collapses is the first thing a crawl operator
+    investigates.
+
+    Scale shape: inherits the cascade's (constant-size calibration,
+    broadcast threshold, no unpartitioned windows) plus one
+    map-combinable per-source rollup of boolean flags — |sources| rows
+    out."""
+    t = load_tables(spark, sf_dir)
+    casc = llm_quality_cascade(spark, sf_dir)
+    src = t["documents"].select("doc_id", "source")
+    keep = F.when(F.col("keep"), 1).otherwise(0)
+    return (
+        casc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("verdict") != "drop_heuristic", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass_heuristic"),
+            F.sum(
+                F.when(
+                    ~F.col("verdict").isin(
+                        "drop_heuristic", "drop_classifier"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass_classifier"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            numeric.round6_expr(
+                F.sum(keep).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("keep_frac"),
+        )
+    )
+
+
+_GOPHER_RULE_NAMES = (
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_alpha_frac",
+    "rule_stopwords",
+)
+
+
+@register(
+    "llm_text_gopher_ablation",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CASE WHEN len(toks) > 0 THEN floor(
+                     CAST(list_sum(list_transform(toks, t ->
+                          CAST(length(t) AS BIGINT))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 0.0 END
+                     AS mean_word_len,
+                 CASE WHEN len(toks) > 0 THEN floor(
+                     CAST(len(list_filter(toks, t ->
+                          regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 ELSE 0.0 END
+                     AS alpha_frac,
+                 CAST(len(list_intersect(
+                     list_distinct(list_transform(toks, t -> lower(t))),
+                     {list(_GOPHER_STOPS)!r})) AS BIGINT) AS n_stops
+          FROM d),
+        r AS (
+          SELECT doc_id,
+                 (n_words BETWEEN {_GOPHER_MIN_WORDS}
+                              AND {_GOPHER_MAX_WORDS}) AS r1,
+                 (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r2,
+                 (alpha_frac >= 0.8) AS r3,
+                 (n_stops >= 2) AS r4
+          FROM m),
+        u AS (
+          SELECT 'rule_word_count' AS rule, NOT r1 AS fails,
+                 (NOT r1 AND r2 AND r3 AND r4) AS exclusive FROM r
+          UNION ALL
+          SELECT 'rule_mean_word_len', NOT r2,
+                 (r1 AND NOT r2 AND r3 AND r4) FROM r
+          UNION ALL
+          SELECT 'rule_alpha_frac', NOT r3,
+                 (r1 AND r2 AND NOT r3 AND r4) FROM r
+          UNION ALL
+          SELECT 'rule_stopwords', NOT r4,
+                 (r1 AND r2 AND r3 AND NOT r4) FROM r)
+        SELECT rule,
+               CAST(SUM(CASE WHEN fails THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail,
+               CAST(SUM(CASE WHEN exclusive THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exclusive
+        FROM u GROUP BY rule
+    """,
+    tags=("text", "quality", "reporting"),
+)
+def llm_text_gopher_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RULE ablation of the Gopher gate (llm_text_gopher_rules): for
+    each rule, how many documents fail it at all (``n_fail``) and how
+    many fail ONLY it (``n_exclusive`` — the documents that would be
+    recovered if the rule were dropped, every other rule passing).  This
+    is the table a production gate is TUNED from: a rule with large
+    n_exclusive and marginal quality value is the one to relax; a rule
+    whose failures are all shared adds nothing and costs nothing.
+
+    Scale shape: the per-doc rule booleans are the same zero-shuffle
+    row-local expressions as the gate itself; the 4-way unpivot
+    multiplies rows by the RULE COUNT (a constant), and one hash
+    aggregation reduces to |rules| rows."""
+    t = load_tables(spark, sf_dir)
+    rules = llm_text_gopher_rules(spark, sf_dir).select(
+        "doc_id", *_GOPHER_RULE_NAMES
+    )
+    others = {
+        r: [o for o in _GOPHER_RULE_NAMES if o != r]
+        for r in _GOPHER_RULE_NAMES
+    }
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                (~F.col(r)).alias("fails"),
+                (
+                    ~F.col(r)
+                    & F.col(others[r][0])
+                    & F.col(others[r][1])
+                    & F.col(others[r][2])
+                ).alias("exclusive"),
+            )
+            for r in _GOPHER_RULE_NAMES
+        ]
+    )
+    u = rules.select(F.explode(stack).alias("x")).select(
+        F.col("x.rule").alias("rule"),
+        F.col("x.fails").alias("fails"),
+        F.col("x.exclusive").alias("exclusive"),
+    )
+    return u.groupBy("rule").agg(
+        F.sum(F.when(F.col("fails"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail"),
+        F.sum(F.when(F.col("exclusive"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exclusive"),
     )

@@ -30,6 +30,8 @@ BATCH_SWEEP = [
     "llm_corpus_domain_contamination",
     "llm_ann_hard_negatives",
     "llm_corpus_shard_tokens",
+    "llm_quality_funnel",
+    "llm_text_gopher_ablation",
     "llm_host_diversity_cap",
     "llm_dedup_soft_weights",
     "llm_quality_cascade",
