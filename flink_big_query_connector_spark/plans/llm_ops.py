@@ -7479,3 +7479,61 @@ def llm_text_gopher_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exclusive"),
     )
+
+
+@register(
+    "llm_decontaminate_bloom",
+    oracle=f"""
+        WITH {_SQL_DECON_CTES}
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex e JOIN bench b ON e.s = b.s
+        WHERE e.source NOT IN ('src0', 'src1')
+        GROUP BY e.doc_id
+        ORDER BY n_shared DESC, e.doc_id
+    """,
+    tags=("dedup", "decontamination", "sketch"),
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM pre-filter — the constant-size form
+    of llm_decontaminate for when the benchmark suite is too big to
+    broadcast as a gram set (a full eval-suite union is easily 100M+
+    grams = GBs; the Bloom filter of those grams is a fixed 32 KB plan
+    literal whatever the suite size):
+
+      stage 1  every corpus gram tests K codegen'd bits against the
+               bench-gram Bloom filter (operators/bloom.py — the same
+               build/probe machinery as b04_bloom_join_prune); misses
+               drop map-side, BEFORE any shuffle;
+      stage 2  the surviving grams (true hits + the filter's small
+               false-positive tail) verify against the exact bench gram
+               set — the join now runs over orders-of-magnitude fewer
+               rows, and false positives under-PRUNE only, so the
+               result is EXACTLY llm_decontaminate's (the oracle is the
+               plain exact SQL, the b04 pattern).
+
+    At 100 TB this is the shape that actually ships: the probe is pure
+    whole-stage-codegen bit arithmetic on the scan, the shuffle carries
+    only bloom-surviving (doc_id, gram) pairs, and the bench set is
+    read once to build 32 KB of state."""
+    from ..operators.bloom import bloom_build, bloom_prune
+
+    t = load_tables(spark, sf_dir)
+    is_bench = F.col("source").isin("src0", "src1")
+    tok = dedup.spread(t["documents"]).select(
+        "doc_id", "source", dedup.tokens_expr(F.col("text")).alias("toks")
+    )
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles_expr(F.col("toks"))).alias("s"),
+    ).distinct()
+    bench = grams.filter(is_bench).select("s").distinct()
+    words = bloom_build(bench, F.col("s"))
+    corpus = grams.filter(~is_bench).select("doc_id", "s")
+    survivors = bloom_prune(corpus, F.col("s"), words)
+    return (
+        survivors.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+    )
