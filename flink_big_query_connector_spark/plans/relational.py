@@ -1578,7 +1578,7 @@ def b18_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t["lineitem"].select(
         "l_quantity",
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),  # global-order-ok: same canonical exact-median check as the rank above
     )
     picked = ranked.filter(
         (F.col("rn") == F.floor((F.col("n") + 1) / 2))

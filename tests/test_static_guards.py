@@ -259,7 +259,7 @@ def test_bench_headline_line_fits_driver_tail_window():
 # exact-semantics check whose docstring documents the at-scale
 # substitute).  Growing this map is a reviewed decision, not a drift.
 _GLOBAL_WINDOW_ALLOWLIST = {
-    "plans/relational.py": 2,   # b18_median_manual, b11_window_ntile
+    "plans/relational.py": 3,   # b18_median_manual (rank + count-over-all), b11_window_ntile
     "plans/llm_ops.py": 2,      # llm_text_bm25 (<=20 rows), llm_hybrid_rrf (<=40 rows)
 }
 _WINDOW_MARKERS = ("bounded-window-ok:", "global-order-ok:")
@@ -280,9 +280,14 @@ def test_no_unpartitioned_window_orderby_outside_allowlist():
         for path in sorted((PKG / sub).rglob("*.py")):
             rel = str(path.relative_to(PKG))
             for lineno, line in enumerate(path.read_text().splitlines(), 1):
-                if "Window.orderBy" not in line:
-                    continue
-                if "partitionBy" in line:
+                # two single-partition shapes: an orderBy with no
+                # partitioning, and an ARGLESS partitionBy() (a global
+                # frame in one task either way)
+                unpart_order = (
+                    "Window.orderBy" in line and "partitionBy" not in line
+                )
+                argless_part = "Window.partitionBy()" in line
+                if not (unpart_order or argless_part):
                     continue
                 if not any(m in line for m in _WINDOW_MARKERS):
                     offenders.append(
