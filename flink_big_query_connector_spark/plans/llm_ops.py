@@ -7537,3 +7537,107 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "doc_id")
     )
+
+
+_UNIMAX_EPOCH_CAP = 2   # no source repeats more than E epochs
+_UNIMAX_BUDGET_DEN = 2  # training budget = total corpus tokens // 2
+
+
+@register(
+    "llm_mix_unimax",
+    oracle=f"""
+        WITH RECURSIVE persrc AS (
+          SELECT source,
+                 CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS supply
+          FROM documents GROUP BY source),
+        sup AS (
+          SELECT source, supply,
+                 CAST(ROW_NUMBER() OVER (ORDER BY supply, source)
+                      AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                 CAST(SUM(supply) OVER () AS BIGINT) AS tot
+          FROM persrc),
+        alloc AS (
+          SELECT CAST(0 AS BIGINT) AS rn,
+                 CAST(NULL AS VARCHAR) AS source,
+                 CAST(NULL AS BIGINT) AS supply,
+                 CAST(NULL AS BIGINT) AS allocated,
+                 (SELECT ANY_VALUE(tot) // {_UNIMAX_BUDGET_DEN} FROM sup)
+                     AS remaining
+          UNION ALL
+          SELECT s.rn, s.source, s.supply,
+                 LEAST(s.supply * {_UNIMAX_EPOCH_CAP},
+                       a.remaining // (s.n - a.rn)) AS allocated,
+                 a.remaining
+                 - LEAST(s.supply * {_UNIMAX_EPOCH_CAP},
+                         a.remaining // (s.n - a.rn))
+          FROM alloc a JOIN sup s ON s.rn = a.rn + 1)
+        SELECT source, supply AS supply_tokens,
+               CAST(allocated AS BIGINT) AS allocated_tokens,
+               {numeric.sql_round6(
+                   "CASE WHEN supply > 0 THEN CAST(allocated AS DOUBLE)"
+                   " / CAST(supply AS DOUBLE) ELSE 0.0 END"
+               )} AS epochs
+        FROM alloc WHERE rn >= 1
+    """,
+    tags=("sampling", "mixing"),
+)
+def llm_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    distribute a training token budget (here total//2) across sources
+    by WATER-FILLING under a per-source epoch cap — sources are visited
+    in ascending-supply order and each receives
+    ``min(supply x {_UNIMAX_EPOCH_CAP} epochs, remaining // sources_left)``,
+    so scarce sources are never over-repeated (the epoch cap) and the
+    freed budget flows to larger sources (the fair-share recomputation)
+    — the principled alternative to temperature sampling for highly
+    skewed corpora.  All-integer arithmetic end to end, so the
+    allocation is hash-exact cross-engine.
+
+    Scale shape: the ONLY distributed work is the per-source token
+    supply aggregate (one map-combinable pass over the corpus); the
+    water-filling recurrence runs over the |sources|-row MODEL-SIZED
+    aggregate — driver-side here (the fixed_centroids collect-IS-the-
+    model idiom; |sources| ≈ 20), a recursive CTE on the oracle — and
+    the result itself is |sources| rows.  Downstream, the allocation
+    feeds llm_mix_token_budget's per-source greedy selection to
+    materialize the actual sample."""
+    t = load_tables(spark, sf_dir)
+    supply = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(text.tokens_expr(F.col("text"))))
+            .cast("long")
+            .alias("supply")
+        )
+    )
+    rows = sorted(
+        ((r["supply"], r["source"]) for r in supply.collect())
+    )
+    total = sum(s for s, _ in rows)
+    remaining = total // _UNIMAX_BUDGET_DEN
+    out = []
+    n = len(rows)
+    for i, (s, src) in enumerate(rows):
+        fair = remaining // (n - i)
+        alloc = min(s * _UNIMAX_EPOCH_CAP, fair)
+        remaining -= alloc
+        out.append((src, s, alloc))
+    result = spark.createDataFrame(
+        out, "source string, supply_tokens long, allocated_tokens long"
+    )
+    return result.select(
+        "source",
+        "supply_tokens",
+        "allocated_tokens",
+        F.when(
+            F.col("supply_tokens") > 0,
+            numeric.round6_expr(
+                F.col("allocated_tokens").cast("double")
+                / F.col("supply_tokens").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+    )

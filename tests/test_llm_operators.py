@@ -2034,3 +2034,31 @@ def test_corpus_shard_tokens_balance_and_coverage(spark, sf_dir):
     assert set(totals) == set(range(_N_SHARDS))
     for s, tok in totals.items():
         assert abs(tok - ideal) <= max_doc, (s, tok, ideal, max_doc)
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    """UniMax allocation: every source capped at E epochs, total never
+    exceeds the budget, and the budget is exhausted unless EVERY source
+    hit its cap (water flows until the last basin is full)."""
+    from flink_big_query_connector_spark.plans import REGISTRY
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_EPOCH_CAP,
+    )
+
+    rows = REGISTRY["llm_mix_unimax"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.supply_tokens for r in rows)
+    budget = total // _UNIMAX_BUDGET_DEN
+    allocated = sum(r.allocated_tokens for r in rows)
+    assert allocated <= budget
+    for r in rows:
+        assert r.allocated_tokens <= _UNIMAX_EPOCH_CAP * r.supply_tokens
+    # leftover budget exists only when the LAST-visited (largest) source
+    # hit its epoch cap (water fills the final basin otherwise), modulo
+    # the < n_sources tokens integer fair-share floors may strand
+    last = max(rows, key=lambda r: (r.supply_tokens, r.source))
+    last_capped = (
+        last.allocated_tokens == _UNIMAX_EPOCH_CAP * last.supply_tokens
+    )
+    assert last_capped or budget - allocated < len(rows)

@@ -33,6 +33,7 @@ BATCH_SWEEP = [
     "llm_quality_funnel",
     "llm_text_gopher_ablation",
     "llm_decontaminate_bloom",
+    "llm_mix_unimax",
     "llm_host_diversity_cap",
     "llm_dedup_soft_weights",
     "llm_quality_cascade",
