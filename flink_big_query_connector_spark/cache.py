@@ -21,6 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SCOPED: list[DataFrame] = []
 
+# (applicationId, sf_dir, label) -> row count.  The data-scaled-literal
+# plan-build idiom (semantic cell count, URL bucket count, calibration
+# modulus) issues a driver-blocking .count() per QUERY BUILD; the inputs
+# are immutable parquet per sf_dir, so the count is a session constant —
+# cache it once per (session, directory, label) like the table-plan cache
+# in sources/tables.py (ADVICE r12: at 100 TB each miss is a column-pruned
+# scan, paid once per session instead of once per query).  Keyed by
+# applicationId so a restarted session never reads a stale count.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def plan_count(df: DataFrame, sf_dir: str, label: str) -> int:
+    """``df.count()`` memoized per (session, sf_dir, label).
+
+    ``label`` names WHAT is being counted (e.g. ``embeddings_nonnull``);
+    callers must keep it 1:1 with the dataframe's logical content — two
+    different frames under one label would alias.  Only plan-build-time
+    sizing counts over the immutable testdata go through here; operators
+    counting mutable/derived state keep their own jobs."""
+    key = (df.sparkSession.sparkContext.applicationId, sf_dir, label)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _COUNT_CACHE[key] = n
+    return n
+
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` that registers the cache for later bulk release."""

@@ -699,6 +699,122 @@ def sql_classifier_score(toks_expr: str) -> str:
     )
 
 
+# -- Arrow-vectorized shared doc profile -------------------------------------
+
+# Gopher stopword set used by the rule gate (llm_text_gopher_rules); the
+# profile carries the distinct-stopword count so the gate never re-scans.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+DOC_PROFILE_SCHEMA = (
+    "n_tokens bigint, sum_tok_len bigint, punct_count bigint, "
+    "alpha_cnt bigint, n_stops bigint, logit_sum bigint"
+)
+
+
+def doc_profile_pandas_expr(text_col: Column) -> Column:
+    """Arrow-batched per-document profile: ONE vectorized pass computing
+    every integer feature the quality/contamination family shares —
+
+      n_tokens      size of the '\\S+' token list (tokens_expr twin)
+      sum_tok_len   total token characters (mean word length numerator)
+      punct_count   '[.,;:!?]' matches in the raw text (punct_count_expr)
+      alpha_cnt     tokens containing an ASCII letter (the Gopher
+                    alpha-fraction numerator)
+      n_stops       DISTINCT lowered tokens that are Gopher stopwords
+      logit_sum     hashed-token linear classifier logit
+                    (classifier_score_expr twin: md5-bucket -> literal
+                    integer weight, exact integer sum)
+
+    This is the r12 BPE-encode pattern (``bpe_encode_pandas_expr`` bought
+    4.2x at sf10) applied to the family's shared scan: the Catalyst
+    originals are higher-order ``F.aggregate``/``F.filter`` lambdas that
+    run INTERPRETED per token (md5 + conv per token in the classifier),
+    which round 12's decade sweep measured as the family's dominant
+    sf10 cost (cascade/funnel/ablation/domain-contamination all
+    re-tokenize + re-hash the corpus).  Here the same arithmetic runs as
+    C regex scans plus a memoized per-UNIQUE-token table (md5 once per
+    vocabulary word per worker, not once per occurrence).
+
+    Bitwise parity is engineered, every field an exact integer:
+    Python ``re`` and Java regex agree on '\\S+' and '[.,;:!?]';
+    ``len(str)`` counts code points exactly like Spark ``length``;
+    the md5-bucket weight is the same ``int(md5(utf8)[:15],16) % 64``
+    integer in both engines; NULL text profiles as the empty document
+    (the tokens_expr COALESCE contract).  Verified field-by-field
+    against the Catalyst originals over the corpus plus adversarial
+    strings in tests/test_llm_operators.py.
+
+    Scale shape: a zero-shuffle ArrowEvalPython projection — one narrow
+    struct column out; the weight vector and memo live in the worker
+    closure, nothing joins, nothing shuffles."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(TOKEN_RE)
+    punct_re = _re.compile(PUNCT_RE)
+    alpha_re = _re.compile(r"[a-zA-Z]")
+    weights = _classifier_weights()
+    dim = CLASSIFIER_DIM
+    stops = frozenset(GOPHER_STOPS)
+
+    @pandas_udf(DOC_PROFILE_SCHEMA)
+    def _profile(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        from collections import Counter
+
+        # (weight, len, has_alpha, lowered-if-stopword-else-None) per
+        # unique token — persists across Arrow batches in this worker
+        memo: dict = {}
+
+        def tok_info(t):
+            info = memo.get(t)
+            if info is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+                lo = t.lower()
+                info = (
+                    weights[b],
+                    len(t),
+                    1 if alpha_re.search(t) else 0,
+                    lo if lo in stops else None,
+                )
+                memo[t] = info
+            return info
+
+        n_tok, sum_len, punct, alpha, nstop, logit = [], [], [], [], [], []
+        for raw in texts:
+            s = raw if isinstance(raw, str) else ""
+            cnt = Counter(token_re.findall(s))
+            n = s_len = a = lg = 0
+            stop_seen = set()
+            for t, c in cnt.items():
+                w, ln, ha, st = tok_info(t)
+                n += c
+                s_len += ln * c
+                a += ha * c
+                lg += w * c
+                if st is not None:
+                    stop_seen.add(st)
+            n_tok.append(n)
+            sum_len.append(s_len)
+            punct.append(len(punct_re.findall(s)))
+            alpha.append(a)
+            nstop.append(len(stop_seen))
+            logit.append(lg)
+        return pd.DataFrame(
+            {
+                "n_tokens": pd.Series(n_tok, dtype="int64"),
+                "sum_tok_len": pd.Series(sum_len, dtype="int64"),
+                "punct_count": pd.Series(punct, dtype="int64"),
+                "alpha_cnt": pd.Series(alpha, dtype="int64"),
+                "n_stops": pd.Series(nstop, dtype="int64"),
+                "logit_sum": pd.Series(logit, dtype="int64"),
+            }
+        )
+
+    return _profile(text_col)
+
+
 # -- BPE tokenizer training --------------------------------------------------
 
 BPE_DELIM = "\x01"  # symbol separator; cannot occur inside \S+ tokens? it

@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import plan_count
 from ..functions import numeric
 from ..functions.numeric import dbl, dec
 from ..operators import dedup, multimodal, similarity, text
@@ -304,10 +305,11 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH kc AS (
           -- semantic_cell_count twin: one cell per ~512 vectors,
-          -- floor 16, cap 4096 (all-integer; k = 16 at driver scales;
-          -- the r11 literal-plan 256 cap is lifted by the broadcast
-          -- assignment path, operators/similarity.py::ivf_cells_pandas)
-          SELECT LEAST(4096, GREATEST(16, COUNT(*) // 512)) AS k
+          -- floor 16, UNCAPPED (all-integer; k = 16 at driver scales;
+          -- the cell count scales freely since r13 — the model ships
+          -- as a SparkContext.broadcast consumed by the Arrow pass,
+          -- operators/similarity.py::ivf_cells_pandas)
+          SELECT GREATEST(16, COUNT(*) // 512) AS k
           FROM embx
         ),
         cents AS (
@@ -345,7 +347,14 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.  Deterministic centroids make it hash-exact vs the
     oracle."""
     t = load_tables(spark, sf_dir)
-    return similarity.semantic_dedup(_emb(t), "vec_id", "embedding", 0.4)
+    emb = _emb(t)
+    return similarity.semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        0.4,
+        n_vectors=plan_count(emb, sf_dir, "embeddings_nonnull"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1183,16 +1192,25 @@ def llm_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-token-length bound, punctuation-ratio bound — pure pushed-down
     Catalyst predicates over the feature expressions."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    n_punct = text.punct_count_expr(F.col("text"))
     return (
         t["documents"]
-        .select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("_nc"),
+            text.doc_profile_pandas_expr(F.col("text")).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "_nc",
+            F.col("p.n_tokens").alias("n_tokens"),
+            F.col("p.punct_count").alias("_np"),
+        )
         .filter(
             F.col("n_tokens").between(20, 2000)
-            & (F.length("text") / F.col("n_tokens") <= 12)
-            & (n_punct * 4 <= F.col("n_tokens"))
+            & (F.col("_nc") / F.col("n_tokens") <= 12)
+            & (F.col("_np") * 4 <= F.col("n_tokens"))
         )
         .select("doc_id", "lang", "n_tokens")
     )
@@ -1230,10 +1248,15 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how model-based quality filtering (DCLM/fastText) runs over
     a corpus."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    logit = text.classifier_score_expr(toks)
-    return t["documents"].select(
+    # n_tokens + logit off the shared Arrow profile (r13) — the md5
+    # bucket hash runs once per unique token per worker instead of an
+    # interpreted fold per occurrence
+    p = t["documents"].select(
+        "doc_id", text.doc_profile_pandas_expr(F.col("text")).alias("p")
+    )
+    n_tok = F.col("p.n_tokens")
+    logit = F.col("p.logit_sum")
+    return p.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         logit.alias("logit_sum"),
@@ -5455,7 +5478,10 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style rule gate (round 7)
 # ---------------------------------------------------------------------------
 
-_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# ONE definition of the Gopher stopword set — the Arrow doc profile
+# (operators/text.py::doc_profile_pandas_expr) counts against the same
+# tuple the oracles inline
+_GOPHER_STOPS = text.GOPHER_STOPS
 _GOPHER_MIN_WORDS = 30
 _GOPHER_MAX_WORDS = 100_000
 
@@ -5540,42 +5566,33 @@ def llm_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero shuffles, filter-pushdown-friendly); ratios round to 6dp
     before thresholding so the cut is hash-exact cross-engine."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    m = t["documents"].select(
+    # all four rule inputs off the shared Arrow profile (r13): the
+    # interpreted per-token aggregate/filter/intersect lambdas collapse
+    # into one vectorized pass — integers identical by construction
+    p = t["documents"].select(
+        "doc_id", text.doc_profile_pandas_expr(F.col("text")).alias("p")
+    )
+    n = F.col("p.n_tokens")
+    m = p.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
+        n.alias("n_words"),
         F.when(
-            F.size(toks) > 0,
+            n > 0,
             numeric.round6_expr(
-                F.aggregate(
-                    F.transform(toks, lambda w: F.length(w).cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / F.size(toks).cast("double")
+                F.col("p.sum_tok_len").cast("double") / n.cast("double")
             ),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_word_len"),
         F.when(
-            F.size(toks) > 0,
+            n > 0,
             numeric.round6_expr(
-                F.size(
-                    F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-                ).cast("double")
-                / F.size(toks).cast("double")
+                F.col("p.alpha_cnt").cast("double") / n.cast("double")
             ),
         )
         .otherwise(F.lit(0.0))
         .alias("alpha_frac"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(F.transform(toks, F.lower)),
-                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-            )
-        )
-        .cast("long")
-        .alias("n_stops"),
+        F.col("p.n_stops").alias("n_stops"),
     )
     rule_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
     rule_mwl = (F.col("mean_word_len") >= 3.0) & (
@@ -6069,24 +6086,39 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors through an empty cross join (ADVICE r11)."""
     t = load_tables(spark, sf_dir)
     d = dedup.spread(t["documents"])
-    toks = text.tokens_expr(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    base = d.select(
+    # stages 1+2 come off the shared Arrow-vectorized doc profile (r13;
+    # text.doc_profile_pandas_expr — the BPE-encode pattern applied to
+    # the family's tokenize+classify scan): same integers, one C pass
+    prof = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_chars"),
+        text.doc_profile_pandas_expr(F.col("text")).alias("p"),
+    )
+    n_tok = F.col("p.n_tokens")
+    base = prof.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        text.classifier_score_expr(toks).alias("logit_sum"),
+        F.col("p.logit_sum").alias("logit_sum"),
         (
             n_tok.between(20, 2000)
-            & (F.length(F.coalesce(F.col("text"), F.lit(""))) / n_tok <= 12)
-            & (text.punct_count_expr(F.col("text")) * 4 <= n_tok)
+            & (F.col("n_chars") / n_tok <= 12)
+            & (F.col("p.punct_count") * 4 <= n_tok)
         ).alias("s1"),
     ).withColumn("s2", F.col("logit_sum") > 0)
 
     emb = _emb(t)
-    # plan-build-time data scaling, the _url_bucket_count idiom: two
-    # column-pruned count jobs size the modulus and the top-k literal
-    mod = _cal_mod(emb.count())
-    n_cal = emb.filter(F.col("vec_id") % mod == 0).count()
+    # plan-build-time data scaling, the _url_bucket_count idiom: the
+    # modulus and top-k literals come from column-pruned counts memoized
+    # per (session, sf_dir) — one scan per session, not per query build
+    # (cache.plan_count; ADVICE r12)
+    mod = _cal_mod(plan_count(emb, sf_dir, "embeddings_nonnull"))
+    n_cal = plan_count(
+        emb.filter(F.col("vec_id") % mod == 0),
+        sf_dir,
+        f"embeddings_cal_mod{mod}",
+    )
     k = max(1, (n_cal * _CAL_KEEP_NUM) // _CAL_KEEP_DEN)
     scored = emb.select(
         "vec_id", _semantic_score_expr(F.col("embedding")).alias("sem_score")
@@ -6161,6 +6193,13 @@ def _url_bucket_count(n_docs: int) -> int:
     grow because the crawl got bigger).  Driver scales are unchanged
     (500/500/5000 docs → 40 buckets everywhere)."""
     return max(_URL_MOD, n_docs // _URL_DOCS_PER_BUCKET)
+
+
+def _url_buckets(t, sf_dir: str) -> int:
+    """Data-scaled URL bucket count off the memoized documents row count
+    (cache.plan_count) — the fixture sizing pays one column-pruned scan
+    per session, not one per query build (ADVICE r12)."""
+    return _url_bucket_count(plan_count(t["documents"], sf_dir, "documents"))
 
 
 def _url_fixture(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
@@ -6335,7 +6374,9 @@ def llm_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import capped_blocked_join
 
     t = load_tables(spark, sf_dir)
-    fx = _url_fixture(dedup.spread(t["documents"]))
+    fx = _url_fixture(
+        dedup.spread(t["documents"]), n_buckets=_url_buckets(t, sf_dir)
+    )
     nosch = F.regexp_replace(F.col("url"), "^https?://", "")
     parsed = fx.select(
         "doc_id",
@@ -6550,9 +6591,9 @@ def llm_host_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        text.classifier_score_expr(
-            text.tokens_expr(F.col("text"))
-        ).alias("quality"),
+        text.doc_profile_pandas_expr(F.col("text"))
+        .getField("logit_sum")
+        .alias("quality"),
     )
     w = Window.partitionBy("host").orderBy(
         F.col("quality").desc(), "doc_id"
@@ -6726,7 +6767,9 @@ def llm_dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import capped_blocked_join
 
     t = load_tables(spark, sf_dir)
-    fx = _url_fixture(dedup.spread(t["documents"]))
+    fx = _url_fixture(
+        dedup.spread(t["documents"]), n_buckets=_url_buckets(t, sf_dir)
+    )
     nosch = F.regexp_replace(F.col("url"), "^https?://", "")
     parsed = fx.select(
         "doc_id",
@@ -7068,7 +7111,9 @@ def llm_corpus_domain_contamination(
     no extra shuffle).  The result is |hosts| rows — model-sized."""
     t = load_tables(spark, sf_dir)
     d = dedup.spread(t["documents"])
-    fx = _url_fixture(d).filter(F.col("doc_id") < 1_000_000)
+    fx = _url_fixture(d, n_buckets=_url_buckets(t, sf_dir)).filter(
+        F.col("doc_id") < 1_000_000
+    )
     nosch = F.regexp_replace(F.col("url"), "^https?://", "")
     hosts = fx.select(
         "doc_id",

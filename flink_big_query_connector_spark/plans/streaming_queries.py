@@ -3495,7 +3495,10 @@ def b24_stream_url_admission(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     schema = docs.schema
     # fixture invariants computed from the FULL table, never per batch
-    n_buckets = _url_bucket_count(docs.count())
+    # (row count memoized per session — cache.plan_count)
+    from ..cache import plan_count
+
+    n_buckets = _url_bucket_count(plan_count(docs, sf_dir, "documents"))
 
     def _side(docs_df: DataFrame, new_only: bool) -> DataFrame:
         fx = _url_fixture(dedup.spread(docs_df), n_buckets=n_buckets)

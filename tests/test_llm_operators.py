@@ -2062,3 +2062,104 @@ def test_unimax_waterfill_invariants(spark, sf_dir):
         last.allocated_tokens == _UNIMAX_EPOCH_CAP * last.supply_tokens
     )
     assert last_capped or budget - allocated < len(rows)
+
+
+def test_doc_profile_pandas_bitwise_matches_catalyst(spark, sf_dir):
+    """The Arrow-vectorized doc profile (r13 production path for the
+    quality/contamination family) must be BITWISE identical, field by
+    field, to the Catalyst originals it replaces — over the corpus plus
+    adversarial rows (NULL/empty/whitespace-only text, unicode,
+    stopword-only docs, punctuation runs)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "  \t\n "),
+            (900004, "The the THE of!! a,b;c: d? e."),
+            (900005, "héllo wörld código 漢字 x" * 3),
+            (900006, "have with that be to of and the"),
+            (900007, "a" * 50),
+            (900008, ".,;:!?" * 10),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    toks = T.tokens_expr(F.col("text"))
+    ref = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_tok_len"),
+        T.punct_count_expr(F.col("text")).alias("punct_count"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_cnt"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, F.lower)),
+                F.array(*[F.lit(s) for s in T.GOPHER_STOPS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stops"),
+        T.classifier_score_expr(toks).alias("logit_sum"),
+    )
+    new = d.select(
+        "doc_id", T.doc_profile_pandas_expr(F.col("text")).alias("p")
+    ).select("doc_id", "p.*")
+    a = {r["doc_id"]: tuple(r)[1:] for r in ref.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in new.collect()}
+    assert a == b
+
+
+def test_semantic_dedup_trained_centroid_path(spark, sf_dir):
+    """semantic_dedup(centroids=...) — the trained-model unification
+    (r13): Lloyd-trained k-means centroids drop in with no plan-shape
+    change, and the pairwise survival rule holds exactly: a vector is
+    dropped iff some lower-id SAME-CELL neighbor has round6 cosine >=
+    threshold (verified brute-force with numpy)."""
+    import numpy as np
+
+    from flink_big_query_connector_spark.cache import release_caches
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "embedding IS NOT NULL"
+    )
+    cents = similarity.lloyd_kmeans_centroids(
+        emb, "vec_id", "embedding", k=16, iters=2
+    )
+    out = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in similarity.semantic_dedup(
+            emb, "vec_id", "embedding", 0.4, centroids=cents
+        ).collect()
+    }
+    release_caches()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert set(out) == set(vecs)  # every vector classified exactly once
+    ids = sorted(vecs)
+    norms = {i: float(np.sqrt(np.dot(vecs[i], vecs[i]))) for i in ids}
+    for j in ids:
+        cell_j, kept_j = out[j]
+        has_lower_dup = any(
+            out[i][0] == cell_j
+            and round(
+                float(np.dot(vecs[i], vecs[j])) / (norms[i] * norms[j]), 6
+            )
+            >= 0.4
+            for i in ids
+            if i < j
+        )
+        assert kept_j == (not has_lower_dup), j

@@ -293,14 +293,19 @@ def test_vocab_topk_is_take_ordered_not_global_window(spark):
 
 
 def test_classifier_is_single_stage_no_exchange(spark):
-    """The hashed linear classifier is a pure map stage: literal weight
-    array in the plan, no Exchange anywhere, no Python evaluation."""
+    """The hashed linear classifier is a pure map stage: no Exchange
+    anywhere.  Since r13 the scoring pass is the Arrow-vectorized doc
+    profile (operators/text.py::doc_profile_pandas_expr — the measured
+    fast path; the interpreted Catalyst fold hashed every token
+    occurrence), so the plan must show ArrowEvalPython and must NOT fall
+    back to row-at-a-time BatchEvalPython."""
     from flink_big_query_connector_spark.plans import REGISTRY
 
     df = REGISTRY["llm_quality_classifier"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "Exchange" not in plan
-    assert "Python" not in plan  # no UDF: Catalyst fold over the array
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # Arrow batches, never per-row
 
 
 def test_semantic_dedup_drop_set_shuffles_ids_only(spark):
