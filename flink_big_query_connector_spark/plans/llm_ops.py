@@ -6107,7 +6107,17 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p.punct_count") * 4 <= n_tok)
         ).alias("s1"),
     ).withColumn("s2", F.col("logit_sum") > 0)
+    return _cascade_stage3(t, sf_dir, base, "logit_sum")
 
+
+def _cascade_stage3(
+    t, sf_dir: str, base: DataFrame, score_col: str
+) -> DataFrame:
+    """Stage 3 of the quality cascade — the calibrated embedding head —
+    shared by the fixed-weight (``llm_quality_cascade``) and TRAINED
+    (``llm_quality_cascade_trained``) variants so the calibration
+    machinery can never drift between them.  ``base`` carries
+    (doc_id, n_tokens, <score_col>, s1, s2)."""
     emb = _emb(t)
     # plan-build-time data scaling, the _url_bucket_count idiom: the
     # modulus and top-k literals come from column-pruned counts memoized
@@ -6148,7 +6158,7 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            "logit_sum",
+            score_col,
             "sem_score",
             F.when(F.col("vec_id").isNotNull(), F.col("threshold")).alias(
                 "threshold"
@@ -6165,7 +6175,7 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails = base.filter(~(F.col("s1") & F.col("s2"))).select(
         "doc_id",
         "n_tokens",
-        "logit_sum",
+        score_col,
         F.lit(None).cast("double").alias("sem_score"),
         F.lit(None).cast("double").alias("threshold"),
         F.when(~F.col("s1"), F.lit("drop_heuristic"))
@@ -6175,6 +6185,295 @@ def llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.unionByName(fails).withColumn(
         "keep", F.col("verdict").isin("keep_semantic", "keep_no_embedding")
     )
+
+
+# -- trained Naive-Bayes quality classifier (r13; VERDICT r12 Next #4) -------
+
+_NB_POS_SOURCES = ("src0", "src1")  # curated-reference positive seed (the
+# decontamination convention's bench sources double as the labeled
+# high-quality set — the FineWeb-Edu shape: positives are a curated corpus)
+_NB_NEG_MOD = 17  # negative seed: every 17th non-reference document
+
+
+def _nb_token_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, source, j): one row per token OCCURRENCE, j = the md5
+    feature-hash bucket (the classifier_score_expr hashing trick —
+    identical bucket ids, so the trained and fixed-weight classifiers
+    share a feature space)."""
+    from ..operators.hashing import hash60_expr
+
+    toks = text.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id", "source", F.explode(toks).alias("tk")
+    ).select(
+        "doc_id",
+        "source",
+        (hash60_expr(F.col("tk")) % text.CLASSIFIER_DIM)
+        .cast("long")
+        .alias("j"),
+    )
+
+
+def _nb_doc_scores(t) -> DataFrame:
+    """Per-document (doc_id, n_tokens, nb_sum) under a multinomial
+    Naive-Bayes log-count-ratio head TRAINED from the deterministic
+    seed labeling (positives = the curated _NB_POS_SOURCES feeds,
+    negatives = every _NB_NEG_MOD-th other document) — the
+    quality-classifier training loop VERDICT r12 named as the missing
+    piece of the fixed-weight stand-in.
+
+    Training is two integer aggregates: per-bucket token-occurrence
+    counts by label (map-combinable, CLASSIFIER_DIM rows out) and their
+    1-row totals; the weight per bucket is the Laplace-smoothed
+    log-count ratio ln((pos_j+1)/(pos_tot+D)) - ln((neg_j+1)/(neg_tot+D))
+    computed ENGINE-SIDE under the accepted cross-engine ln recipe
+    (round 9dp -> DECIMAL(20,9), the llm_text_logprob pattern), so the
+    model is hash-exact without ever leaving the DataFrame domain.
+    Buckets unseen in the seed fall back to the zero-count weight (one
+    1-row broadcast).  Scoring joins the corpus's bucketed tokens to
+    the broadcast D-row model and sums weights in the DECIMAL domain —
+    order-free exact under any partitioning.
+
+    Scale shape at 100 TB: one corpus-linear explode for training
+    (seed-filtered — filter pushes below the explode), one for scoring;
+    the model is D rows broadcast; the per-doc rollup combines
+    map-side.  No window, no driver collect — the 'collect' equivalent
+    (the trained model) stays a broadcast relation end to end."""
+    from pyspark.sql.types import DecimalType
+
+    dim = text.CLASSIFIER_DIM
+    tokj = _nb_token_buckets(dedup.spread(t["documents"]))
+    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
+    seed = tokj.filter(is_pos | (F.col("doc_id") % _NB_NEG_MOD == 0))
+    cnt = seed.groupBy("j").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("pos_cnt"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("neg_cnt"),
+    )
+    tot = cnt.agg(
+        F.sum("pos_cnt").cast("long").alias("pos_tot"),
+        F.sum("neg_cnt").cast("long").alias("neg_tot"),
+    )
+
+    def ln9(num, den):  # ROUND(ln(x), 9) -> DECIMAL(20,9), the logprob recipe
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")), 9
+        ).cast(DecimalType(20, 9))
+
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "j",
+        (
+            ln9(F.col("pos_cnt") + 1, F.col("pos_tot") + dim)
+            - ln9(F.col("neg_cnt") + 1, F.col("neg_tot") + dim)
+        ).alias("w"),
+    )
+    w0 = tot.select(
+        (
+            ln9(F.lit(1), F.col("pos_tot") + dim)
+            - ln9(F.lit(1), F.col("neg_tot") + dim)
+        ).alias("w0")
+    )
+    return (
+        tokj.join(F.broadcast(w), "j", "left")
+        .crossJoin(F.broadcast(w0))
+        .select("doc_id", F.coalesce(F.col("w"), F.col("w0")).alias("we"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("we").alias("nb_sum"),
+        )
+    )
+
+
+# DuckDB twin of _nb_doc_scores — CTEs reused by both trained keys.
+_SQL_NB_CTES = f"""
+        d AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+        tokj AS MATERIALIZED (
+          SELECT doc_id, source,
+                 ({_SQL_H60.format(x='tk')} % {text.CLASSIFIER_DIM}) AS j
+          FROM (SELECT doc_id, source, unnest(toks) AS tk FROM d)),
+        seed AS (SELECT j, source IN {_NB_POS_SOURCES!r} AS pos
+                 FROM tokj
+                 WHERE source IN {_NB_POS_SOURCES!r}
+                    OR doc_id % {_NB_NEG_MOD} = 0),
+        cnt AS (SELECT j,
+                       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                           AS pos_cnt,
+                       CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                           AS neg_cnt
+                FROM seed GROUP BY j),
+        tot AS (SELECT CAST(SUM(pos_cnt) AS BIGINT) AS pos_tot,
+                       CAST(SUM(neg_cnt) AS BIGINT) AS neg_tot
+                FROM cnt),
+        wts AS (SELECT j,
+                  CAST(ROUND(ln(CAST(pos_cnt + 1 AS DOUBLE)
+                              / CAST(pos_tot + {text.CLASSIFIER_DIM}
+                                     AS DOUBLE)), 9) AS DECIMAL(20,9))
+                - CAST(ROUND(ln(CAST(neg_cnt + 1 AS DOUBLE)
+                              / CAST(neg_tot + {text.CLASSIFIER_DIM}
+                                     AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
+                FROM cnt, tot),
+        w0 AS (SELECT
+                  CAST(ROUND(ln(CAST(1 AS DOUBLE)
+                              / CAST(pos_tot + {text.CLASSIFIER_DIM}
+                                     AS DOUBLE)), 9) AS DECIMAL(20,9))
+                - CAST(ROUND(ln(CAST(1 AS DOUBLE)
+                              / CAST(neg_tot + {text.CLASSIFIER_DIM}
+                                     AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w0
+               FROM tot),
+        nbper AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM(COALESCE(wts.w, w0.w0)) AS nb_sum
+          FROM tokj LEFT JOIN wts USING (j) CROSS JOIN w0
+          GROUP BY doc_id)
+"""
+
+
+@register(
+    "llm_quality_classifier_trained",
+    oracle=f"""
+        WITH {_SQL_NB_CTES}
+        SELECT dd.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               {numeric.sql_round6(
+                   "COALESCE(CAST(p.nb_sum AS DOUBLE), 0.0)")} AS nb_score,
+               COALESCE(p.nb_sum > 0, FALSE) AS keep,
+               CASE WHEN dd.source IN {_NB_POS_SOURCES!r} THEN 'pos'
+                    WHEN dd.doc_id % {_NB_NEG_MOD} = 0 THEN 'neg'
+               END AS seed_label
+        FROM documents dd LEFT JOIN nbper p ON dd.doc_id = p.doc_id
+    """,
+    tags=("text", "classifier", "training"),
+)
+def llm_quality_classifier_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED quality classifier (the FineWeb-Edu/DCLM loop, VERDICT
+    r12 What's-missing #2): a multinomial Naive-Bayes log-count-ratio
+    head over hashed tokens, trained distributed from the deterministic
+    seed labeling and applied to the whole corpus — see
+    :func:`_nb_doc_scores` for the exactness recipe and scale shape.
+    Every document comes back with its token count, NB score (round6 of
+    the exact decimal weight sum), keep = score > 0, and its seed role
+    ('pos'/'neg'/NULL) so the training set is auditable in-band."""
+    t = load_tables(spark, sf_dir)
+    per = _nb_doc_scores(t)
+    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
+    return (
+        t["documents"]
+        .select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            numeric.round6_expr(
+                F.coalesce(F.col("nb_sum").cast("double"), F.lit(0.0))
+            ).alias("nb_score"),
+            F.coalesce(F.col("nb_sum") > 0, F.lit(False)).alias("keep"),
+            F.when(is_pos, F.lit("pos"))
+            .when(F.col("doc_id") % _NB_NEG_MOD == 0, F.lit("neg"))
+            .alias("seed_label"),
+        )
+    )
+
+
+@register(
+    "llm_quality_cascade_trained",
+    oracle=(
+        f"""
+        WITH {_SQL_NB_CTES},
+        feat AS MATERIALIZED (
+          SELECT dd.doc_id,
+                 CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 {numeric.sql_round6(
+                     "COALESCE(CAST(p.nb_sum AS DOUBLE), 0.0)")} AS nb_score,
+                 COALESCE(p.nb_sum > 0, FALSE) AS s2,
+                 (len({_SQL_TOKS}) BETWEEN 20 AND 2000
+                  AND length(COALESCE(text, '')) / len({_SQL_TOKS}) <= 12
+                  AND len(regexp_extract_all(COALESCE(text, ''),
+                          '[.,;:!?]')) * 4 <= len({_SQL_TOKS})) AS s1
+          FROM documents dd LEFT JOIN nbper p ON dd.doc_id = p.doc_id),
+        scored AS MATERIALIZED (
+          SELECT vec_id, {{SEM}} AS sem_score FROM embx),
+        km AS (SELECT GREATEST({_CAL_MOD}, COUNT(*) // {_CAL_PER}) AS m
+               FROM embx),
+        cal AS (SELECT vec_id, sem_score AS s FROM scored, km
+                WHERE vec_id % km.m = 0),
+        ranked AS (SELECT s,
+                          ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn,
+                          COUNT(*) OVER () AS cnt
+                   FROM cal),
+        thr AS (SELECT COALESCE(
+                   (SELECT s FROM ranked
+                    WHERE rn = GREATEST(1, (cnt * {_CAL_KEEP_NUM})
+                                           // {_CAL_KEEP_DEN})),
+                   {_CAL_FALLBACK}) AS threshold),
+        surv AS (
+          SELECT f.doc_id, f.n_tokens, f.nb_score, s.sem_score,
+                 CASE WHEN s.vec_id IS NOT NULL THEN t.threshold END
+                     AS threshold,
+                 CASE WHEN s.vec_id IS NULL THEN 'keep_no_embedding'
+                      WHEN s.sem_score >= t.threshold THEN 'keep_semantic'
+                      ELSE 'drop_semantic' END AS verdict
+          FROM feat f
+          LEFT JOIN scored s ON f.doc_id = s.vec_id
+          CROSS JOIN thr t
+          WHERE f.s1 AND f.s2),
+        fails AS (
+          SELECT doc_id, n_tokens, nb_score,
+                 CAST(NULL AS DOUBLE) AS sem_score,
+                 CAST(NULL AS DOUBLE) AS threshold,
+                 CASE WHEN NOT s1 THEN 'drop_heuristic'
+                      ELSE 'drop_classifier' END AS verdict
+          FROM feat WHERE NOT (s1 AND s2))
+        SELECT doc_id, n_tokens, nb_score, sem_score, threshold, verdict,
+               verdict IN ('keep_semantic', 'keep_no_embedding') AS keep
+        FROM (SELECT * FROM surv UNION ALL SELECT * FROM fails)
+    """.replace("{SEM}", _sql_semantic_score())
+    ),
+    tags=("text", "classifier", "similarity", "training"),
+)
+def llm_quality_cascade_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quality cascade with the TRAINED Naive-Bayes head as stage 2
+    (VERDICT r12 Next #4's wiring ask): stage 1 heuristics and the
+    stage-3 calibrated embedding head are the shared
+    :func:`_cascade_stage3` machinery (identical to
+    llm_quality_cascade), stage 2 keeps docs whose trained NB decimal
+    weight sum is positive.  Same verdict taxonomy, so the funnel/
+    ablation reporting shapes apply unchanged."""
+    t = load_tables(spark, sf_dir)
+    d = dedup.spread(t["documents"])
+    prof = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_chars"),
+        text.doc_profile_pandas_expr(F.col("text")).alias("p"),
+    )
+    n_tok = F.col("p.n_tokens")
+    s1 = prof.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            n_tok.between(20, 2000)
+            & (F.col("n_chars") / n_tok <= 12)
+            & (F.col("p.punct_count") * 4 <= n_tok)
+        ).alias("s1"),
+    )
+    nb = _nb_doc_scores(t).select("doc_id", "nb_sum")
+    base = s1.join(nb, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        numeric.round6_expr(
+            F.coalesce(F.col("nb_sum").cast("double"), F.lit(0.0))
+        ).alias("nb_score"),
+        "s1",
+        F.coalesce(F.col("nb_sum") > 0, F.lit(False)).alias("s2"),
+    )
+    return _cascade_stage3(t, sf_dir, base, "nb_score")
 
 
 _URL_MOD = 40  # path-bucket FLOOR of the synthetic URL fixture

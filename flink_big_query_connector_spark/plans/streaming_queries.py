@@ -3341,11 +3341,23 @@ from .llm_ops import _SQL_URL_SIDE as _URLADM_SIDE  # noqa: E402
 from .llm_ops import _URLINC_ENC as _URLADM_ENC  # noqa: E402
 
 
-def _url_admission_batch(spark, state, side, out_dir: str, batch_id: int):
+def _url_admission_batch(
+    spark, state, side, out_dir: str, batch_id: int, ttl: int | None = None
+):
     """One micro-batch of URL admission: decide every fetch in ``side``
     against the standing index PLUS earlier same-batch fetches, write
     the replay-idempotent per-batch output, then record every arrival
     in the index (manifest advance LAST — the crash-replay contract).
+
+    With ``ttl`` set (the b24_stream_url_admission_ttl variant), index
+    entries expire after ``ttl`` crawl epochs: reads filter prior
+    entries to ``seen_batch >= epoch - ttl`` (lazy expiry — a re-fetch
+    of a URL whose every record expired is 'ingest_new' again, the
+    re-crawl semantics a real frontier wants), and the touched-bucket
+    rewrite drops rows already dead for the NEXT epoch (incremental
+    compaction for free; untouched buckets compact via
+    ``BucketedKeyedState.compact``).  Expiry is batch-SEQUENCE
+    arithmetic, never wall clock, so replays are deterministic.
 
     Module-level, not a closure inside the query (the
     ``_admission_process`` precedent), so unit tests can drive the
@@ -3359,6 +3371,8 @@ def _url_admission_batch(spark, state, side, out_dir: str, batch_id: int):
     sid = batch_id + 1  # store batch 0 = the seed
     if sid <= state.last_batch():
         return  # replayed, already merged
+    if ttl is not None:
+        side = side.withColumn("seen_batch", F.lit(sid).cast("long"))
     side = side.persist()
     try:
         if side.isEmpty():
@@ -3366,6 +3380,10 @@ def _url_admission_batch(spark, state, side, out_dir: str, batch_id: int):
         enc = F.lit(_URLADM_ENC).cast("long")
         touched = state.touched_buckets(side)
         prior = state.read_buckets(spark, touched)
+        if ttl is not None:
+            # lazy expiry on read: only entries seen within the TTL
+            # window are admission candidates
+            prior = prior.filter(F.col("seen_batch") >= sid - ttl)
 
         def cand_view(df):
             return df.select(
@@ -3390,10 +3408,14 @@ def _url_admission_batch(spark, state, side, out_dir: str, batch_id: int):
             ).alias("bk")
         )
         ham = F.expr(f"CAST(bk div {_URLADM_ENC} AS INT)")
+        epoch_cols = (
+            [F.lit(sid).cast("int").alias("epoch")] if ttl is not None else []
+        )
         out = side.join(best, "doc_id", "left").select(
             "doc_id",
             "canon_host",
             "cpath",
+            *epoch_cols,
             (F.col("bk") % _URLADM_ENC).cast("long").alias(
                 "matched_doc_id"
             ),
@@ -3481,10 +3503,23 @@ def b24_stream_url_admission(
     populations are constant-size by the fixture's data-scaled bucket
     construction, and only (block key, 64-bit simhash, ids) ever cross
     a shuffle — never text."""
+    return _run_url_admission(spark, sf_dir, n_chunks)
+
+
+def _run_url_admission(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    ttl: int | None = None,
+) -> DataFrame:
+    """Shared runner of the URL-admission stream — the plain
+    (grow-forever) and TTL-expiring keys differ only in the liveness
+    filter, the ``seen_batch`` column, and the settle-time compaction,
+    so they share one pipeline definition."""
+    from ..cache import plan_count
     from ..operators import dedup
     from ..streaming.keyed_state import BucketedKeyedState
     from .llm_ops import (
-        _URLINC_ENC,
         _url_bucket_count,
         _url_fixture,
         _url_parsed,
@@ -3496,8 +3531,6 @@ def b24_stream_url_admission(
     schema = docs.schema
     # fixture invariants computed from the FULL table, never per batch
     # (row count memoized per session — cache.plan_count)
-    from ..cache import plan_count
-
     n_buckets = _url_bucket_count(plan_count(docs, sf_dir, "documents"))
 
     def _side(docs_df: DataFrame, new_only: bool) -> DataFrame:
@@ -3524,21 +3557,27 @@ def b24_stream_url_admission(
             "simhash",
         )
 
-    state = BucketedKeyedState(
-        scratch_dir("urladm_state_"),
-        "k",
+    state_schema = (
         "k string, doc_id long, canon_host string, cpath string, "
-        "base_id long, simhash long",
+        "base_id long, simhash long"
     )
-    # seed the index with the pre-existing corpus (batch 0 of the store)
+    if ttl is not None:
+        state_schema += ", seen_batch long"
+    state = BucketedKeyedState(
+        scratch_dir("urladm_state_"), "k", state_schema
+    )
+    # seed the index with the pre-existing corpus (batch 0 of the store;
+    # crawl epoch 0 under TTL semantics)
     seeded = _side(docs, new_only=False)
+    if ttl is not None:
+        seeded = seeded.withColumn("seen_batch", F.lit(0).cast("long"))
     state.write_buckets(
         seeded, 0, state.touched_buckets(seeded)
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         side = _side(batch_df, new_only=True)
-        _url_admission_batch(spark, state, side, out_dir, batch_id)
+        _url_admission_batch(spark, state, side, out_dir, batch_id, ttl=ttl)
 
     stream = (
         spark.readStream.schema(schema)
@@ -3553,7 +3592,95 @@ def b24_stream_url_admission(
             .start()
         )
         q.awaitTermination()
+    if ttl is not None:
+        # settle-time index compaction: reclaim every entry already dead
+        # for the next crawl epoch, across ALL buckets (the touched-
+        # bucket rewrites compact incrementally; this sweeps the rest).
+        # Reads expire lazily, so this cannot change any decision — the
+        # determinism test replays the whole pipeline and compares.
+        state.compact(
+            spark,
+            f"seen_batch >= {n_chunks + 1 - ttl}",
+            n_chunks + 1,
+        )
     import glob as _glob
 
     parts = sorted(_glob.glob(os.path.join(out_dir, "b*")))
     return spark.read.parquet(*parts)
+
+
+_URLADM_TTL = 1  # crawl epochs an index entry stays live (the 7-day-TTL
+# twin of process/StreamStateHandler.java:33, in batch-sequence units —
+# deterministic under replay, unlike wall clock)
+
+
+@register(
+    "b24_stream_url_admission_ttl",
+    oracle="""
+        WITH {FIX},
+        {SIDE},
+        bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                   FROM documents),
+        news AS (SELECT side.*, doc_id % 1000000 AS base_id,
+                        1 + CAST(doc_id % 1000000 >
+                                 lo + (hi - lo) // 3 AS INT)
+                          + CAST(doc_id % 1000000 >
+                                 lo + 2 * (hi - lo) // 3 AS INT) AS epoch
+                 FROM side, bounds WHERE doc_id >= 1000000),
+        olds AS (SELECT side.*, CAST(-1 AS BIGINT) AS base_id, 0 AS epoch
+                 FROM side WHERE doc_id < 1000000),
+        cands AS (
+          SELECT doc_id, canon_host, cpath, simhash, base_id, epoch
+          FROM olds
+          UNION ALL
+          SELECT doc_id, canon_host, cpath, simhash, base_id, epoch
+          FROM news),
+        best AS (
+          SELECT n.doc_id,
+                 MIN(CAST(bit_count(xor(n.simhash, c.simhash)) AS BIGINT)
+                     * {ENC} + c.doc_id) AS k
+          FROM news n JOIN cands c
+            ON c.canon_host = n.canon_host AND c.cpath = n.cpath
+           AND ((c.epoch < n.epoch AND n.epoch - c.epoch <= {TTL})
+                OR (c.epoch = n.epoch AND c.base_id < n.base_id))
+          GROUP BY n.doc_id)
+        SELECT n.doc_id, n.canon_host, n.cpath,
+               CAST(n.epoch AS INTEGER) AS epoch,
+               CAST(b.k % {ENC} AS BIGINT) AS matched_doc_id,
+               CAST(b.k // {ENC} AS INTEGER) AS hamming,
+               CASE WHEN b.k IS NULL THEN 'ingest_new'
+                    WHEN b.k // {ENC} <= 3 THEN 'skip_duplicate'
+                    ELSE 'ingest_changed' END AS action
+        FROM news n LEFT JOIN best b ON n.doc_id = b.doc_id
+    """.replace("{FIX}", _URLADM_FIX)
+    .replace("{SIDE}", _URLADM_SIDE)
+    .replace("{ENC}", str(_URLADM_ENC))
+    .replace("{TTL}", str(_URLADM_TTL)),
+    tags=("streaming", "dedup", "metadata"),
+)
+def b24_stream_url_admission_ttl(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """URL admission with index TTL/compaction (VERDICT r12 Next #6):
+    b24_stream_url_admission where index entries EXPIRE after
+    ``_URLADM_TTL`` crawl epochs — the index-level twin of the
+    reference's 7-day keyed-state TTL
+    (``process/StreamStateHandler.java:33``), measured in batch
+    sequence (epoch = micro-batch position; seed corpus = epoch 0) so
+    expiry is bit-deterministic under checkpoint replay.
+
+    Semantics: a fetch is decided against entries seen within the last
+    TTL epochs only — a URL whose every recorded fetch has expired is
+    'ingest_new' again (re-crawl), and stale near-dup evidence stops
+    suppressing admission.  The decision therefore DEPENDS on the
+    chunking, so unlike the grow-forever key the oracle models the
+    epoch assignment explicitly (id-range chunk cuts recomputed from
+    MIN/MAX — the _write_ordered_chunks arithmetic).
+
+    Expiry is lazy-on-read; space is reclaimed two ways: every touched-
+    bucket rewrite drops rows dead for the next epoch, and one
+    settle-time ``BucketedKeyedState.compact`` sweep rewrites the rest
+    (the full-index pass a nightly maintenance job runs).  Neither can
+    change a decision — tests replay the pipeline twice and compare
+    bitwise."""
+    return _run_url_admission(spark, sf_dir, n_chunks, ttl=_URLADM_TTL)

@@ -159,6 +159,84 @@ def _import_google_modules():
     return bqs, types_mod, writer_mod, gexc
 
 
+# proto2 DescriptorProto / FieldDescriptorProto field numbers and enum
+# values (google/protobuf/descriptor.proto — stable wire contract)
+_DP_NAME, _DP_FIELD, _DP_NESTED = 1, 2, 3
+_FD_NAME, _FD_NUMBER, _FD_LABEL, _FD_TYPE, _FD_TYPE_NAME = 1, 3, 4, 5, 6
+_LABELS = {"NULLABLE": 1, "REQUIRED": 2, "REPEATED": 3}
+#: BQ type -> FieldDescriptorProto.Type, chosen to match the wire types
+#: the pure-Python row encoder emits (streaming/proto.py::_SCALARS), so
+#: rows serialized there parse under this descriptor on the service side.
+_FD_TYPES = {
+    "BOOL": 8, "BOOLEAN": 8,
+    "INT64": 3, "INTEGER": 3,
+    "FLOAT64": 1, "FLOAT": 1,
+    "STRING": 9, "JSON": 9, "GEOGRAPHY": 9, "TIME": 9, "INTERVAL": 9,
+    "DATETIME": 9,
+    "BYTES": 12, "NUMERIC": 12, "BIGNUMERIC": 12,
+    "DATE": 5,
+    "TIMESTAMP": 3,
+}
+
+
+def serialized_descriptor_proto(bq_schema: dict, name: str = "Row") -> bytes:
+    """Serialized proto2 ``DescriptorProto`` derived from a BigQuery JSON
+    schema dict — the descriptor the Storage Write API's first
+    AppendRows request carries (reference:
+    ``client/BigQueryProtoClientProvider.java:45``'s
+    ``ProtoSchemaConverter`` role).
+
+    Hand-encoded with the same varint/length-delimited primitives as the
+    row encoder (``streaming/proto.py``), so it needs NO protobuf
+    runtime to BUILD; :class:`GoogleStorageWriteClient` parses it with
+    ``DescriptorProto.MergeFromString`` when the google packages are
+    present (``proto_descriptor_serialized=``).  Field numbers are
+    1-based schema order and types mirror ``proto.py::_SCALARS`` wire
+    choices, so rows encoded by :class:`~..streaming.proto
+    .ProtoRowSerializer` parse under this descriptor byte-for-byte."""
+    from .proto import _LEN, _VARINT, _tag, encode_varint
+
+    def enc_str(fnum: int, s: str) -> bytes:
+        b = s.encode("utf-8")
+        return _tag(fnum, _LEN) + encode_varint(len(b)) + b
+
+    def enc_varint(fnum: int, v: int) -> bytes:
+        return _tag(fnum, _VARINT) + encode_varint(v)
+
+    def build(schema: dict, msg_name: str, scope: str) -> bytes:
+        out = bytearray(enc_str(_DP_NAME, msg_name))
+        nested: list[bytes] = []
+        for i, f in enumerate(schema.get("fields", []), start=1):
+            ftype = f["type"].upper()
+            mode = (f.get("mode") or "NULLABLE").upper()
+            fd = bytearray(enc_str(_FD_NAME, f["name"]))
+            fd += enc_varint(_FD_NUMBER, i)
+            fd += enc_varint(_FD_LABEL, _LABELS.get(mode, 1))
+            if ftype in ("STRUCT", "RECORD"):
+                sub_name = f"F{i}"
+                fd += enc_varint(_FD_TYPE, 11)  # TYPE_MESSAGE
+                fd += enc_str(
+                    _FD_TYPE_NAME, f".{scope}{msg_name}.{sub_name}"
+                )
+                nested.append(
+                    build(
+                        {"fields": f.get("fields", [])},
+                        sub_name,
+                        f"{scope}{msg_name}.",
+                    )
+                )
+            else:
+                if ftype not in _FD_TYPES:
+                    raise ValueError(f"unsupported BigQuery type: {ftype}")
+                fd += enc_varint(_FD_TYPE, _FD_TYPES[ftype])
+            out += _tag(_DP_FIELD, _LEN) + encode_varint(len(fd)) + bytes(fd)
+        for sub in nested:
+            out += _tag(_DP_NESTED, _LEN) + encode_varint(len(sub)) + sub
+        return bytes(out)
+
+    return build(bq_schema, name, "")
+
+
 class GoogleStorageWriteClient:
     """:class:`StorageWriteClient` adapter over the public
     ``google.cloud.bigquery_storage_v1`` client.

@@ -150,3 +150,25 @@ class BucketedKeyedState:
         if not manifest:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*manifest.values())
+
+    def compact(self, spark, keep_predicate: str, batch_id: int) -> None:
+        """Rewrite EVERY live bucket keeping only rows matching
+        ``keep_predicate`` — the index-level TTL/compaction pass
+        (reference twin: the 7-day keyed-state TTL of
+        ``process/StreamStateHandler.java:33``, applied to the standing
+        index instead of per-stream state).
+
+        Consumers expire lazily on READ (their liveness filter), so a
+        compaction never changes query results — it reclaims the space
+        of rows no future read can match (dead rows otherwise persist
+        forever in buckets no later batch touches).  One full-index
+        rewrite under the same versioned-manifest discipline as a merge:
+        crash mid-compact leaves the old manifest intact; ``batch_id``
+        must exceed every merged batch so the replay guard still
+        orders."""
+        manifest = self._bucket_paths(self._manifest())
+        buckets = sorted(int(b) for b in manifest)
+        if not buckets:
+            return
+        live = self.read_buckets(spark, buckets).filter(keep_predicate)
+        self.write_buckets(live, batch_id, buckets)

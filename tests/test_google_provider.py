@@ -424,3 +424,92 @@ def test_construction_fails_fast_without_package():
     with pytest.raises(ImportError) as exc:
         GoogleBigQueryStorageClientProvider(project="p1")
     assert "google-cloud-bigquery-storage" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# serialized DescriptorProto derivation (no protobuf runtime needed)
+# ---------------------------------------------------------------------------
+
+
+def _walk_message(buf: bytes) -> list[tuple[int, int, object]]:
+    """Minimal proto wire walker: [(field_number, wire_type, value)]."""
+    out = []
+    i = 0
+    while i < len(buf):
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            out.append((fnum, wt, v))
+        elif wt == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            out.append((fnum, wt, buf[i : i + ln]))
+            i += ln
+        else:  # pragma: no cover - descriptor uses only varint/LEN
+            raise AssertionError(f"unexpected wire type {wt}")
+    return out
+
+
+def test_serialized_descriptor_proto_wire_shape():
+    """serialized_descriptor_proto emits a valid proto2 DescriptorProto:
+    schema-ordered 1-based field numbers, _SCALARS-matched types,
+    mode-mapped labels, nested RECORDs as nested_type + TYPE_MESSAGE."""
+    from flink_big_query_connector_spark.streaming.client_provider import (
+        serialized_descriptor_proto,
+    )
+
+    schema = {
+        "fields": [
+            {"name": "id", "type": "INT64", "mode": "REQUIRED"},
+            {"name": "v", "type": "STRING"},
+            {"name": "tags", "type": "STRING", "mode": "REPEATED"},
+            {
+                "name": "meta",
+                "type": "RECORD",
+                "fields": [{"name": "ts", "type": "TIMESTAMP"}],
+            },
+        ]
+    }
+    msg = _walk_message(serialized_descriptor_proto(schema))
+    names = [v for f, _, v in msg if f == 1]
+    assert names == [b"Row"]
+    fields = [dict(
+        (fn, val) for fn, _, val in _walk_message(v)
+    ) for f, _, v in msg if f == 2]
+    assert [f[1] for f in fields] == [b"id", b"v", b"tags", b"meta"]
+    assert [f[3] for f in fields] == [1, 2, 3, 4]         # numbers
+    assert [f[4] for f in fields] == [2, 1, 3, 1]         # labels
+    assert [f[5] for f in fields] == [3, 9, 9, 11]        # types
+    assert fields[3][6] == b".Row.F4"                     # nested type ref
+    nested = [v for f, _, v in msg if f == 3]
+    assert len(nested) == 1
+    sub = _walk_message(nested[0])
+    assert [v for f, _, v in sub if f == 1] == [b"F4"]
+    subfields = [dict((fn, val) for fn, _, val in _walk_message(v))
+                 for f, _, v in sub if f == 2]
+    assert [f[1] for f in subfields] == [b"ts"]
+    assert [f[5] for f in subfields] == [3]               # TIMESTAMP->int64

@@ -498,3 +498,47 @@ def test_url_admission_growing_index(spark, tmp_path):
         out_dir, 1,
     )
     assert state.last_batch() == last
+
+
+def test_url_admission_ttl_replay_deterministic(spark):
+    """Replaying the whole TTL-admission pipeline (fresh state/output/
+    checkpoint dirs each run — the registry call allocates its own) must
+    reproduce every decision bitwise: expiry is batch-sequence
+    arithmetic, never wall clock.  Also proves expiry actually bites —
+    an epoch >= 2 fetch re-ingests after its seed evidence expired."""
+    from flink_big_query_connector_spark.plans.streaming_queries import (
+        b24_stream_url_admission_ttl,
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in b24_stream_url_admission_ttl(spark, SF_DIR).collect()
+        )
+
+    one, two = run(), run()
+    assert one == two
+    epochs = {r[3] for r in one}
+    assert epochs == {1, 2, 3}
+    # seed evidence (epoch 0) is expired for every epoch >= 2 fetch with
+    # TTL=1: any such fetch whose only candidate was the seed re-ingests
+    assert any(r[3] >= 2 and r[6] == "ingest_new" for r in one)
+
+
+def test_keyed_state_compact_drops_only_dead_rows(spark, tmp_path):
+    """BucketedKeyedState.compact rewrites every live bucket under the
+    keep-predicate: surviving rows identical, dead rows gone, manifest
+    batch advanced, fully-dead buckets dropped from the manifest."""
+    from flink_big_query_connector_spark.streaming.keyed_state import (
+        BucketedKeyedState,
+    )
+
+    schema = "k string, v long, seen_batch long"
+    state = BucketedKeyedState(str(tmp_path / "st"), "k", schema, n_buckets=4)
+    rows = [(f"k{i}", i, i % 3) for i in range(24)]
+    df = spark.createDataFrame(rows, schema)
+    state.write_buckets(df, 1, state.touched_buckets(df))
+    state.compact(spark, "seen_batch >= 2", 2)
+    got = sorted(tuple(r) for r in state.read_all(spark).collect())
+    assert got == sorted(t for t in rows if t[2] >= 2)
+    assert state.last_batch() == 2
