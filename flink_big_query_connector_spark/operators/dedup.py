@@ -21,6 +21,8 @@ DuckDB oracle reproduces identical signatures, bands and pair sets.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +89,58 @@ def shingles_expr(toks: Column) -> Column:
 
 def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("shingles", shingles_expr(tokens_expr(F.col(text_col))))
+
+
+def shingles_pandas_expr(text_col: Column) -> Column:
+    """Arrow-batched twin of ``shingles_expr(tokens_expr(text))`` — the
+    r13 vectorization of the decontamination family's shared scan (the
+    doc_profile/BPE-encode pattern): tokenize + 3-gram-join run as one C
+    regex pass + a list comprehension per document instead of an
+    interpreted ``transform`` that calls ``element_at`` three times per
+    gram (and, fused under CollapseProject, can re-run the whole-document
+    regexp per reference — the with_token_boundary disease).
+
+    Bitwise parity: Python ``re`` and Java regex agree on '\\S+'; the
+    gram string is the same single-space join; short/NULL/empty docs
+    yield the empty array exactly like the ``when`` guard.  Verified
+    against the Catalyst form over the corpus + adversarial rows in
+    tests/test_llm_operators.py.  Zero-shuffle ArrowEvalPython
+    projection, same as the doc profile.
+
+    MEASURED AND NOT ADOPTED for the decontamination keys (r13, the
+    stage-3-numpy-twin epistemics): on the explode+distinct gram build
+    they share, the win is real but marginal — sf1 2.85 -> 2.30 s, sf10
+    9.3 -> 7.8 s warm — because the (doc, gram) DISTINCT shuffle, not
+    the interpreted gram fold, dominates that plan (unlike the
+    doc-profile family, whose plans are shuffle-free so the fold WAS
+    the cost).  Call sites therefore stay on the Catalyst form; this
+    pass is for pipelines whose scan is CPU-bound (e.g. shingling fused
+    with other Arrow work)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    k = SHINGLE_K
+
+    @pandas_udf("array<string>")
+    def _shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            out.append(
+                [
+                    " ".join(toks[i : i + k])
+                    for i in range(len(toks) - k + 1)
+                ]
+                if len(toks) >= k
+                else []
+            )
+        return pd.Series(out)
+
+    return _shingles(text_col)
 
 
 def with_token_boundary(

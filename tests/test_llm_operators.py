@@ -2163,3 +2163,33 @@ def test_semantic_dedup_trained_centroid_path(spark, sf_dir):
             if i < j
         )
         assert kept_j == (not has_lower_dup), j
+
+
+def test_shingles_pandas_bitwise_matches_catalyst(spark, sf_dir):
+    """The Arrow-vectorized shingle pass must produce the exact 3-gram
+    arrays of shingles_expr(tokens_expr(text)) — corpus + adversarial
+    rows (NULL/empty/short docs, unicode, runs of whitespace)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one two"),
+            (900004, "one two three"),
+            (900005, "  padded   tokens  here four  "),
+            (900006, "héllo wörld 漢字 again"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    rows = d.select(
+        "doc_id",
+        dedup.shingles_expr(dedup.tokens_expr(F.col("text"))).alias("a"),
+        dedup.shingles_pandas_expr(F.col("text")).alias("b"),
+    ).collect()
+    bad = [r["doc_id"] for r in rows if list(r["a"]) != list(r["b"])]
+    assert bad == []
