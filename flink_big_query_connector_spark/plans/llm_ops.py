@@ -6214,7 +6214,7 @@ def _nb_token_buckets(d: DataFrame) -> DataFrame:
     )
 
 
-def _nb_doc_scores(t) -> DataFrame:
+def _nb_doc_scores(t, train_even_only: bool = False) -> DataFrame:
     """Per-document (doc_id, n_tokens, nb_sum) under a multinomial
     Naive-Bayes log-count-ratio head TRAINED from the deterministic
     seed labeling (positives = the curated _NB_POS_SOURCES feeds,
@@ -6245,6 +6245,10 @@ def _nb_doc_scores(t) -> DataFrame:
     tokj = _nb_token_buckets(dedup.spread(t["documents"]))
     is_pos = F.col("source").isin(*_NB_POS_SOURCES)
     seed = tokj.filter(is_pos | (F.col("doc_id") % _NB_NEG_MOD == 0))
+    if train_even_only:
+        # held-out protocol (the llm_text_lm_heldout convention): train
+        # on even-id seed docs only; odd-id seeds stay unseen for eval
+        seed = seed.filter(F.col("doc_id") % 2 == 0)
     cnt = seed.groupBy("j").agg(
         F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("pos_cnt"),
         F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("neg_cnt"),
@@ -6284,8 +6288,10 @@ def _nb_doc_scores(t) -> DataFrame:
     )
 
 
-# DuckDB twin of _nb_doc_scores — CTEs reused by both trained keys.
-_SQL_NB_CTES = f"""
+# DuckDB twin of _nb_doc_scores — CTE template reused by the trained keys
+# (train_pred narrows the training seed, e.g. the held-out even-id split).
+def _sql_nb_ctes(train_pred: str = "TRUE") -> str:
+    return f"""
         d AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
         tokj AS MATERIALIZED (
           SELECT doc_id, source,
@@ -6293,8 +6299,9 @@ _SQL_NB_CTES = f"""
           FROM (SELECT doc_id, source, unnest(toks) AS tk FROM d)),
         seed AS (SELECT j, source IN {_NB_POS_SOURCES!r} AS pos
                  FROM tokj
-                 WHERE source IN {_NB_POS_SOURCES!r}
-                    OR doc_id % {_NB_NEG_MOD} = 0),
+                 WHERE (source IN {_NB_POS_SOURCES!r}
+                        OR doc_id % {_NB_NEG_MOD} = 0)
+                   AND {train_pred}),
         cnt AS (SELECT j,
                        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
                            AS pos_cnt,
@@ -6326,6 +6333,9 @@ _SQL_NB_CTES = f"""
           FROM tokj LEFT JOIN wts USING (j) CROSS JOIN w0
           GROUP BY doc_id)
 """
+
+
+_SQL_NB_CTES = _sql_nb_ctes()
 
 
 @register(
@@ -6474,6 +6484,87 @@ def llm_quality_cascade_trained(
         F.coalesce(F.col("nb_sum") > 0, F.lit(False)).alias("s2"),
     )
     return _cascade_stage3(t, sf_dir, base, "nb_score")
+
+
+@register(
+    "llm_quality_classifier_heldout",
+    oracle=f"""
+        WITH {_sql_nb_ctes("doc_id % 2 = 0")},
+        ev AS (SELECT doc_id,
+                      CASE WHEN source IN {_NB_POS_SOURCES!r}
+                           THEN 'pos' ELSE 'neg' END AS seed_label
+               FROM documents
+               WHERE (source IN {_NB_POS_SOURCES!r}
+                      OR doc_id % {_NB_NEG_MOD} = 0)
+                 AND doc_id % 2 = 1)
+        SELECT e.seed_label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(p.nb_sum > 0, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               {numeric.sql_round6(
+                   "CAST(SUM(CASE WHEN (e.seed_label = 'pos') = "
+                   "COALESCE(p.nb_sum > 0, FALSE) THEN 1 ELSE 0 END) "
+                   "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS accuracy
+        FROM ev e LEFT JOIN nbper p USING (doc_id)
+        GROUP BY e.seed_label
+    """,
+    tags=("text", "classifier", "training", "reporting"),
+)
+def llm_quality_classifier_heldout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HELD-OUT acceptance gate for the trained NB classifier — the
+    evaluation a production quality filter ships before it gates a
+    crawl: train on the EVEN-id half of the seed labeling
+    (llm_text_lm_heldout's protocol — the model never sees the docs it
+    is scored on), score the odd-id half, and report per-label
+    (n_docs, predicted keeps, accuracy).  A label whose held-out
+    accuracy collapses means the hashed-feature space or the seed
+    labeling is broken — this table is the gate that catches it before
+    the corpus filter runs.
+
+    Scale shape: identical to llm_quality_classifier_trained (two
+    integer training aggregates + broadcast model scoring) plus one
+    2-row label rollup; accuracy is an integer/integer ratio, so the
+    tie-safe floor rounding applies (the seed-202 class).
+
+    Expected READING on the synthetic fixture: pos accuracy is high and
+    neg accuracy near zero — the generator draws every source from the
+    same text distribution, so a token-distribution classifier CANNOT
+    separate a random-negative sample from the curated feeds, and the
+    gate correctly reports that (a real crawl's negatives differ
+    distributionally and score separably).  The oracle checks the exact
+    counts, not a quality threshold — the operator under test is the
+    evaluation machinery."""
+    t = load_tables(spark, sf_dir)
+    per = _nb_doc_scores(t, train_even_only=True).select(
+        "doc_id", "nb_sum"
+    )
+    d = t["documents"]
+    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
+    ev = d.filter(
+        (is_pos | (F.col("doc_id") % _NB_NEG_MOD == 0))
+        & (F.col("doc_id") % 2 == 1)
+    ).select(
+        "doc_id",
+        F.when(is_pos, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "seed_label"
+        ),
+    )
+    keep = F.coalesce(F.col("nb_sum") > 0, F.lit(False))
+    correct = F.when(F.col("seed_label") == "pos", keep).otherwise(~keep)
+    return (
+        ev.join(per, "doc_id", "left")
+        .groupBy("seed_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+            numeric.round6_expr(
+                F.sum(F.when(correct, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+        )
+    )
 
 
 _URL_MOD = 40  # path-bucket FLOOR of the synthetic URL fixture

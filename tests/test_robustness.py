@@ -27,6 +27,7 @@ BATCH_SWEEP = [
     "b01_scan_count",
     "llm_quality_classifier_trained",
     "llm_quality_cascade_trained",
+    "llm_quality_classifier_heldout",
     "llm_dedup_url_incremental",
     "llm_text_gopher_repetition",
     "llm_corpus_domain_contamination",
@@ -310,7 +311,8 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
 
 NULL_SWEEP = [
     "b03_filter",
-    "llm_quality_classifier_trained", "llm_quality_cascade_trained", "b18_linear_counting", "b18_kmv_intersection", "b08_q1_pricing_summary", "b10_snapshot_diff",
+    "llm_quality_classifier_trained", "llm_quality_cascade_trained",
+    "llm_quality_classifier_heldout", "b18_linear_counting", "b18_kmv_intersection", "b08_q1_pricing_summary", "b10_snapshot_diff",
     "b15_gap_fill_locf", "b16_winsorized_stats", "b17_json_extract",
     "b17_bad_records", "b17_explode_tokens",
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_simhash",
@@ -597,7 +599,8 @@ def test_streaming_result_is_partitioning_invariant(spark, sf_dir, name):
 # regex classes) is where engines classically diverge.
 UNICODE_SWEEP = [
     "llm_text_stats",
-    "llm_quality_classifier_trained", "llm_quality_cascade_trained", "llm_text_token_counts", "llm_text_fingerprint",
+    "llm_quality_classifier_trained", "llm_quality_cascade_trained",
+    "llm_quality_classifier_heldout", "llm_text_token_counts", "llm_text_fingerprint",
     "llm_text_langid", "llm_text_langid_confusion", "llm_text_tfidf",
     "llm_text_repetition", "llm_text_novelty", "llm_text_pii_scrub",
     "llm_text_inverted_index", "llm_text_bigram_lm", "llm_text_logprob",
