@@ -491,12 +491,21 @@ def lloyd_kmeans_centroids(
     partial aggregation over (cell, dim), and the collect is the
     k x dim model — KB-sized by construction.
     """
-    cents = fixed_centroids(emb_df, id_col, vec_col)
+    cents = fixed_centroids(emb_df, id_col, vec_col, k)
     if not cents:
         return cents
     dim = len(cents[0][1])
     for _ in range(iters):
-        cells = ivf_cells_with(emb_df, id_col, vec_col, cents)
+        # same literal-vs-broadcast path switch as semantic_dedup: past
+        # the plan-size bound the per-iteration assignment ships the
+        # model as a broadcast consumed by the Arrow pass
+        # (bitwise-identical fold — the ivf_cells_pandas parity test)
+        assign = (
+            ivf_cells_pandas
+            if len(cents) > SEMANTIC_LITERAL_MAX_CELLS
+            else ivf_cells_with
+        )
+        cells = assign(emb_df, id_col, vec_col, cents)
         agg = (
             cells.select(
                 "cell", F.posexplode(F.col("v")).alias("idx", "val")

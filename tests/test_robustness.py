@@ -91,6 +91,7 @@ BATCH_SWEEP = [
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash",
     "llm_dedup_semantic",
+    "llm_dedup_semantic_trained",
     "llm_dedup_span_removal",
     "llm_dedup_spans",
     "llm_ann_topk",
@@ -361,7 +362,8 @@ NULL_SWEEP = [
     "llm_ann_topk", "llm_ann_sq8", "llm_ann_sq8_rerank", "llm_ann_lsh_bucketed", "llm_dedup_lsh_eval",
     "llm_ann_ivf_probe", "llm_embedding_drift", "llm_embedding_project", "llm_ann_recall_eval",
     "llm_ann_recall_matrix",
-    "llm_dedup_semantic", "llm_ann_pq_encode", "llm_sample_cluster_balanced",
+    "llm_dedup_semantic", "llm_dedup_semantic_trained",
+    "llm_ann_pq_encode", "llm_sample_cluster_balanced",
     "llm_hybrid_rrf",
     # streaming replays over dirty events: NULL value/props rows must
     # aggregate and window identically to the batch oracle
