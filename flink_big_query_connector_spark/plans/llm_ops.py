@@ -6289,7 +6289,9 @@ def _nb_token_buckets(d: DataFrame) -> DataFrame:
     )
 
 
-def _nb_doc_scores(t, train_even_only: bool = False) -> DataFrame:
+def _nb_doc_scores(
+    t, train_even_only: bool = False, score_filter=None
+) -> DataFrame:
     """Per-document (doc_id, n_tokens, nb_sum) under a multinomial
     Naive-Bayes log-count-ratio head TRAINED from the deterministic
     seed labeling (positives = the curated _NB_POS_SOURCES feeds,
@@ -6351,8 +6353,11 @@ def _nb_doc_scores(t, train_even_only: bool = False) -> DataFrame:
             - ln9(F.lit(1), F.col("neg_tot") + dim)
         ).alias("w0")
     )
+    score_side = (
+        tokj if score_filter is None else tokj.filter(score_filter)
+    )
     return (
-        tokj.join(F.broadcast(w), "j", "left")
+        score_side.join(F.broadcast(w), "j", "left")
         .crossJoin(F.broadcast(w0))
         .select("doc_id", F.coalesce(F.col("w"), F.col("w0")).alias("we"))
         .groupBy("doc_id")
@@ -6612,9 +6617,20 @@ def llm_quality_classifier_heldout(
     counts, not a quality threshold — the operator under test is the
     evaluation machinery."""
     t = load_tables(spark, sf_dir)
-    per = _nb_doc_scores(t, train_even_only=True).select(
-        "doc_id", "nb_sum"
-    )
+    is_pos_f = F.col("source").isin(*_NB_POS_SOURCES)
+    # score-side pruning: only the odd-id seed slice is evaluated, so
+    # the scoring explode never touches the rest of the corpus (the
+    # left join would discard it anyway — same result, corpus-fraction
+    # less work at 100 TB; the oracle's nbper scores all docs and the
+    # final join selects the same slice, so hashes are unchanged)
+    per = _nb_doc_scores(
+        t,
+        train_even_only=True,
+        score_filter=(
+            (is_pos_f | (F.col("doc_id") % _NB_NEG_MOD == 0))
+            & (F.col("doc_id") % 2 == 1)
+        ),
+    ).select("doc_id", "nb_sum")
     d = t["documents"]
     is_pos = F.col("source").isin(*_NB_POS_SOURCES)
     ev = d.filter(
