@@ -91,7 +91,7 @@ def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("shingles", shingles_expr(tokens_expr(F.col(text_col))))
 
 
-def shingles_pandas_expr(text_col: Column) -> Column:
+def shingles_pandas_expr(text_col: Column, distinct: bool = False) -> Column:
     """Arrow-batched twin of ``shingles_expr(tokens_expr(text))`` — the
     r13 vectorization of the decontamination family's shared scan (the
     doc_profile/BPE-encode pattern): tokenize + 3-gram-join run as one C
@@ -115,7 +115,16 @@ def shingles_pandas_expr(text_col: Column) -> Column:
     doc-profile family, whose plans are shuffle-free so the fold WAS
     the cost).  Call sites therefore stay on the Catalyst form; this
     pass is for pipelines whose scan is CPU-bound (e.g. shingling fused
-    with other Arrow work)."""
+    with other Arrow work).
+
+    ADOPTED in optimization round r13 with ``distinct=True``: once the
+    decontamination family's global ``(doc_id, source, s).distinct()``
+    exchange is replaced by per-document dedup (legal because doc_id is
+    unique per row, so within-array dedup IS the (doc, gram) distinct),
+    the gram fold becomes the dominant cost and the Arrow form pays.
+    ``distinct=True`` dedups grams inside the same pass via
+    ``dict.fromkeys`` (first-occurrence order — deterministic, no
+    reliance on set/hash iteration order)."""
     import re as _re
 
     from pyspark.sql.functions import pandas_udf
@@ -125,12 +134,14 @@ def shingles_pandas_expr(text_col: Column) -> Column:
     token_re = _re.compile(TOKEN_RE)
     k = SHINGLE_K
 
+    dedupe = distinct
+
     @pandas_udf("array<string>")
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
         for raw in texts:
             toks = token_re.findall(raw) if isinstance(raw, str) else []
-            out.append(
+            grams = (
                 [
                     " ".join(toks[i : i + k])
                     for i in range(len(toks) - k + 1)
@@ -138,6 +149,7 @@ def shingles_pandas_expr(text_col: Column) -> Column:
                 if len(toks) >= k
                 else []
             )
+            out.append(list(dict.fromkeys(grams)) if dedupe else grams)
         return pd.Series(out)
 
     return _shingles(text_col)

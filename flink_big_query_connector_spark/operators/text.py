@@ -815,6 +815,120 @@ def doc_profile_pandas_expr(text_col: Column) -> Column:
     return _profile(text_col)
 
 
+REPETITION_PROFILE_SCHEMA = (
+    "n_words bigint, total_chars bigint, n_segments bigint, "
+    "dup_occ bigint, tot_sc bigint, dup_sc bigint, "
+    "topc2 bigint, topc3 bigint"
+)
+
+
+def repetition_profile_pandas_expr(text_col: Column, seg_tokens: int) -> Column:
+    """Arrow-batched per-document repetition profile — optimization r13's
+    single-pass twin of llm_text_gopher_repetition's five-shuffle
+    relational pipeline (two explode+groupBy gram counts, one segment
+    count, one per-doc window per gram width, three joins back to base).
+    Every output is a per-document integer depending ONLY on that
+    document's tokens, so the whole computation is row-local (guide
+    §2.4: the shuffles existed for the relational formulation, not the
+    data): one ArrowEvalPython projection, zero Exchange.
+
+      n_words      len of the '\\S+' token list
+      total_chars  len(' '.join(toks))  (array_join twin)
+      n_segments   ceil(n_words / seg_tokens) pseudo-paragraphs
+      dup_occ      occurrences of segments appearing >= 2 times
+      tot_sc       sum over segments of char length (every occurrence)
+      dup_sc       same, restricted to duplicated segments
+      topc2/topc3  count * len of the most frequent word 2-/3-gram
+                   (count desc, gram asc tie-break); NULL when the doc
+                   has fewer than 2/3 tokens (the old left-join NULL)
+
+    Bitwise parity with the Catalyst original: Python ``re`` and Java
+    regex agree on '\\S+'; ``len(str)`` counts code points like Spark
+    ``length``; tie-breaks use tuple ordering ``(-count, gram)`` which
+    equals the window's (c DESC, g ASC); NULL text profiles as the
+    empty document (tokens_expr COALESCE contract).  All fields exact
+    integers — the round6 ratio arithmetic stays in Catalyst, so the
+    float path is unchanged.  Verified field-by-field against the
+    relational form in tests/test_llm_operators.py."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(TOKEN_RE)
+    k = seg_tokens
+
+    @pandas_udf(REPETITION_PROFILE_SCHEMA)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        cols: dict = {
+            n: []
+            for n in (
+                "n_words",
+                "total_chars",
+                "n_segments",
+                "dup_occ",
+                "tot_sc",
+                "dup_sc",
+                "topc2",
+                "topc3",
+            )
+        }
+
+        def topc(toks, n):
+            if len(toks) < n:
+                return None
+            cnt = Counter(
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            )
+            # (c DESC, g ASC) winner — the window's total order
+            g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            return c * len(g)
+
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            nw = len(toks)
+            cols["n_words"].append(nw)
+            cols["total_chars"].append(
+                sum(len(t) for t in toks) + max(0, nw - 1)
+            )
+            if nw > 0:
+                segs = Counter(
+                    " ".join(toks[i : i + k]) for i in range(0, nw, k)
+                )
+                nseg = doc = tsc = dsc = 0
+                for seg, c in segs.items():
+                    ln = len(seg)
+                    nseg += c
+                    tsc += c * ln
+                    if c >= 2:
+                        doc += c
+                        dsc += c * ln
+                cols["n_segments"].append(nseg)
+                cols["dup_occ"].append(doc)
+                cols["tot_sc"].append(tsc)
+                cols["dup_sc"].append(dsc)
+            else:
+                cols["n_segments"].append(0)
+                cols["dup_occ"].append(0)
+                cols["tot_sc"].append(0)
+                cols["dup_sc"].append(0)
+            cols["topc2"].append(topc(toks, 2))
+            cols["topc3"].append(topc(toks, 3))
+        return pd.DataFrame(
+            {
+                # topc2/topc3 carry NULLs (short docs) -> object dtype
+                n: pd.Series(
+                    v, dtype="object" if n.startswith("topc") else "int64"
+                )
+                for n, v in cols.items()
+            }
+        )
+
+    return _rep(text_col)
+
+
 # -- BPE tokenizer training --------------------------------------------------
 
 BPE_DELIM = "\x01"  # symbol separator; cannot occur inside \S+ tokens? it

@@ -1558,21 +1558,36 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles — at 100 TB the scan streams once through a
     broadcast-hash semi join, no pair explosion.  (The canonical
     decontamination recipe — e.g. GPT-3 appendix C — uses 8-13-gram
-    collision against eval sets; gram size is a constant here.)"""
+    collision against eval sets; gram size is a constant here.)
+
+    Optimization r13 (guide §2.4, remove shuffles outright): the family's
+    old global ``(doc_id, source, s).distinct()`` exchange — measured as
+    the dominant sf10 cost of every decontamination key — is replaced by
+    per-document gram dedup inside the Arrow shingle pass
+    (``distinct=True``).  doc_id is unique per documents row (generator
+    invariant), so within-array dedup produces exactly the distinct
+    (doc, gram) pairs with ZERO shuffle; the only exchanges left are the
+    tiny bench-gram distinct and the map-combinable per-doc match count."""
     t = load_tables(spark, sf_dir)
     is_bench = F.col("source").isin("src0", "src1")
-    tok = dedup.spread(t["documents"]).select(
-        "doc_id", "source", dedup.tokens_expr(F.col("text")).alias("toks")
+    d = dedup.spread(t["documents"])
+    bench = (
+        d.filter(is_bench)
+        .select(
+            F.explode(
+                dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+            ).alias("s")
+        )
+        .distinct()
     )
-    grams = tok.select(
+    corpus = d.filter(~is_bench).select(
         "doc_id",
-        "source",
-        F.explode(dedup.shingles_expr(F.col("toks"))).alias("s"),
-    ).distinct()
-    bench = grams.filter(is_bench).select("s").distinct()
+        F.explode(
+            dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+        ).alias("s"),
+    )
     return (
-        grams.filter(~is_bench)
-        .join(F.broadcast(bench), "s")
+        corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "doc_id")
@@ -6976,7 +6991,15 @@ def llm_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     through two broadcast-hash semi joins with zero pair explosion, and
     the existing snapshot is NOT rescanned at ingest time (its ledger
     and gram set are reusable artifacts; they are recomputed here only
-    so the registry query is self-contained and deterministic)."""
+    so the registry query is self-contained and deterministic).
+
+    Optimization r13 (guide §2.4): the global (doc, source, gram)
+    DISTINCT exchange is gone — per-doc gram dedup happens row-locally
+    inside the Arrow shingle pass (doc_id unique per row, so
+    within-array dedup IS the (doc, gram) distinct; see
+    llm_decontaminate).  The persisted corpus gram relation is now
+    produced by a zero-shuffle projection; remaining exchanges are the
+    small bench/proxy distincts and map-combinable per-doc counts."""
     from ..cache import scoped_persist
 
     t = load_tables(spark, sf_dir)
@@ -6986,9 +7009,9 @@ def llm_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id",
             "source",
             F.explode(
-                dedup.shingles_expr(dedup.tokens_expr(F.col("text")))
+                dedup.shingles_pandas_expr(F.col("text"), distinct=True)
             ).alias("s"),
-        ).distinct()
+        )
     )
     is_bench = F.col("source").isin("src0", "src1")
     bench = grams.filter(is_bench).select("s").distinct()
@@ -7405,88 +7428,27 @@ def llm_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "top n-gram character fraction" family.
 
     Complements llm_text_dup_ngrams (coverage of ALL duplicated 5-grams)
-    with the occurrence-ratio and top-gram rules.  Scale shape: segments
-    and grams explode to (doc, unit) rows and aggregate by hash — the
-    relational shape, never nested higher-order lambdas (the projection-
-    collapse hang class); the top-gram pick is a PARTITIONED window over
-    per-doc gram counts; every ratio is a small-integer division rounded
-    via the tie-safe floor form."""
-    from pyspark.sql.window import Window
+    with the occurrence-ratio and top-gram rules.
 
+    Scale shape — rewritten in optimization r13 (guide §2.4): every
+    output here is a per-document integer depending only on that
+    document's own tokens, so the old relational pipeline (two
+    explode+groupBy gram counts, a segment groupBy, a per-doc window per
+    gram width, three joins back to base — five Exchanges) computed a
+    row-local function with shuffles.  All integer features now come
+    from ONE Arrow-batched projection
+    (``text.repetition_profile_pandas_expr``, the doc-profile pattern);
+    the ratio arithmetic below is byte-identical to the old final
+    select, so the float path is unchanged.  Zero Exchange."""
     t = load_tables(spark, sf_dir)
-    toks = text.tokens_expr(F.col("text"))
-    base = dedup.spread(t["documents"]).select(
+    out = dedup.spread(t["documents"]).select(
         "doc_id",
-        toks.alias("toks"),
-        F.size(toks).cast("long").alias("n_words"),
-        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
-    )
-    nseg = F.expr(f"CAST((size(toks) + {_SEG_TOKENS - 1}) "
-                  f"div {_SEG_TOKENS} AS INT)")
-    segs = base.filter(F.size("toks") > 0).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice(
-                        F.col("toks"),
-                        i * _SEG_TOKENS + 1,
-                        _SEG_TOKENS,
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("seg"),
-    )
-    sc = segs.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("c"))
-    seg_len = F.length(F.col("seg")).cast("long")
-    pd_ = sc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_segments"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("dup_occ"),
-        F.sum(F.col("c") * seg_len).cast("long").alias("tot_sc"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * seg_len).otherwise(0)
-        )
-        .cast("long")
-        .alias("dup_sc"),
-    )
-
-    def topgram(n: int) -> DataFrame:
-        grams = base.filter(F.size("toks") >= n).select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.array_join(
-                        F.slice(F.col("toks"), i, n), " "
-                    ),
-                )
-            ).alias("g"),
-        )
-        cnt = grams.groupBy("doc_id", "g").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
-        return (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (F.col("c") * F.length(F.col("g")).cast("long")).alias(
-                    f"topc{n}"
-                ),
-            )
-        )
+        text.repetition_profile_pandas_expr(
+            F.col("text"), _SEG_TOKENS
+        ).alias("p"),
+    ).select("doc_id", "p.*")
 
     zero6 = F.lit(0.0)
-    out = (
-        base.join(pd_, "doc_id", "left")
-        .join(topgram(2), "doc_id", "left")
-        .join(topgram(3), "doc_id", "left")
-    )
     frac = lambda num, den: numeric.round6_expr(  # noqa: E731
         num.cast("double") / den.cast("double")
     )
@@ -7602,17 +7564,27 @@ def llm_corpus_domain_contamination(
             F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
         ).alias("canon_host"),
     )
-    grams = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            dedup.shingles_expr(dedup.tokens_expr(F.col("text")))
-        ).alias("s"),
-    ).distinct()
+    # r13: per-doc Arrow gram dedup replaces the global (doc, gram)
+    # DISTINCT exchange — this family's dominant sf10 cost (guide §2.4);
+    # see llm_decontaminate for the doc_id-uniqueness argument
     is_bench = F.col("source").isin("src0", "src1")
-    bench = grams.filter(is_bench).select("s").distinct()
+    bench = (
+        d.filter(is_bench)
+        .select(
+            F.explode(
+                dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+            ).alias("s")
+        )
+        .distinct()
+    )
     shared = (
-        grams.filter(~is_bench)
+        d.filter(~is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+            ).alias("s"),
+        )
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bench"))
@@ -8045,17 +8017,26 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     is_bench = F.col("source").isin("src0", "src1")
-    tok = dedup.spread(t["documents"]).select(
-        "doc_id", "source", dedup.tokens_expr(F.col("text")).alias("toks")
+    d = dedup.spread(t["documents"])
+    # r13: per-doc Arrow gram dedup replaces the global (doc, gram)
+    # DISTINCT exchange (guide §2.4); the bloom probe now tests bits on
+    # a zero-shuffle projection — see llm_decontaminate
+    bench = (
+        d.filter(is_bench)
+        .select(
+            F.explode(
+                dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+            ).alias("s")
+        )
+        .distinct()
     )
-    grams = tok.select(
-        "doc_id",
-        "source",
-        F.explode(dedup.shingles_expr(F.col("toks"))).alias("s"),
-    ).distinct()
-    bench = grams.filter(is_bench).select("s").distinct()
     words = bloom_build(bench, F.col("s"))
-    corpus = grams.filter(~is_bench).select("doc_id", "s")
+    corpus = d.filter(~is_bench).select(
+        "doc_id",
+        F.explode(
+            dedup.shingles_pandas_expr(F.col("text"), distinct=True)
+        ).alias("s"),
+    )
     survivors = bloom_prune(corpus, F.col("s"), words)
     return (
         survivors.join(F.broadcast(bench), "s")
