@@ -1156,6 +1156,89 @@ def ivf_cells_pandas(
     return spread(emb_df).mapInPandas(assign, out_schema)
 
 
+def _semantic_cell_verdicts(id_col: str, threshold: float):
+    """Grouped-Arrow within-cell verdict pass for :func:`semantic_dedup`
+    (optimization r13).  Per cell: a vector is kept iff no lower-id
+    neighbor has ``round(cos, 6) >= threshold`` — identical to the old
+    self-join + distinct + left-join, computed vectorized.
+
+    Bitwise parity with the Catalyst pair pipeline is engineered:
+
+    - dot products and squared norms accumulate DIM-SEQUENTIALLY
+      (``acc = acc + v_d * w_d`` left to right, 0.0 init) — per pair the
+      exact IEEE op sequence of ``F.aggregate``'s fold, just vectorized
+      ACROSS pairs; ``np.sqrt`` is correctly rounded like Math.sqrt, and
+      ``dot / (na * nb)`` multiplies norms first exactly like the old
+      pair filter.
+    - the 6dp HALF_UP round only matters within ~5e-7 of the threshold:
+      pairs clearly above/below short-circuit in numpy; the (empirically
+      empty — cosines are irrational-ish) border band replays Spark's
+      exact semantics, ``BigDecimal.valueOf(x).setScale(6, HALF_UP)``
+      via ``Decimal(repr(x)).quantize`` (both shortest-repr decimal),
+      then compares as double.
+    - NaN (zero-norm degenerate) counts as above-threshold — Spark
+      orders NaN above every double and ``round`` passes NaN through.
+    """
+    import numpy as np
+
+    thr = float(threshold)
+
+    def fn(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        out_kept = np.ones(n, dtype=bool)
+        if n > 1:
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            dim = V.shape[1]
+            acc = np.zeros(n)
+            for d in range(dim):
+                c = V[:, d]
+                acc = acc + c * c
+            norms = np.sqrt(acc)
+            q6 = Decimal("0.000001")
+            blk = 1024
+            for j0 in range(1, n, blk):
+                j1 = min(j0 + blk, n)
+                pacc = np.zeros((j1 - j0, n))
+                for d in range(dim):
+                    pacc = pacc + V[j0:j1, d][:, None] * V[None, :, d]
+                cos = pacc / (norms[j0:j1][:, None] * norms[None, :])
+                mask = (
+                    np.arange(n)[None, :]
+                    < np.arange(j0, j1)[:, None]
+                )
+                nan = np.isnan(cos)
+                over = (cos >= thr + 2e-6) | nan
+                border = (
+                    mask & ~over & ~nan & (cos > thr - 2e-6)
+                )
+                for bj, bi in zip(*np.nonzero(border)):
+                    x = float(cos[bj, bi])
+                    q = Decimal(repr(x)).quantize(
+                        q6, rounding=ROUND_HALF_UP
+                    )
+                    if float(q) >= thr:
+                        over[bj, bi] = True
+                out_kept[j0:j1] &= ~(mask & over).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": out_kept,
+            }
+        )
+
+    return fn
+
+
 def semantic_dedup(
     emb_df: DataFrame,
     id_col: str,
@@ -1195,8 +1278,6 @@ def semantic_dedup(
     in :func:`kmeans_centroids` with no plan-shape change.  Returns
     (id, cell, kept) for every input vector.
     """
-    from ..functions.vectors import dot_product_expr, norm_expr
-
     # one cheap count job decides k (callers that already know the
     # corpus size pass n_vectors — e.g. the registry plan's memoized
     # cache.plan_count — so no extra job runs); the oracle recomputes
@@ -1220,46 +1301,21 @@ def semantic_dedup(
         if len(cents) > SEMANTIC_LITERAL_MAX_CELLS
         else ivf_cells_with
     )
-    # Per-row norms materialize ONCE into the persisted cells: the
-    # within-cell pair filter then computes dot/(na*nb) — bitwise the
-    # same value as cosine_similarity_expr (identical IEEE ops, the norms
-    # just aren't recomputed per pair), at a third of the pair work.
-    cells = scoped_persist(
-        assign(emb_df, id_col, vec_col, cents).withColumn(
-            "vnorm", norm_expr(F.col("v"))
-        )
-    )
-    a = cells.select(
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("vnorm").alias("na"),
-        "cell",
-    )
-    b = cells.select(
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("vnorm").alias("nb"),
-        "cell",
-    )
-    pair_cos = dot_product_expr(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(pair_cos, 6) >= F.lit(threshold))
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
-    return (
-        cells.select(id_col, "cell")
-        .join(dropped, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
-        )
+    # Optimization r13 (guide §4.2): the within-cell pair work — the
+    # dominant cost of both semantic keys at sf10 — used to run as a
+    # cell self-join whose 64-dim dot products evaluated as INTERPRETED
+    # Catalyst folds (~N x 512 pairs x dim per-element lambda calls).
+    # Each cell's verdicts are independent of every other cell, so the
+    # pairs now compute inside one grouped Arrow pass per cell
+    # (applyInPandas), vectorized over pairs while keeping the exact
+    # JVM fold order per pair — see _semantic_cell_verdicts.  This also
+    # deletes the dropped-set distinct and the kept left-join (the
+    # verdict leaves the pass finished) and with them the persisted
+    # double consumption of the assignment output.
+    cells = assign(emb_df, id_col, vec_col, cents)
+    return cells.select(id_col, "v", "cell").groupBy("cell").applyInPandas(
+        _semantic_cell_verdicts(id_col, threshold),
+        schema=f"{id_col} long, cell long, kept boolean",
     )
 
 

@@ -815,6 +815,94 @@ def doc_profile_pandas_expr(text_col: Column) -> Column:
     return _profile(text_col)
 
 
+def nb_bucket_counts_pandas_expr(text_col: Column) -> Column:
+    """Arrow-batched per-document hashed-token bucket COUNTS — the
+    optimization-r13 twin of the NB family's per-occurrence explode
+    (``_nb_token_buckets``): instead of one row per token occurrence
+    with an md5+conv per occurrence, one vectorized pass counts tokens
+    per document (C regex + Counter), hashes each UNIQUE token once per
+    worker (the doc-profile memo), and emits the per-doc (bucket,
+    count) pairs.  Downstream aggregates switch COUNT(*) -> SUM(c) and
+    SUM(w) -> SUM(w * c) — exact integer/decimal arithmetic, so scores
+    are bitwise unchanged while the exploded row count drops from token
+    occurrences to distinct buckets per document and the md5 cost drops
+    to once per vocabulary word per worker.
+
+    Bucket parity: ``int(md5(utf8)[:15], 16) % CLASSIFIER_DIM`` is the
+    same integer as ``conv(substring(md5(tk), 1, 15), 16, 10) % dim``
+    (hash60_expr) — both operands nonnegative.  NULL/empty text yields
+    the empty array (tokens_expr COALESCE contract; explode drops the
+    row, exactly like the old explode of zero tokens)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(TOKEN_RE)
+    dim = CLASSIFIER_DIM
+
+    @pandas_udf("array<struct<j: bigint, c: bigint>>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        import hashlib
+        from collections import Counter
+
+        memo: dict = {}  # token -> bucket, per worker
+
+        def bucket(t):
+            j = memo.get(t)
+            if j is None:
+                j = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+                memo[t] = j
+            return j
+
+        out = []
+        for raw in texts:
+            s = raw if isinstance(raw, str) else ""
+            per: Counter = Counter()
+            for t, c in Counter(token_re.findall(s)).items():
+                per[bucket(t)] += c
+            out.append([(j, c) for j, c in per.items()])
+        return pd.Series(out)
+
+    return _buckets(text_col)
+
+
+def query_tf_pandas_expr(text_col: Column, qwords: list[str]) -> Column:
+    """Arrow-batched per-document (dl, tf-per-query-term) — optimization
+    r13's BM25 scoring input.  The query-term list is model-sized (the
+    3 collected top-df words), so it ships in the UDF closure and the
+    pass returns ONLY int64 columns: document length plus the exact
+    term frequency of each query word.  No strings cross the Python
+    boundary (an earlier variant returning full (word, tf) postings
+    spent ~49 s at sf10 just serializing them), nothing corpus-sized
+    shuffles, and tf/dl are exact integers so the decimal scoring
+    arithmetic downstream is bitwise unchanged."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(TOKEN_RE)
+    qws = list(qwords)
+    fields = ", ".join(
+        ["dl bigint"] + [f"tf{i} bigint" for i in range(len(qws))]
+    )
+
+    @pandas_udf(f"struct<{fields}>")
+    def _qtf(texts: pd.Series) -> pd.DataFrame:
+        cols: dict = {"dl": []}
+        for i in range(len(qws)):
+            cols[f"tf{i}"] = []
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            cols["dl"].append(len(toks))
+            for i, w in enumerate(qws):
+                cols[f"tf{i}"].append(toks.count(w))
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in cols.items()}
+        )
+
+    return _qtf(text_col)
+
+
 REPETITION_PROFILE_SCHEMA = (
     "n_words bigint, total_chars bigint, n_segments bigint, "
     "dup_occ bigint, tot_sc bigint, dup_sc bigint, "

@@ -5842,57 +5842,96 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the top-20.  Exactness: each (doc, term) partial rounds its
     ln-idf to 9dp and the whole term score to 9dp DECIMAL before the
     per-doc sum (the llm_text_logprob discipline), so ranking is
-    hash-exact cross-engine.  Scale shape: postings build as two
-    map-combinable aggregations (tf, df); the query-term set and the
-    (N, total_dl) stats are model-sized broadcasts; scoring touches only
-    postings of query terms — the inverted-index access pattern, never a
-    corpus scan per query."""
+    hash-exact cross-engine.
+
+    Scale shape — rewritten in optimization r13 (guide §2.3/§2.4/§4.2):
+    the old postings build shuffled EVERY distinct (doc, word) pair with
+    its word string through a global groupBy, joined dl on another
+    exchange — and tokenized the corpus once per consumer (measured
+    8-16 s per JVM regexp pass at sf10).  Now:
+
+      pass 1  df over per-doc DISTINCT words (row-local array_distinct
+              below the explode — no (doc, word) exchange, the vocab
+              aggregate map-combines) -> the 3 query terms COLLECT to
+              the driver (3 rows: the collect-IS-the-model idiom, like
+              IVF centroids / bloom words);
+      pass 2  ONE integer-only Arrow pass computes (dl, tf of each
+              query term) per document — no strings cross the Python
+              boundary, nothing corpus-sized shuffles, and the tiny
+              (doc_id, dl, tf x 3) relation persists for the stats
+              aggregate + scoring (both consumers read ~20 MB);
+      score   per-term decimal contributions as ROW-WISE expressions
+              with the dfx literals — the old per-(doc, term) exchange
+              and groupBy sum collapse into a projection (decimal
+              addition is exact in any association), then the pinned
+              TakeOrderedAndProject top-K."""
     from pyspark.sql.types import DecimalType
     from pyspark.sql.window import Window
 
+    from ..cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
+    d = dedup.spread(t["documents"])
     toks = text.tokens_expr(F.col("text"))
-    d = (
-        t["documents"]
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
+    dft = (
+        d.select(F.explode(F.array_distinct(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dfx"))
     )
-    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    words = d.select("doc_id", F.explode("toks").alias("w"))
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfx"))
-    q = dft.orderBy(F.col("dfx").desc(), "w").limit(3)
-    stats = dl.agg(
+    qrows = dft.orderBy(F.col("dfx").desc(), "w").limit(3).collect()
+    qterms = [(r["w"], int(r["dfx"])) for r in qrows]
+    prof = scoped_persist(
+        d.select(
+            "doc_id",
+            text.query_tf_pandas_expr(
+                F.col("text"), [w for w, _ in qterms]
+            ).alias("p"),
+        )
+        .select("doc_id", "p.*")
+        .filter(F.col("dl") > 0)
+    )
+    stats = prof.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(
-            ((F.col("n_docs") - F.col("dfx")).cast("double") + F.lit(0.5))
-            / (F.col("dfx").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        9,
-    )
-    part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+    zero_dec = F.lit(0).cast(DecimalType(20, 9))
+
+    def term_st(i: int, dfx: int):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.round(
+            F.log(
+                ((F.col("n_docs") - F.lit(dfx)).cast("double") + F.lit(0.5))
+                / (F.lit(dfx).cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            9,
         )
-    )
-    scored = (
-        tf.join(F.broadcast(q), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(idf * part, 9).cast(DecimalType(20, 9)).alias("st"),
+        part = (tf * F.lit(_BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+            )
         )
+        # a term absent from the doc contributed NO row to the old
+        # per-(doc, term) sum — the exact-zero decimal is the identity
+        return F.when(
+            F.col(f"tf{i}") > 0,
+            F.round(idf * part, 9).cast(DecimalType(20, 9)),
+        ).otherwise(zero_dec)
+
+    s_expr = zero_dec
+    any_tf = F.lit(False)
+    for i, (_, dfx) in enumerate(qterms):
+        s_expr = s_expr + term_st(i, dfx)
+        any_tf = any_tf | (F.col(f"tf{i}") > 0)
+    per = (
+        prof.crossJoin(F.broadcast(stats))
+        .filter(any_tf)
+        .select("doc_id", s_expr.alias("s"))
     )
-    per = scored.groupBy("doc_id").agg(F.sum("st").alias("s"))
     # global top-K via TakeOrderedAndProject (per-partition top-K, K-row
     # merge — the pinned b12_topk shape), then rank only the K survivors:
     # identical ranks to a global row_number because the top-K rows ARE
@@ -6286,22 +6325,21 @@ _NB_NEG_MOD = 17  # negative seed: every 17th non-reference document
 
 
 def _nb_token_buckets(d: DataFrame) -> DataFrame:
-    """(doc_id, source, j): one row per token OCCURRENCE, j = the md5
-    feature-hash bucket (the classifier_score_expr hashing trick —
-    identical bucket ids, so the trained and fixed-weight classifiers
-    share a feature space)."""
-    from ..operators.hashing import hash60_expr
-
-    toks = text.tokens_expr(F.col("text"))
+    """(doc_id, source, j, c): per-document md5 feature-hash bucket
+    COUNTS (the classifier_score_expr hashing trick — identical bucket
+    ids, so the trained and fixed-weight classifiers share a feature
+    space).  Optimization r13: was one row + one md5 per token
+    OCCURRENCE; now one Arrow pass per document (md5 once per unique
+    token per worker, rows = distinct buckets per doc) — downstream
+    aggregates weigh by ``c``, bitwise-identical integer/decimal
+    arithmetic (see text.nb_bucket_counts_pandas_expr)."""
     return d.select(
-        "doc_id", "source", F.explode(toks).alias("tk")
-    ).select(
         "doc_id",
         "source",
-        (hash60_expr(F.col("tk")) % text.CLASSIFIER_DIM)
-        .cast("long")
-        .alias("j"),
-    )
+        F.explode(
+            text.nb_bucket_counts_pandas_expr(F.col("text"))
+        ).alias("jc"),
+    ).select("doc_id", "source", F.col("jc.j").alias("j"), F.col("jc.c").alias("c"))
 
 
 def _nb_doc_scores(
@@ -6342,8 +6380,12 @@ def _nb_doc_scores(
         # on even-id seed docs only; odd-id seeds stay unseen for eval
         seed = seed.filter(F.col("doc_id") % 2 == 0)
     cnt = seed.groupBy("j").agg(
-        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("pos_cnt"),
-        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("neg_cnt"),
+        F.sum(F.when(is_pos, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("pos_cnt"),
+        F.sum(F.when(is_pos, 0).otherwise(F.col("c")))
+        .cast("long")
+        .alias("neg_cnt"),
     )
     tot = cnt.agg(
         F.sum("pos_cnt").cast("long").alias("pos_tot"),
@@ -6374,10 +6416,22 @@ def _nb_doc_scores(
     return (
         score_side.join(F.broadcast(w), "j", "left")
         .crossJoin(F.broadcast(w0))
-        .select("doc_id", F.coalesce(F.col("w"), F.col("w0")).alias("we"))
+        .select(
+            "doc_id",
+            "c",
+            # per-bucket weight * integer count == the old sum of the
+            # weight repeated c times — exact in the decimal domain.
+            # c must be DECIMAL(10,0): a BIGINT operand makes the
+            # product DECIMAL(41,9) > 38 and Spark TRUNCATES the scale
+            # (allowPrecisionLoss); (20,9)x(10,0) -> (31,9) stays exact
+            (
+                F.coalesce(F.col("w"), F.col("w0"))
+                * F.col("c").cast(DecimalType(10, 0))
+            ).alias("we"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_tokens"),
             F.sum("we").alias("nb_sum"),
         )
     )
@@ -6993,31 +7047,36 @@ def llm_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     and gram set are reusable artifacts; they are recomputed here only
     so the registry query is self-contained and deterministic).
 
-    Optimization r13 (guide §2.4): the global (doc, source, gram)
+    Optimization r13 (guide §2.3/§2.4): the global (doc, source, gram)
     DISTINCT exchange is gone — per-doc gram dedup happens row-locally
     inside the Arrow shingle pass (doc_id unique per row, so
     within-array dedup IS the (doc, gram) distinct; see
-    llm_decontaminate).  The persisted corpus gram relation is now
-    produced by a zero-shuffle projection; remaining exchanges are the
-    small bench/proxy distincts and map-combinable per-doc counts."""
+    llm_decontaminate) — and so is the round-1 scoped_persist of EVERY
+    corpus gram row (materializing + re-reading ~50M gram strings cost
+    more than the Arrow re-fold it saved; each branch now folds only
+    its own slice, the filters sitting below the UDF).  Only the small
+    bench gram set persists (it feeds three probes).  The two
+    new-snapshot probes (bench + proxy) fused into ONE broadcast union
+    — a single pass over the new snapshot, one map-combined aggregate
+    producing both counts, and the old nb-vs-np FULL OUTER join
+    exchange is gone (a doc's two counts now come out of one row)."""
     from ..cache import scoped_persist
 
     t = load_tables(spark, sf_dir)
     d = dedup.spread(t["documents"])
-    grams = scoped_persist(
-        d.select(
+    is_bench = F.col("source").isin("src0", "src1")
+
+    def grams_of(pred):
+        return d.filter(pred).select(
             "doc_id",
-            "source",
             F.explode(
                 dedup.shingles_pandas_expr(F.col("text"), distinct=True)
             ).alias("s"),
         )
-    )
-    is_bench = F.col("source").isin("src0", "src1")
-    bench = grams.filter(is_bench).select("s").distinct()
-    corpus = grams.filter(~is_bench)
-    existing = corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id", "s")
-    new = corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "s")
+
+    bench = scoped_persist(grams_of(is_bench).select("s").distinct())
+    existing = grams_of(~is_bench & (F.col("doc_id") % 2 == 0))
+    new = grams_of(~is_bench & (F.col("doc_id") % 2 == 1))
     contam = existing.join(F.broadcast(bench), "s").select("doc_id").distinct()
     proxy = (
         existing.join(F.broadcast(contam), "doc_id")
@@ -7025,27 +7084,29 @@ def llm_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
         .join(F.broadcast(bench), "s", "left_anti")
     )
-    nb = (
-        new.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bench"))
+    probes = bench.select("s", F.lit(True).alias("is_b")).unionByName(
+        proxy.select("s", F.lit(False).alias("is_b"))
     )
-    np_ = (
-        new.join(F.broadcast(proxy), "s")
+    counts = (
+        new.join(F.broadcast(probes), "s")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_proxy"))
-    )
-    zero = F.lit(0).cast("long")
-    return nb.join(np_, "doc_id", "full").select(
-        "doc_id",
-        F.coalesce(F.col("n_bench"), zero).alias("n_bench"),
-        F.coalesce(F.col("n_proxy"), zero).alias("n_proxy"),
-        F.when(
-            (F.coalesce(F.col("n_bench"), zero) > 0)
-            & (F.coalesce(F.col("n_proxy"), zero) > 0),
-            F.lit("both"),
+        .agg(
+            F.sum(F.when(F.col("is_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bench"),
+            F.sum(F.when(F.col("is_b"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_proxy"),
         )
-        .when(F.coalesce(F.col("n_bench"), zero) > 0, F.lit("bench"))
+    )
+    return counts.select(
+        "doc_id",
+        "n_bench",
+        "n_proxy",
+        F.when(
+            (F.col("n_bench") > 0) & (F.col("n_proxy") > 0), F.lit("both")
+        )
+        .when(F.col("n_bench") > 0, F.lit("bench"))
         .otherwise(F.lit("proxy"))
         .alias("via"),
     )
@@ -8013,6 +8074,7 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen bit arithmetic on the scan, the shuffle carries
     only bloom-surviving (doc_id, gram) pairs, and the bench set is
     read once to build 32 KB of state."""
+    from ..cache import scoped_persist
     from ..operators.bloom import bloom_build, bloom_prune
 
     t = load_tables(spark, sf_dir)
@@ -8020,8 +8082,12 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.spread(t["documents"])
     # r13: per-doc Arrow gram dedup replaces the global (doc, gram)
     # DISTINCT exchange (guide §2.4); the bloom probe now tests bits on
-    # a zero-shuffle projection — see llm_decontaminate
-    bench = (
+    # a zero-shuffle projection — see llm_decontaminate.  The bench
+    # gram set persists because it feeds TWO jobs (the bloom build
+    # collect and the exact-verify broadcast) — without the cache the
+    # bench-side scan + distinct runs twice (measured ~8.5 s each at
+    # sf10)
+    bench = scoped_persist(
         d.filter(is_bench)
         .select(
             F.explode(

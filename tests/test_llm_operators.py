@@ -2193,3 +2193,159 @@ def test_shingles_pandas_bitwise_matches_catalyst(spark, sf_dir):
     ).collect()
     bad = [r["doc_id"] for r in rows if list(r["a"]) != list(r["b"])]
     assert bad == []
+
+
+def test_shingles_pandas_distinct_is_per_doc_gram_distinct(spark, sf_dir):
+    """distinct=True (the r13 decontamination rewrite) must equal the
+    per-document DISTINCT of the plain gram list — same gram SET, no
+    duplicates, deterministic first-occurrence order."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, "a b c a b c a b c"),          # heavy gram repetition
+            (900003, "x y z x y z w x y z"),
+            (900004, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    rows = d.select(
+        "doc_id",
+        dedup.shingles_pandas_expr(F.col("text")).alias("plain"),
+        dedup.shingles_pandas_expr(F.col("text"), distinct=True).alias(
+            "dedup"
+        ),
+    ).collect()
+    for r in rows:
+        plain, ded = list(r["plain"]), list(r["dedup"])
+        assert ded == list(dict.fromkeys(plain)), r["doc_id"]
+        assert len(ded) == len(set(plain)), r["doc_id"]
+
+
+def test_repetition_profile_pandas_matches_relational(spark, sf_dir):
+    """The r13 single-pass Arrow repetition profile must reproduce,
+    integer for integer, the relational pipeline it replaced in
+    llm_text_gopher_repetition (segment counts via explode+groupBy,
+    top-gram via per-doc window) — corpus + adversarial rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_big_query_connector_spark.operators import dedup, text as T
+
+    seg_tokens = 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one"),
+            (900004, "one two"),
+            (900005, "a a a a a a a a a a a a a a a a a a a a"),  # dup segs
+            (900006, "tie tie bye bye zz"),  # top-2gram count tie
+            (900007, "héllo wörld 漢字 héllo wörld"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+
+    toks = T.tokens_expr(F.col("text"))
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+    )
+    nseg = F.expr(
+        f"CAST((size(toks) + {seg_tokens - 1}) div {seg_tokens} AS INT)"
+    )
+    segs = base.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * seg_tokens + 1, seg_tokens),
+                    " ",
+                ),
+            )
+        ).alias("seg"),
+    )
+    sc = segs.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("c"))
+    seg_len = F.length(F.col("seg")).cast("long")
+    pd_ = sc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_occ"),
+        F.sum(F.col("c") * seg_len).cast("long").alias("tot_sc"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * seg_len).otherwise(0))
+        .cast("long")
+        .alias("dup_sc"),
+    )
+
+    def topgram(n):
+        grams = base.filter(F.size("toks") >= n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+                )
+            ).alias("g"),
+        )
+        cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("c") * F.length(F.col("g")).cast("long")).alias(
+                    f"topc{n}"
+                ),
+            )
+        )
+
+    expected = {
+        r["doc_id"]: r
+        for r in base.join(pd_, "doc_id", "left")
+        .join(topgram(2), "doc_id", "left")
+        .join(topgram(3), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "total_chars",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
+            F.coalesce("tot_sc", F.lit(0)).alias("tot_sc"),
+            F.coalesce("dup_sc", F.lit(0)).alias("dup_sc"),
+            "topc2",
+            "topc3",
+        )
+        .collect()
+    }
+    got = d.select(
+        "doc_id",
+        T.repetition_profile_pandas_expr(F.col("text"), seg_tokens).alias(
+            "p"
+        ),
+    ).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e, p = expected[r["doc_id"]], r["p"]
+        for f in (
+            "n_words",
+            "total_chars",
+            "n_segments",
+            "dup_occ",
+            "tot_sc",
+            "dup_sc",
+            "topc2",
+            "topc3",
+        ):
+            assert p[f] == e[f], (r["doc_id"], f, p[f], e[f])
