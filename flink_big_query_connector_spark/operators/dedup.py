@@ -689,9 +689,32 @@ def connected_components(
     Iterative min-label propagation (the Pregel pattern as DataFrame
     joins): each round every node adopts min(own label, neighbors'
     labels); converges in O(graph diameter) rounds.  Near-dup graphs are
-    overwhelmingly tiny cliques, so 2-3 rounds settle real corpora; each
-    round is one shuffle join on node id.  The loop is driver-side control
-    flow only — data never leaves executors.
+    overwhelmingly tiny cliques, so 1-2 rounds settle real corpora.  The
+    loop is driver-side control flow only — data never leaves executors.
+
+    Round structure (r13 rework — the old shape spent ~12 s of pure
+    fixed overhead on a 256-edge sf0.1 graph):
+
+    - round 1 is a single map-combinable ``groupBy(u).min(v)`` over the
+      edge list — with fresh labels ``lbl(v) = v`` the join against a
+      label table is the identity, so the label table (an extra
+      distinct + persist) and the join are skipped outright;
+    - later rounds use the union+groupBy formulation
+      (``min over neighbors ∪ self``): one join + one aggregate per
+      round instead of join + aggregate + join-back;
+    - the OLD label rides through the aggregate (the self row carries
+      it, neighbor rows contribute NULL which ``min`` ignores), so the
+      convergence check is a ``filter(lbl != old).count()`` on the
+      round's own persisted output — ONE action per round, no separate
+      label-vs-label join, and no wasted second propagate before a
+      check (the old code ran two rounds per check; clique-shaped dup
+      graphs converge after one);
+    - rounds materialize via ``persist()`` + the count action (the SQL
+      path, so AQE coalesces the tiny post-shuffle partitions) instead
+      of ``localCheckpoint()`` (the RDD path, which bypasses AQE and
+      ran every round at the full shuffle-partition width).  Lineage
+      still gets truncated with a ``localCheckpoint`` every 8th round
+      so plan re-analysis stays bounded on deep (chain-shaped) graphs.
     """
     # Both edge directions from ONE scan of pairs_df (explode of a 2-array)
     # — a union of two selects would evaluate the whole upstream pair
@@ -714,49 +737,60 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+
+    # Round 1: lbl(u) = min(u, min over neighbors v) — one aggregate,
+    # carrying the old label (= u) for the fused convergence check.
+    labels_full = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("nmin")).alias("lbl"),
+            F.col("node").alias("old"),
+        )
         .persist()
     )
-    def propagate(lbls):
-        neighbor_min = (
-            edges.join(lbls, edges.v == lbls.node)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
+    rounds = 1
+    # the count is the materializing action for the round's persist (the
+    # cache fills as a side effect, under AQE) AND the convergence check
+    changed = labels_full.filter(F.col("lbl") != F.col("old")).count()
+    while changed:
+        labels = labels_full.select("node", "lbl")
+        rounds += 1
+        # min over neighbors ∪ self; neighbor rows carry NULL old (min
+        # ignores nulls; exactly one self row per node supplies it).
+        contrib = edges.join(labels, edges.v == labels.node).select(
+            F.col("u").alias("node"),
+            F.col("lbl"),
+            F.lit(None).cast("long").alias("old"),
         )
-        return lbls.join(
-            neighbor_min, lbls.node == neighbor_min.u, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-            ).alias("lbl"),
+        selfc = labels.select("node", "lbl", F.col("lbl").alias("old"))
+        new_full = (
+            contrib.unionByName(selfc)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
         )
-
-    while True:
-        # two propagation rounds per convergence check: each check is a
-        # full Spark action, and label propagation is monotone, so an
-        # extra round never changes the fixpoint — it halves driver
-        # round-trips on deep graphs for one wasted round at the end
-        # localCheckpoint truncates lineage: without it every round's plan
-        # re-analyzes the whole prior iteration chain and driver-side
-        # planning grows linearly with rounds (use checkpoint() on a real
-        # cluster for fault tolerance)
-        new_labels = propagate(propagate(labels)).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        if rounds % 8 == 0:
+            # lineage cap for deep chains: checkpoint is the RDD path
+            # (no AQE) but only every 8th round pays it
+            new_full = new_full.localCheckpoint()
+        else:
+            new_full = new_full.persist()
+        changed = new_full.filter(F.col("lbl") != F.col("old")).count()
+        # new_full is fully materialized by the count above; only now is
+        # the previous round's cache safe to drop
+        labels_full.unpersist()
+        labels_full = new_full
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    # Final labels leave as a localCheckpoint (reads the already-built
+    # cache, one tiny job): downstream consumers get a flat scan instead
+    # of re-analyzing the whole iteration lineage, and every CC cache is
+    # released inline (the cache.py contract for this operator).
+    out = labels_full.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).localCheckpoint()
+    labels_full.unpersist()
+    return out
 
 
 # -- duplicated-span statistics (ExactSubstr-style signal) -------------------

@@ -63,6 +63,21 @@ def test_random_graphs_match_union_find(spark):
         assert _run(spark, edges) == _cc_reference(edges)
 
 
+def test_empty_pair_graph_yields_empty_labels(spark):
+    # r13 round structure: round 1 is a bare aggregate over the edge list
+    # and the fused convergence check must see changed == 0 immediately
+    # on an empty graph (no propagate-join round is ever built)
+    assert _run(spark, []) == {}
+
+
+def test_duplicate_and_reversed_pairs_collapse(spark):
+    # the directed-edge distinct must make (a,b), (b,a) and repeats one
+    # edge; labels still converge to the min id in one round
+    edges = [(5, 2), (2, 5), (5, 2), (7, 9)]
+    got = _run(spark, edges)
+    assert got == {2: 2, 5: 2, 7: 7, 9: 7}
+
+
 def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
     """The banded-LSH near-dup pair set must be a SUBSET of the exact
     all-pairs ground truth (no false positives survive the cosine
