@@ -568,8 +568,13 @@ def simhash_expr(toks: Column) -> Column:
     )
 
 
-def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, simhash) via explode + one hash aggregation.
+def simhash_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry_cols, simhash) via explode + one hash aggregation.
 
     Equivalent to :func:`simhash_expr` but md5 runs once per token: tokens
     explode to (id, token_hash) rows, a single groupBy computes all 32 bit
@@ -577,10 +582,17 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     shuffle), and the bits reassemble from the vote signs.  This is the
     scale path; ``simhash_expr`` remains for composing into row-level
     expressions.
-    """
+
+    ``carry_cols`` ride the groupBy as extra keys (they must be
+    functionally dependent on ``id_col``): a caller that needs
+    per-document metadata next to the hash gets it from the SAME
+    aggregation instead of a join back to the source — the r13 URL-dedup
+    keys previously re-derived their whole fixture+tokenize pipeline on
+    both sides of that join."""
     th = F.transform(tokens_expr(F.col(text_col)), lambda t: hash60_expr(t))
-    ex = spread(df).select(F.col(id_col), F.explode_outer(th).alias("h"))
-    votes = ex.groupBy(id_col).agg(
+    carry = [F.col(c) for c in carry_cols]
+    ex = spread(df).select(F.col(id_col), *carry, F.explode_outer(th).alias("h"))
+    votes = ex.groupBy(id_col, *carry_cols).agg(
         *[
             F.sum(
                 F.when(
@@ -596,7 +608,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         value = value + F.when(
             F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), value.alias("simhash"))
+    return votes.select(F.col(id_col), *carry, value.alias("simhash"))
 
 
 def simhash_band_entries(sh: Column) -> Column:

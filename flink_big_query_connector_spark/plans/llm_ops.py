@@ -6826,6 +6826,32 @@ def _url_fixture(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     return base.unionByName(mirror).unionByName(recrawl)
 
 
+def _url_side(fx: DataFrame) -> DataFrame:
+    """(doc_id, canon_host, cpath, simhash) for a URL fixture — the
+    shared probe side of the fuzzy / incremental URL dedup keys.
+
+    r13 shape: URL normalization and the content SimHash come out of ONE
+    aggregation (the regexp chain is row-local, so canon_host/cpath ride
+    ``simhash_df``'s groupBy as functionally-dependent carry keys — the
+    old ``parsed JOIN simhash_df ON doc_id`` evaluated the whole
+    fixture+tokenize pipeline on both sides of an extra exchange), and
+    the result is scoped_persisted: capped_blocked_join consumes it 3-4
+    times (left, right, right-sizes), each of which previously re-ran
+    fixture + tokenize + simhash from scratch.  Rows are (id, host,
+    path, 64-bit hash) — a small fraction of corpus bytes, the same
+    persist-once-consume-thrice contract as minhash_candidate_pairs."""
+    from ..cache import scoped_persist
+
+    return scoped_persist(
+        dedup.simhash_df(
+            _url_parsed(fx, with_text=True),
+            "doc_id",
+            "text",
+            carry_cols=("canon_host", "cpath"),
+        )
+    )
+
+
 _SQL_URL_PB = f"({_SQL_H60.format(x='doc_id::VARCHAR')} % kb.m)"
 _SQL_URL_BASE = (
     f"'https://'||source||'.example.com/'||lang||'/p'||{_SQL_URL_PB}"
@@ -6927,25 +6953,7 @@ def llm_dedup_url_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _url_fixture(
         dedup.spread(t["documents"]), n_buckets=_url_buckets(t, sf_dir)
     )
-    nosch = F.regexp_replace(F.col("url"), "^https?://", "")
-    parsed = fx.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
-        ).alias("canon_host"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(nosch, "^[^/]+/", ""), "\\?.*$", ""
-                ),
-                "/+$",
-                "",
-            ),
-            "-$",
-            "",
-        ).alias("cpath"),
-    )
-    side = parsed.join(dedup.simhash_df(fx, "doc_id", "text"), "doc_id")
+    side = _url_side(fx)
     a = side.select(
         F.col("doc_id").alias("id_a"),
         "canon_host",
@@ -7335,25 +7343,7 @@ def llm_dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _url_fixture(
         dedup.spread(t["documents"]), n_buckets=_url_buckets(t, sf_dir)
     )
-    nosch = F.regexp_replace(F.col("url"), "^https?://", "")
-    parsed = fx.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
-        ).alias("canon_host"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(nosch, "^[^/]+/", ""), "\\?.*$", ""
-                ),
-                "/+$",
-                "",
-            ),
-            "-$",
-            "",
-        ).alias("cpath"),
-    )
-    side = parsed.join(dedup.simhash_df(fx, "doc_id", "text"), "doc_id")
+    side = _url_side(fx)
     new = side.filter(F.col("doc_id") >= 1_000_000)
     old = side.filter(F.col("doc_id") < 1_000_000).select(
         F.col("doc_id").alias("old_id"),
@@ -7760,15 +7750,17 @@ def llm_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _url_parsed(fx: DataFrame) -> DataFrame:
-    """(doc_id, canon_host, cpath) via the shared normalization chain
-    (strip scheme / www. / mirror-host prefix / query string / trailing
-    slash / '-' variant suffix) — the single Spark-side definition the
-    URL family and its streaming twin share; SQL twin: the ``parsed``
-    CTE of ``_SQL_URL_SIDE``."""
+def _url_parsed(fx: DataFrame, with_text: bool = False) -> DataFrame:
+    """(doc_id, canon_host, cpath[, text]) via the shared normalization
+    chain (strip scheme / www. / mirror-host prefix / query string /
+    trailing slash / '-' variant suffix) — the single Spark-side
+    definition the URL family and its streaming twin share; SQL twin:
+    the ``parsed`` CTE of ``_SQL_URL_SIDE``.  ``with_text`` carries the
+    document text through for callers that fuse the content SimHash into
+    the same pass (see :func:`_url_side`)."""
     nosch = F.regexp_replace(F.col("url"), "^https?://", "")
-    return fx.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.regexp_replace(
             F.regexp_extract(nosch, "^[^/]+", 0), "^(www\\.|m-)", ""
         ).alias("canon_host"),
@@ -7783,7 +7775,10 @@ def _url_parsed(fx: DataFrame) -> DataFrame:
             "-$",
             "",
         ).alias("cpath"),
-    )
+    ]
+    if with_text:
+        cols.append(F.col("text"))
+    return fx.select(*cols)
 
 
 @register(

@@ -3540,9 +3540,14 @@ def _run_url_admission(
             if new_only
             else F.col("doc_id") < 1_000_000
         )
-        parsed = _url_parsed(fx)
-        return parsed.join(
-            dedup.simhash_df(fx, "doc_id", "text"), "doc_id"
+        # parse + content SimHash in ONE aggregation (host/path ride the
+        # groupBy as carry keys) — same fusion as llm_ops._url_side, so
+        # each micro-batch pays one tokenize pass and no join-back
+        return dedup.simhash_df(
+            _url_parsed(fx, with_text=True),
+            "doc_id",
+            "text",
+            carry_cols=("canon_host", "cpath"),
         ).select(
             F.concat_ws("|", "canon_host", "cpath").alias("k"),
             "doc_id",

@@ -61,6 +61,26 @@ def test_simhash_identical_for_exact_dups(docs):
     assert sh[0] != sh[2]
 
 
+def test_simhash_df_carry_cols_parity(spark, sf_dir):
+    """carry_cols (r13 URL-side fusion) must not perturb the hash: the
+    fused one-aggregation form equals plain simhash_df joined back to
+    the per-doc metadata, bit for bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    fused = {
+        (r.doc_id, r.source, r.simhash)
+        for r in dedup.simhash_df(
+            docs, "doc_id", "text", carry_cols=("source",)
+        ).collect()
+    }
+    joined = {
+        (r.doc_id, r.source, r.simhash)
+        for r in dedup.simhash_df(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .collect()
+    }
+    assert fused == joined and len(fused) == 60
+
+
 def test_simhash_banded_pairs_equal_quadratic(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     banded = {
