@@ -155,6 +155,73 @@ def shingles_pandas_expr(text_col: Column, distinct: bool = False) -> Column:
     return _shingles(text_col)
 
 
+def sh60_pandas_expr(text_col: Column) -> Column:
+    """Arrow-batched twin of the MinHash docs build —
+    ``array_distinct(transform(shingles_expr(tokens_expr(text)), hash60))``
+    in ONE ArrowEvalPython projection (optimization r13, the
+    doc_profile/BPE pattern applied to the pair pipeline's front).
+
+    What it replaces: ``with_token_boundary`` (a repartition exchange
+    carrying the token arrays, needed only to stop CollapseProject from
+    re-inlining the tokenizer into every shingle lambda) followed by two
+    interpreted higher-order folds (gram concat + md5 per gram).  The
+    Arrow form tokenizes with the C regex engine, md5s each UNIQUE gram
+    once per worker (memo), and dedups by the 60-bit VALUE in
+    first-occurrence order — exactly ``array_distinct`` after hashing.
+    Arrow output columns are plain attributes, so no exchange boundary
+    is needed at all: the docs build becomes zero-shuffle.
+
+    Bitwise parity (pinned in tests): Python ``re`` and Java regex agree
+    on '\\S+'; the gram string is the same single-space join;
+    ``int(md5(utf8)[:15], 16)`` is the same integer as
+    ``conv(substring(md5(s),1,15),16,10)``; docs with < SHINGLE_K tokens
+    yield the empty array (callers filter ``size(sh60) > 0``, the exact
+    row set of the old ``size(toks) >= K`` filter)."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    k = SHINGLE_K
+
+    @pandas_udf("array<long>")
+    def _sh60(texts: pd.Series) -> pd.Series:
+        memo: dict = {}  # gram -> 60-bit hash, per worker
+
+        def h60(g):
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                memo[g] = v
+            return v
+
+        out = []
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            if len(toks) < k:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        h60(" ".join(toks[i : i + k]))
+                        for i in range(len(toks) - k + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    # asNondeterministic: the callers' size(sh60) filter otherwise gets
+    # pushed below the projection and the optimizer DUPLICATES the Arrow
+    # node — every row would pay the tokenize+md5 pass twice (guide
+    # §4.4).  The function is pure, so results are unchanged; the mark
+    # only pins a single evaluation.
+    return _sh60.asNondeterministic()(text_col)
+
+
 def with_token_boundary(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -297,17 +364,14 @@ def incremental_neardup_flags(
     from ..cache import scoped_persist
 
     def prep(df: DataFrame, out_id: str) -> DataFrame:
-        tok = with_token_boundary(df, id_col, text_col)
+        # same zero-shuffle Arrow docs build as minhash_candidate_pairs
         return scoped_persist(
-            tok.filter(F.size("toks") >= SHINGLE_K).select(
+            spread(df)
+            .select(
                 F.col(id_col).alias(out_id),
-                F.array_distinct(
-                    F.transform(
-                        shingles_expr(F.col("toks")),
-                        lambda s: hash60_expr(s),
-                    )
-                ).alias(f"sh_{out_id}"),
+                sh60_pandas_expr(F.col(text_col)).alias(f"sh_{out_id}"),
             )
+            .filter(F.size(f"sh_{out_id}") > 0)
         )
 
     old_docs = prep(existing_df, "old_id")
@@ -496,22 +560,21 @@ def minhash_candidate_pairs(
     generation front of :func:`minhash_neardup_pairs`, exposed separately
     so an index EVALUATION (llm_dedup_lsh_eval) can measure the candidate
     set against exact-Jaccard ground truth."""
-    tok = with_token_boundary(df, id_col, text_col)
     docs = scoped_persist(
-        tok.filter(F.size("toks") >= SHINGLE_K)
+        spread(df)
         .select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    shingles_expr(F.col("toks")), lambda s: hash60_expr(s)
-                )
-            ).alias("sh60"),
+            F.col(id_col), sh60_pandas_expr(F.col(text_col)).alias("sh60")
         )
+        .filter(F.size("sh60") > 0)
+        # One zero-shuffle ArrowEvalPython pass (r13; was tokenize +
+        # repartition + two interpreted folds — see sh60_pandas_expr).
         # Materialized once: the bands self-join and the verification join
-        # are three consumers of the same md5 pass; without the persist,
-        # CollapseProject re-inlines the whole shingle+hash pipeline into
-        # every branch.  (doc_id, sh60) is a fraction of the corpus size.
-        # Tracked via scoped_persist so harnesses release it per query.
+        # are three consumers of the same md5 pass.  (doc_id, sh60) is a
+        # fraction of the corpus size.  Tracked via scoped_persist so
+        # harnesses release it per query.  The size filter sits ABOVE the
+        # Arrow node on the cached plan (filter-through-project would
+        # duplicate the UDF, guide §4.4 — verified single node in
+        # plans/r13).
     )
     sig = with_minhash_signature(docs, shingle_col="sh60")
     return docs, lsh_candidate_pairs(sig, id_col)

@@ -2215,6 +2215,44 @@ def test_shingles_pandas_bitwise_matches_catalyst(spark, sf_dir):
     assert bad == []
 
 
+def test_sh60_pandas_bitwise_matches_catalyst(spark, sf_dir):
+    """The r13 Arrow docs build (sh60_pandas_expr) must equal
+    array_distinct(transform(shingles_expr(tokens_expr(text)), hash60))
+    element for element — same 60-bit values, same first-occurrence
+    order — over the corpus plus adversarial rows (NULL/empty/short
+    docs, unicode, gram repetition that exercises the distinct)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one two"),
+            (900004, "one two three"),
+            (900005, "a b c a b c a b c"),
+            (900006, "héllo wörld 漢字 again"),
+            (900007, "  padded   tokens  here four  "),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    rows = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                dedup.shingles_expr(dedup.tokens_expr(F.col("text"))),
+                lambda s: dedup.hash60_expr(s),
+            )
+        ).alias("a"),
+        dedup.sh60_pandas_expr(F.col("text")).alias("b"),
+    ).collect()
+    bad = [r["doc_id"] for r in rows if list(r["a"]) != list(r["b"])]
+    assert bad == []
+
+
 def test_shingles_pandas_distinct_is_per_doc_gram_distinct(spark, sf_dir):
     """distinct=True (the r13 decontamination rewrite) must equal the
     per-document DISTINCT of the plain gram list — same gram SET, no
