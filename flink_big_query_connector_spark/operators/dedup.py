@@ -434,20 +434,28 @@ def incremental_neardup_flags(
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (a, b) candidate pairs sharing at least one LSH band."""
+    from ..cache import scoped_persist
+
     mh = [F.col(f"mh{i}") for i in range(len(MINHASH_SEEDS))]
-    bands = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), band_key_expr(mh, j).alias("key")
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    bands = scoped_persist(
+        sig_df.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            band_key_expr(mh, j).alias("key"),
+                        )
+                        for j in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "bk.band", "bk.key")
+        # both sides of the self-join consume this: without the persist
+        # each side re-runs the 16 interpreted minhash permutations over
+        # the cached sh60 arrays (r13; rows are 3 longs per (doc, band))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
