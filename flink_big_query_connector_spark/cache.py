@@ -32,6 +32,43 @@ _SCOPED: list[DataFrame] = []
 _COUNT_CACHE: dict[tuple[str, str, str], int] = {}
 
 
+def table_footer_count(sf_dir: str, table: str) -> int:
+    """Row count of a RAW testdata table straight from its parquet
+    footer(s) — the exact number a full ``df.count()`` scan returns
+    (parquet footers record ``num_rows`` per file), at metadata cost
+    instead of a data scan.  Only valid for a WHOLE-table count: any
+    filtered count (``embeddings_nonnull`` etc.) must keep the Spark
+    job, because footer column statistics cannot express row-level
+    predicates (list-typed columns in particular conflate null rows,
+    empty lists and null elements in leaf null counts).
+
+    Memoized per (sf_dir, table): the inputs are immutable per
+    directory, and the count is re-read from the files on every new
+    process — nothing persists across runs.  Measured: the first
+    ``documents`` plan-build count at the sf10 decade was a 4 s Spark
+    scan; the footer read is milliseconds."""
+    import glob
+    import os
+
+    key = (sf_dir, table)
+    n = _FOOTER_COUNT_CACHE.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        _FOOTER_COUNT_CACHE[key] = n
+    return n
+
+
+_FOOTER_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
 def plan_count(df: DataFrame, sf_dir: str, label: str) -> int:
     """``df.count()`` memoized per (session, sf_dir, label).
 

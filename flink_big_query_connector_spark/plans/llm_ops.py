@@ -6746,10 +6746,13 @@ def _url_bucket_count(n_docs: int) -> int:
 
 
 def _url_buckets(t, sf_dir: str) -> int:
-    """Data-scaled URL bucket count off the memoized documents row count
-    (cache.plan_count) — the fixture sizing pays one column-pruned scan
-    per session, not one per query build (ADVICE r12)."""
-    return _url_bucket_count(plan_count(t["documents"], sf_dir, "documents"))
+    """Data-scaled URL bucket count off the documents row count, read
+    from the parquet FOOTER (cache.table_footer_count): a whole-table
+    count needs no scan at all — the first fresh-session build at the
+    sf10 decade paid a 4 s Spark count here before r13."""
+    from ..cache import table_footer_count
+
+    return _url_bucket_count(table_footer_count(sf_dir, "documents"))
 
 
 def _url_fixture(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:

@@ -3516,7 +3516,7 @@ def _run_url_admission(
     (grow-forever) and TTL-expiring keys differ only in the liveness
     filter, the ``seen_batch`` column, and the settle-time compaction,
     so they share one pipeline definition."""
-    from ..cache import plan_count
+    from ..cache import table_footer_count
     from ..operators import dedup
     from ..streaming.keyed_state import BucketedKeyedState
     from .llm_ops import (
@@ -3530,8 +3530,8 @@ def _run_url_admission(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     schema = docs.schema
     # fixture invariants computed from the FULL table, never per batch
-    # (row count memoized per session — cache.plan_count)
-    n_buckets = _url_bucket_count(plan_count(docs, sf_dir, "documents"))
+    # (whole-table row count straight from the parquet footer — no scan)
+    n_buckets = _url_bucket_count(table_footer_count(sf_dir, "documents"))
 
     def _side(docs_df: DataFrame, new_only: bool) -> DataFrame:
         fx = _url_fixture(dedup.spread(docs_df), n_buckets=n_buckets)
@@ -3572,13 +3572,21 @@ def _run_url_admission(
         scratch_dir("urladm_state_"), "k", state_schema
     )
     # seed the index with the pre-existing corpus (batch 0 of the store;
-    # crawl epoch 0 under TTL semantics)
+    # crawl epoch 0 under TTL semantics).  Persisted for the seed write:
+    # the side pipeline (fixture + parse + SimHash over the FULL corpus)
+    # is otherwise evaluated three times — touched_buckets' distinct,
+    # then twice more under write_buckets' repartition+write (measured
+    # 7.1 s per evaluation at the sf10 decade).
     seeded = _side(docs, new_only=False)
     if ttl is not None:
         seeded = seeded.withColumn("seen_batch", F.lit(0).cast("long"))
-    state.write_buckets(
-        seeded, 0, state.touched_buckets(seeded)
-    )
+    seeded = seeded.persist()
+    try:
+        state.write_buckets(
+            seeded, 0, state.touched_buckets(seeded)
+        )
+    finally:
+        seeded.unpersist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         side = _side(batch_df, new_only=True)

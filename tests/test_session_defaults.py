@@ -41,3 +41,31 @@ def test_plan_count_memoizes_per_session_dir_label(spark):
     assert c.plan_count(b, "/x", "t2") == 7  # different label -> new job
     assert c.plan_count(b, "/y", "t2") == 7  # different dir -> new job
     assert b.calls == 2
+
+
+def test_table_footer_count_matches_spark_count(spark):
+    """cache.table_footer_count reads the whole-table row count from the
+    parquet footer — it must equal the full Spark scan count exactly,
+    for single-file tables and for directory-of-parts tables."""
+    from flink_big_query_connector_spark import cache as c
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for table in ("documents", "embeddings", "orders"):
+            spark_n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+            assert c.table_footer_count(sf_dir, table) == spark_n
+
+    # directory-of-parts form (production layout): split one table into
+    # a directory of parquet files and count through the same API
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        ddir = os.path.join(d, "documents.parquet")
+        os.makedirs(ddir)
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), os.path.join(ddir, "p0.parquet"))
+        pq.write_table(tbl.slice(half), os.path.join(ddir, "p1.parquet"))
+        assert c.table_footer_count(d, "documents") == tbl.num_rows
