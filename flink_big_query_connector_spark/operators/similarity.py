@@ -504,24 +504,21 @@ def lloyd_kmeans_centroids(
     emb_df = scoped_persist(spread(emb_df))
     dim = len(cents[0][1])
     for _ in range(iters):
-        # same literal-vs-broadcast path switch as semantic_dedup: past
-        # the plan-size bound the per-iteration assignment ships the
-        # model as a broadcast consumed by the Arrow pass
-        # (bitwise-identical fold — the ivf_cells_pandas parity test)
-        assign = (
-            ivf_cells_pandas
-            if len(cents) > SEMANTIC_LITERAL_MAX_CELLS
-            else ivf_cells_with
-        )
-        cells = assign(emb_df, id_col, vec_col, cents)
+        # Fused update pass (optimization r13): assignment + per-(cell,
+        # dim) decimal partial sums in ONE Arrow batch loop
+        # (lloyd_cell_dim_sums) instead of an assignment pass shipping
+        # (id, v, cell) back through Arrow plus an n x dim posexplode
+        # into a hash aggregate.  The SUM of exact per-task partials is
+        # the same multiset of exactly-quantized scale-10 addends the
+        # old SUM(CAST(val AS DECIMAL(27,10))) folded (decimal addition
+        # is associative), so the centroid doubles are bit-identical —
+        # pinned by test_lloyd_cell_dim_sums_matches_explode_agg.
+        sums = lloyd_cell_dim_sums(emb_df, id_col, vec_col, cents)
         agg = (
-            cells.select(
-                "cell", F.posexplode(F.col("v")).alias("idx", "val")
-            )
-            .groupBy("cell", "idx")
+            sums.groupBy("cell", "idx")
             .agg(
-                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("ps").cast("decimal(38,10)")).alias("s"),
+                F.sum("n").alias("n"),
             )
             .select(
                 "cell",
@@ -1073,6 +1070,286 @@ def semantic_cell_count(n_vectors: int) -> int:
     return max(N_CENTROIDS, n_vectors // SEMANTIC_ROWS_PER_CELL)
 
 
+def _build_cos6_kernel():
+    """Factory for the row-tiled 6dp cosine kernel shared by
+    :func:`ivf_cells_pandas` and :func:`lloyd_cell_dim_sums`.
+
+    A FACTORY, not a module-level kernel, deliberately: the returned
+    nested function's qualname contains ``<locals>``, so cloudpickle
+    serializes it BY VALUE into the UDF closure — a module-level helper
+    would pickle by reference and make every worker import this package,
+    which the bare driver-contract session (no PYTHONPATH conf) cannot
+    do.  Caught by the verify-skill bare-session simulation.
+
+    Bitwise parity with the Catalyst literal path is engineered: dot
+    products and squared norms accumulate SEQUENTIALLY ACROSS DIMENSIONS
+    in float64 (``acc += v[:, i] * c[i]``) — exactly the left-to-right
+    ``F.aggregate`` fold of ``functions/vectors.py::dot_product_expr``
+    element-cast to double, vectorized across the batch axis only.  Row
+    tiling (r13) only bounds the temp to L2 size; the per-(row, cell)
+    fold order stays dim 0..d-1 left to right, so the result is
+    bit-identical to the untiled loop (asserted by the parity test) at
+    ~6x the throughput (measured 4.28 -> 0.72 s per 10k x 390 batch)."""
+    import numpy as np
+
+    def cos6_kernel(V, C, cn):
+        n, d = V.shape
+        k = C.shape[0]
+        dots = np.zeros((n, k), dtype=np.float64)
+        vn = np.zeros(n, dtype=np.float64)
+        blk = 1024
+        tmp = np.empty((min(blk, n), k), dtype=np.float64)
+        for j0 in range(0, n, blk):
+            j1 = min(j0 + blk, n)
+            db = dots[j0:j1]
+            tb = tmp[: j1 - j0]
+            for i in range(d):  # sequential across dims == the fold
+                np.multiply(V[j0:j1, i][:, None], C[None, :, i], out=tb)
+                db += tb
+        for i in range(d):
+            col = V[:, i]
+            vn += col * col
+        return np.round(dots / (np.sqrt(vn)[:, None] * cn[None, :]), 6)
+
+    return cos6_kernel
+
+
+def _build_dec10_quantizer():
+    """Factory for the Spark-exact ``CAST(double AS DECIMAL(27,10))``
+    batch quantizer (by-value pickling — see :func:`_build_cos6_kernel`
+    for why a factory).  The returned ``quantize(V, ansi)`` yields
+    ``(Q, contrib, big)``: ``Q`` the int64 matrix of
+    ``round(shortest_repr(x) * 1e10)`` under HALF_UP (zero where the
+    cast yields NULL or where the element took the big path),
+    ``contrib`` marking elements whose cast is non-NULL, ``big`` listing
+    ``(flat_index, exact_int)`` for elements beyond the int64 fast path.
+
+    Parity argument (the established round6/shortest-repr doctrine):
+    Spark's double->decimal cast is ``BigDecimal.valueOf(x).setScale(10,
+    HALF_UP)`` — HALF_UP rounding of the double's SHORTEST-REPR decimal,
+    which ``Decimal(repr(x))`` reproduces (both are the shortest decimal
+    string that round-trips to x; when a value sits exactly ON a scale-10
+    boundary that boundary string IS the shortest repr on both sides, so
+    the engines can never straddle it).  The vectorized path computes
+    ``floor(|x| * 1e10 + 0.5)`` with sign restored — exact except within
+    float error of a .5 boundary, and every element inside a conservative
+    boundary band (the combined product-rounding + shortest-repr error is
+    <= ~2.5e-16 * |p|; the band is 40x that plus an absolute floor),
+    every non-finite, and every |x| > 1e6 replays the exact Decimal
+    semantics per element.  Non-finite elements are NULL (Spark's
+    double->decimal cast NULLs NaN/Infinity even under ANSI — probed on
+    the engine session); DECIMAL(27,10)-overflow elements raise when
+    ``ansi`` is set (mirroring NUMERIC_VALUE_OUT_OF_RANGE) and are NULL
+    otherwise."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    fast_max = 1e6
+
+    def quantize(V, ansi=False):
+        finite = np.isfinite(V)
+        with np.errstate(invalid="ignore", over="ignore"):
+            p = np.where(finite, V, 0.0) * 1e10
+            ap = np.abs(p)
+            b = np.floor(ap + 0.5)
+            frac = ap - np.floor(ap)
+            dist = np.abs(frac - 0.5)
+            tol = 1e-7 + ap * 1e-14
+            slow = (~finite) | (dist < tol) | (np.abs(V) > fast_max)
+            Q = (np.sign(p) * b).astype(np.int64)
+        Q[slow] = 0
+        contrib = finite.copy()
+        big = []
+        if slow.any():
+            flat_idx = np.flatnonzero(slow)
+            vals = V.ravel()[flat_idx]
+            Qf = Q.ravel()
+            cf = contrib.ravel()
+            ten27 = 10**27
+            with localcontext() as ctx:
+                # quantizing |x| up to ~1.8e308 at scale 10 needs ~320
+                # digits of working precision before the overflow check
+                ctx.prec = 400
+                for j, x in zip(flat_idx.tolist(), vals.tolist()):
+                    if not (x == x and abs(x) != float("inf")):
+                        cf[j] = False
+                        continue
+                    q = int(
+                        Decimal(repr(x))
+                        .scaleb(10)
+                        .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                    )
+                    if abs(q) >= ten27:  # DECIMAL(27,10) overflow
+                        if ansi:
+                            raise ArithmeticError(
+                                f"{x!r} cannot be represented as "
+                                "Decimal(27, 10) (ANSI mode)"
+                            )
+                        cf[j] = False
+                    elif abs(q) < 2**62:
+                        Qf[j] = q
+                    else:
+                        big.append((int(j), q))
+        return Q, contrib, big
+
+    return quantize
+
+
+def lloyd_cell_dim_sums(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list]],
+) -> DataFrame:
+    """One fused Lloyd-update pass: assign each vector to its nearest
+    centroid AND accumulate the per-(cell, dim) decimal component sums
+    inside the same Arrow batch loop, emitting only per-task partials —
+    ``(cell, idx, ps, n)`` where ``ps`` is the exact scale-10 partial sum
+    rendered as a decimal string (NULL when the task saw no castable
+    value for that slot) and ``n`` the task's row count for the cell.
+
+    Replaces the old two-consumer shape (assignment pass shipping
+    ``(id, v, cell)`` back through Arrow, then a posexplode of n x d rows
+    into a hash aggregate): the corpus crosses the Python boundary once,
+    nothing but k x d x tasks partial rows come back, and the downstream
+    ``SUM(CAST(ps AS DECIMAL(38,10)))`` reproduces the old
+    ``SUM(CAST(val AS DECIMAL(27,10)))`` value exactly (same multiset of
+    exactly-quantized addends, decimal addition is associative; see
+    :func:`_build_dec10_quantizer` for the per-value cast parity).  Partial
+    accumulation is int64 with loud promotion to Python-int (object)
+    arithmetic before any overflow, so the partials are exact for ANY
+    input domain, not just unit-norm embeddings."""
+    import math
+
+    if not centroids:
+        raise ValueError("lloyd_cell_dim_sums: empty centroid set")
+    centroids = sorted(
+        (int(cid), [float(x) for x in cvec]) for cid, cvec in centroids
+    )
+    cent_ids = [cid for cid, _ in centroids]
+    cent_mat = [cvec for _, cvec in centroids]
+    cent_norms = [math.sqrt(_py_self_dot(cvec)) for cvec in cent_mat]
+    bc_model = emb_df.sparkSession.sparkContext.broadcast(
+        (cent_ids, cent_mat, cent_norms)
+    )
+    # ANSI sessions RAISE on a decimal-overflow cast (non-ANSI: NULL) —
+    # bake the session's mode in so the quantizer mirrors it exactly.
+    # No fallback default to conf.get: passing one would mask Spark's
+    # BUILT-IN default (ansi=true on 4.x) whenever the key is not set
+    # explicitly.
+    try:
+        ansi = (
+            str(emb_df.sparkSession.conf.get("spark.sql.ansi.enabled"))
+            .lower()
+            == "true"
+        )
+    except Exception:
+        ansi = False
+    # built HERE so both ride the closure by value (bare driver-contract
+    # sessions cannot import this package in workers)
+    cos6_kernel = _build_cos6_kernel()
+    dec10_quantize = _build_dec10_quantizer()
+
+    def sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        m_ids, m_mat, m_norms = bc_model.value
+        C = np.asarray(m_mat, dtype=np.float64)
+        cn = np.asarray(m_norms, dtype=np.float64)
+        cids = np.asarray(m_ids, dtype=np.int64)
+        k = len(cids)
+        acc = None  # k x d int64, promoted to object on overflow risk
+        fin = None  # k x d int64 count of non-NULL contributions
+        cnt = None  # k int64 rows per cell
+        d = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            if acc is None:
+                d = V.shape[1]
+                acc = np.zeros((k, d), dtype=np.int64)
+                fin = np.zeros((k, d), dtype=np.int64)
+                cnt = np.zeros(k, dtype=np.int64)
+            cos6 = cos6_kernel(V, C, cn)
+            pos = np.argmax(cos6, axis=1)
+            cnt += np.bincount(pos, minlength=k)
+            Q, contrib, big = dec10_quantize(V, ansi=ansi)
+            bsum = np.zeros((k, d), dtype=np.int64)
+            mx = int(np.max(np.abs(Q))) if Q.size else 0
+            if mx and mx * len(pdf) >= 2**62:
+                # exact object-dtype fallback: a single batch could
+                # overflow int64 (only reachable for |x| around 1e8+)
+                bsum = bsum.astype(object)
+                for r in range(V.shape[0]):
+                    bsum[pos[r]] += Q[r].astype(object)
+            else:
+                np.add.at(bsum, pos, Q)
+            np.add.at(fin, pos, contrib.astype(np.int64))
+            for j, q in big:
+                bsum = bsum.astype(object) if bsum.dtype != object else bsum
+                bsum[pos[j // d], j % d] += q
+            if acc.dtype != object and (
+                bsum.dtype == object
+                or int(np.max(np.abs(acc)))
+                + int(max(abs(int(bsum.min())), abs(int(bsum.max()))))
+                >= 2**62
+            ):
+                acc = acc.astype(object)
+            acc += bsum
+        if acc is None:
+            return
+        rows_cell, rows_idx, rows_ps, rows_n = [], [], [], []
+        for c in range(k):
+            nc = int(cnt[c])
+            if nc == 0:
+                continue
+            for i in range(d):
+                q = int(acc[c, i])
+                if int(fin[c, i]) == 0:
+                    ps = None
+                else:
+                    a = abs(q)
+                    sign = "-" if q < 0 else ""
+                    ps = f"{sign}{a // 10**10}.{a % 10**10:010d}"
+                rows_cell.append(int(cids[c]))
+                rows_idx.append(i)
+                rows_ps.append(ps)
+                rows_n.append(nc)
+        yield pd.DataFrame(
+            {
+                "cell": pd.Series(rows_cell, dtype="int64"),
+                "idx": pd.Series(rows_idx, dtype="int32"),
+                "ps": pd.Series(rows_ps, dtype="object"),
+                "n": pd.Series(rows_n, dtype="int64"),
+            }
+        )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("idx", IntegerType()),
+            StructField("ps", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    # opaque function: ship ONLY the vector column (guide §4.1 column
+    # pruning — everything else would be scanned and serialized for
+    # nothing)
+    return spread(emb_df).select(vec_col).mapInPandas(sums, out_schema)
+
+
 def ivf_cells_pandas(
     emb_df: DataFrame,
     id_col: str,
@@ -1128,6 +1405,9 @@ def ivf_cells_pandas(
     if with_score:
         fields.append(StructField("cos", DoubleType()))
     out_schema = StructType(fields)
+    # by-value capture (bare driver-contract sessions cannot import this
+    # package in workers — see _build_cos6_kernel)
+    cos6_kernel = _build_cos6_kernel()
 
     def assign(batches):
         import numpy as np
@@ -1143,33 +1423,9 @@ def ivf_cells_pandas(
             V = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
-            n, d = V.shape
-            k = len(cids)
-            dots = np.zeros((n, k), dtype=np.float64)
-            vn = np.zeros(n, dtype=np.float64)
-            # Row-tiled dim-sequential accumulation (r13 resume): the
-            # per-(row, cell) fold order is STILL dim 0..d-1 left to
-            # right — tiling only bounds the temp to L2 size, so the
-            # result is bit-identical to the untiled loop (asserted by
-            # the parity test) at ~6x the throughput (measured
-            # 4.28 -> 0.72 s per 10k x 390 batch: the untiled form
-            # streamed a fresh n x k temp through memory per dim).
-            blk = 1024
-            tmp = np.empty((min(blk, n), k), dtype=np.float64)
-            for j0 in range(0, n, blk):
-                j1 = min(j0 + blk, n)
-                db = dots[j0:j1]
-                tb = tmp[: j1 - j0]
-                for i in range(d):  # sequential across dims == the fold
-                    np.multiply(
-                        V[j0:j1, i][:, None], C[None, :, i], out=tb
-                    )
-                    db += tb
-            for i in range(d):
-                col = V[:, i]
-                vn += col * col
-            cos6 = np.round(dots / (np.sqrt(vn)[:, None] * cn[None, :]), 6)
+            cos6 = cos6_kernel(V, C, cn)
             best = np.argmax(cos6, axis=1)  # first max -> lowest cid
+            n = V.shape[0]
             out = {
                 id_col: pdf[id_col].values,
                 "v": pdf[vec_col].values,

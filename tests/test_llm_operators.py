@@ -2407,3 +2407,163 @@ def test_repetition_profile_pandas_matches_relational(spark, sf_dir):
             "topc3",
         ):
             assert p[f] == e[f], (r["doc_id"], f, p[f], e[f])
+
+
+def test_lloyd_cell_dim_sums_matches_explode_agg(spark):
+    """The fused Lloyd update pass (assignment + per-(cell, dim) decimal
+    partial sums in one Arrow loop, optimization r13) must reproduce the
+    old two-pass pipeline EXACTLY — same (cell, idx) groups, same exact
+    decimal sums, same counts, same divided doubles bitwise — on an
+    adversarial value domain: scale-10 HALF_UP ties, negative ties,
+    non-finite (NULL casts), DECIMAL(27,10) overflow, int64-fast-path
+    escapees, signed zeros, subnormal-small and >10-frac-digit values."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import similarity
+
+    rng = random.Random(13)
+    adversarial = [
+        5e-11, -5e-11, 1.5e-10, 2.5e-10, -2.5e-10, 3.5e-10,  # exact ties
+        0.0, -0.0, 1e-300, -1e-300,                          # zeros/tiny
+        0.12345678905, -0.98765432115,                       # 11-digit ties
+        float("nan"), float("inf"), float("-inf"),           # NULL casts
+        123456.789, 999999.9999999999,                       # fast-path edge
+        1e7, -1e7, 1e9, -1e9, 1e16, 9.9e16,                  # big/slow path
+        0.1, -0.2, 0.3333333333333333, 2.0 / 3.0,
+    ]
+    dim = 8
+    rows = []
+    vid = 0
+    for v in adversarial:
+        vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        vec[vid % dim] = v
+        rows.append((vid, vec))
+        vid += 1
+    for _ in range(300):
+        rows.append((vid, [rng.uniform(-2, 2) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.fixed_centroids(emb, "vec_id", "embedding", 4)
+
+    # OLD pipeline: assignment pass + posexplode into a decimal aggregate
+    cells = similarity.ivf_cells_pandas(emb, "vec_id", "embedding", cents)
+    old = {
+        (r["cell"], r["idx"]): (r["s"], r["n"], r["m"])
+        for r in (
+            cells.select(
+                "cell", F.posexplode(F.col("v")).alias("idx", "val")
+            )
+            .groupBy("cell", "idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell", "idx", "s", "n",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+            .collect()
+        )
+    }
+
+    # NEW fused pass + partial-sum aggregate
+    sums = similarity.lloyd_cell_dim_sums(emb, "vec_id", "embedding", cents)
+    new = {
+        (r["cell"], r["idx"]): (r["s"], r["n"], r["m"])
+        for r in (
+            sums.groupBy("cell", "idx")
+            .agg(
+                F.sum(F.col("ps").cast("decimal(38,10)")).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .select(
+                "cell", "idx", "s", "n",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+            .collect()
+        )
+    }
+
+    assert set(old) == set(new)
+    for key in old:
+        so, no, mo = old[key]
+        sn, nn, mn = new[key]
+        assert no == nn, key
+        assert (so is None) == (sn is None), key
+        if so is not None:
+            assert so == sn, key  # exact decimal equality
+        if mo is None or mn is None:
+            assert mo is None and mn is None, key
+        elif math.isnan(mo) or math.isnan(mn):
+            assert math.isnan(mo) and math.isnan(mn), key
+        else:
+            assert mo == mn and math.copysign(1, mo) == math.copysign(1, mn), key
+
+    # DECIMAL(27,10) overflow parity: under this session's ANSI mode the
+    # engine cast RAISES — the fused quantizer must raise too, not NULL
+    import pytest
+
+    emb_over = spark.createDataFrame(
+        [(0, [1e17] + [0.5] * (dim - 1))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception):
+        (
+            similarity.ivf_cells_pandas(emb_over, "vec_id", "embedding", cents)
+            .select("cell", F.posexplode(F.col("v")).alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.sum(F.col("val").cast("decimal(27,10)")).alias("s"))
+            .collect()
+        )
+    with pytest.raises(Exception):
+        similarity.lloyd_cell_dim_sums(
+            emb_over, "vec_id", "embedding", cents
+        ).collect()
+
+
+def test_lloyd_kmeans_fused_matches_legacy_loop(spark, sf_dir):
+    """End-to-end: lloyd_kmeans_centroids through the fused pass must
+    produce bit-identical trained centroids to the pre-r13 loop shape
+    (assignment DataFrame + posexplode aggregate) on the real
+    embeddings table."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.cache import release_caches
+    from flink_big_query_connector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "embedding IS NOT NULL"
+    )
+    got = similarity.lloyd_kmeans_centroids(
+        emb, "vec_id", "embedding", k=8, iters=2
+    )
+    release_caches()
+
+    # legacy loop, reconstructed from the unchanged primitives
+    cents = similarity.fixed_centroids(emb, "vec_id", "embedding", 8)
+    dim = len(cents[0][1])
+    for _ in range(2):
+        cells = similarity.ivf_cells_with(emb, "vec_id", "embedding", cents)
+        agg = (
+            cells.select(
+                "cell", F.posexplode(F.col("v")).alias("idx", "val")
+            )
+            .groupBy("cell", "idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell", "idx",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+        )
+        by_cell = {}
+        for r in agg.collect():
+            by_cell.setdefault(r["cell"], {})[r["idx"]] = r["m"]
+        cents = sorted(
+            (c, [d[i] for i in range(dim)]) for c, d in by_cell.items()
+        )
+    assert got == cents  # bitwise float equality, every coordinate
