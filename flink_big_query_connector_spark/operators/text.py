@@ -866,6 +866,136 @@ def nb_bucket_counts_pandas_expr(text_col: Column) -> Column:
     return _buckets(text_col)
 
 
+def nb_profile_score_pandas_expr(
+    text_col: Column,
+    w_scaled: list[int] | None,
+    with_profile: bool = False,
+) -> Column:
+    """Arrow-batched per-document TRAINED-NB score — optimization r13's
+    collect-IS-the-model shape for the Naive-Bayes classifier family
+    (the BM25 query-term precedent): the trained per-bucket weights are
+    a CLASSIFIER_DIM-row model, so they ship in the UDF closure as
+    scale-9 integers and the score is computed per document inside the
+    same pass that tokenizes — no per-(doc, bucket) explode, no weight
+    join, no nested bucket-count arrays crossing Arrow (measured 7.2 s
+    for the bucket pass alone at the sf10 decade).
+
+    ``w_scaled`` is the 64-long list of scale-9 scaled-int weights with
+    the unseen-bucket fallback already baked in (``int(w.scaleb(9))`` of
+    the engine-computed DECIMAL(20,9) log-count ratios — ln stays
+    ENGINE-side, so cross-engine ln parity is untouched), or ``None``
+    for the degenerate empty-seed model (every weight NULL): then nb9 is
+    NULL for every document, exactly the old all-NULL weight sum.
+
+    Exactness: the old score was ``SUM(w * c)`` in the decimal domain —
+    with every w a scale-9 integer and c an integer count, that sum IS
+    the Python integer ``sum(W[bucket(t)] * c)`` rendered at scale 9;
+    the ``nb9`` string casts back to DECIMAL(38,9) losslessly.
+    ``n_tokens`` is the same token count as the old SUM(c).  With
+    ``with_profile`` the struct additionally carries every
+    :func:`doc_profile_pandas_expr` field computed from the same
+    tokenize + memo — one corpus scan where the trained cascade
+    previously ran two (profile + bucket counts)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(TOKEN_RE)
+    punct_re = _re.compile(PUNCT_RE)
+    alpha_re = _re.compile(r"[a-zA-Z]")
+    weights = _classifier_weights()
+    dim = CLASSIFIER_DIM
+    stops = frozenset(GOPHER_STOPS)
+    W = list(w_scaled) if w_scaled is not None else None
+    prof = bool(with_profile)
+    schema = (
+        (DOC_PROFILE_SCHEMA + ", nb9 string")
+        if prof
+        else "n_tokens bigint, nb9 string"
+    )
+
+    @pandas_udf(schema)
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        from collections import Counter
+
+        memo: dict = {}
+
+        def tok_info(t):
+            info = memo.get(t)
+            if info is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+                lo = t.lower()
+                info = (
+                    b,
+                    weights[b],
+                    len(t),
+                    1 if alpha_re.search(t) else 0,
+                    lo if lo in stops else None,
+                )
+                memo[t] = info
+            return info
+
+        cols: dict = {"n_tokens": [], "nb9": []}
+        if prof:
+            for f in (
+                "sum_tok_len", "punct_count", "alpha_cnt",
+                "n_stops", "logit_sum",
+            ):
+                cols[f] = []
+        for raw in texts:
+            s = raw if isinstance(raw, str) else ""
+            cnt = Counter(token_re.findall(s))
+            n = s_len = a = lg = 0
+            nb = 0
+            stop_seen = set()
+            for t, c in cnt.items():
+                b, w, ln, ha, st = tok_info(t)
+                n += c
+                if W is not None:
+                    nb += W[b] * c
+                if prof:
+                    s_len += ln * c
+                    a += ha * c
+                    lg += w * c
+                    if st is not None:
+                        stop_seen.add(st)
+            cols["n_tokens"].append(n)
+            if W is None:
+                cols["nb9"].append(None)
+            else:
+                sign = "-" if nb < 0 else ""
+                an = abs(nb)
+                cols["nb9"].append(f"{sign}{an // 10**9}.{an % 10**9:09d}")
+            if prof:
+                cols["sum_tok_len"].append(s_len)
+                cols["punct_count"].append(len(punct_re.findall(s)))
+                cols["alpha_cnt"].append(a)
+                cols["n_stops"].append(len(stop_seen))
+                cols["logit_sum"].append(lg)
+        out = {
+            k: pd.Series(v, dtype="object" if k == "nb9" else "int64")
+            for k, v in cols.items()
+        }
+        order = (
+            ["n_tokens", "sum_tok_len", "punct_count", "alpha_cnt",
+             "n_stops", "logit_sum", "nb9"]
+            if prof
+            else ["n_tokens", "nb9"]
+        )
+        return pd.DataFrame({k: out[k] for k in order})
+
+    # asNondeterministic: consumers filter on UDF-derived columns
+    # (n_tokens > 0, the cascade's s1/s2 gates); pushed below the
+    # projection the optimizer DUPLICATES the Arrow node and the corpus
+    # tokenizes once per copy (guide §4.4 — measured 8 ArrowEvalPython
+    # nodes / 2.4x on the trained classifier before the mark).  The
+    # function is pure; the mark only pins a single evaluation.  It must
+    # therefore be referenced ONCE, in its own projection, with fields
+    # extracted a level above (the sh60 discipline).
+    return _score.asNondeterministic()(text_col)
+
+
 def query_tf_pandas_expr(text_col: Column, qwords: list[str]) -> Column:
     """Arrow-batched per-document (dl, tf-per-query-term) — optimization
     r13's BM25 scoring input.  The query-term list is model-sized (the

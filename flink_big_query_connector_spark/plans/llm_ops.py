@@ -6364,22 +6364,55 @@ def _nb_doc_scores(
     the broadcast D-row model and sums weights in the DECIMAL domain —
     order-free exact under any partitioning.
 
-    Scale shape at 100 TB: one corpus-linear explode for training
-    (seed-filtered — filter pushes below the explode), one for scoring;
-    the model is D rows broadcast; the per-doc rollup combines
-    map-side.  No window, no driver collect — the 'collect' equivalent
-    (the trained model) stays a broadcast relation end to end."""
+    Scale shape at 100 TB: one seed-filtered corpus-linear explode for
+    training (filter pushes below the Arrow pass), then ONE fused Arrow
+    scoring pass over the score side — the trained model is
+    CLASSIFIER_DIM rows, so it COLLECTS to the driver and ships in the
+    scoring closure (the BM25 collect-IS-the-model idiom), replacing
+    the old per-(doc, bucket) explode + broadcast weight join +
+    per-doc rollup (optimization r13: the bucket pass alone measured
+    7.2 s at the sf10 decade — nested (j, c) arrays through Arrow plus
+    a 16M-row explode-join-aggregate, now gone).  The weight ln stays
+    ENGINE-side (the cross-engine ln recipe), only the finished
+    DECIMAL(20,9) values collect."""
+    w_scaled = _nb_model_scaled(t, train_even_only=train_even_only)
+    d = dedup.spread(t["documents"])
+    if score_filter is not None:
+        d = d.filter(score_filter)
+    q = d.select(
+        "doc_id",
+        text.nb_profile_score_pandas_expr(F.col("text"), w_scaled).alias(
+            "q"
+        ),
+    )
+    # the old explode dropped zero-token documents from the output —
+    # reproduce that row set exactly (consumers left-join + coalesce)
+    return q.select(
+        "doc_id",
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.nb9").cast("decimal(38,9)").alias("nb_sum"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def _nb_model_scaled(t, train_even_only: bool = False) -> list[int] | None:
+    """Train the NB log-count-ratio head (the :func:`_nb_doc_scores`
+    aggregates, ln engine-side) and return the CLASSIFIER_DIM-long list
+    of scale-9 scaled-int weights with the unseen-bucket fallback baked
+    in — or ``None`` for the degenerate empty-seed corpus, where every
+    weight is the NULL decimal (the old all-NULL weight sum).  One
+    seed-sliced tokenize + one collect of <= CLASSIFIER_DIM + 1 rows."""
     from pyspark.sql.types import DecimalType
 
     dim = text.CLASSIFIER_DIM
-    tokj = _nb_token_buckets(dedup.spread(t["documents"]))
-    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
-    seed = tokj.filter(is_pos | (F.col("doc_id") % _NB_NEG_MOD == 0))
+    docs = dedup.spread(t["documents"])
+    is_pos_doc = F.col("source").isin(*_NB_POS_SOURCES)
+    seed_docs = docs.filter(is_pos_doc | (F.col("doc_id") % _NB_NEG_MOD == 0))
     if train_even_only:
         # held-out protocol (the llm_text_lm_heldout convention): train
         # on even-id seed docs only; odd-id seeds stay unseen for eval
-        seed = seed.filter(F.col("doc_id") % 2 == 0)
-    cnt = seed.groupBy("j").agg(
+        seed_docs = seed_docs.filter(F.col("doc_id") % 2 == 0)
+    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
+    cnt = _nb_token_buckets(seed_docs).groupBy("j").agg(
         F.sum(F.when(is_pos, F.col("c")).otherwise(0))
         .cast("long")
         .alias("pos_cnt"),
@@ -6405,36 +6438,25 @@ def _nb_doc_scores(
         ).alias("w"),
     )
     w0 = tot.select(
+        F.lit(-1).cast("long").alias("j"),
         (
             ln9(F.lit(1), F.col("pos_tot") + dim)
             - ln9(F.lit(1), F.col("neg_tot") + dim)
-        ).alias("w0")
+        ).alias("w"),
     )
-    score_side = (
-        tokj if score_filter is None else tokj.filter(score_filter)
-    )
-    return (
-        score_side.join(F.broadcast(w), "j", "left")
-        .crossJoin(F.broadcast(w0))
-        .select(
-            "doc_id",
-            "c",
-            # per-bucket weight * integer count == the old sum of the
-            # weight repeated c times — exact in the decimal domain.
-            # c must be DECIMAL(10,0): a BIGINT operand makes the
-            # product DECIMAL(41,9) > 38 and Spark TRUNCATES the scale
-            # (allowPrecisionLoss); (20,9)x(10,0) -> (31,9) stays exact
-            (
-                F.coalesce(F.col("w"), F.col("w0"))
-                * F.col("c").cast(DecimalType(10, 0))
-            ).alias("we"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum("we").alias("nb_sum"),
-        )
-    )
+    rows = w.unionByName(w0).collect()  # <= dim + 1 rows — the model
+    by_j = {r["j"]: r["w"] for r in rows}
+    fallback = by_j.get(-1)
+    if fallback is None:
+        # empty seed: pos_tot/neg_tot NULL -> every weight NULL
+        return None
+    def scale9(dec) -> int:
+        return int(dec.scaleb(9))
+
+    w0_scaled = scale9(fallback)
+    return [
+        scale9(by_j[j]) if j in by_j else w0_scaled for j in range(dim)
+    ]
 
 
 # DuckDB twin of _nb_doc_scores — CTE template reused by the trained keys
@@ -6604,33 +6626,38 @@ def llm_quality_cascade_trained(
     weight sum is positive.  Same verdict taxonomy, so the funnel/
     ablation reporting shapes apply unchanged."""
     t = load_tables(spark, sf_dir)
+    # ONE fused Arrow pass (optimization r13): stage-1 profile features
+    # AND the trained-NB score from the same tokenize + token memo —
+    # previously a profile pass plus a separate bucket-counts pass with
+    # a per-(doc, bucket) explode + weight join (the model is collected
+    # by _nb_model_scaled and rides the scoring closure).  Zero-token
+    # documents score the exact-zero decimal, which the old left join's
+    # missing-row coalesce also produced — values identical.
+    w_scaled = _nb_model_scaled(t)
     d = dedup.spread(t["documents"])
-    prof = d.select(
+    fused = d.select(
         "doc_id",
         F.length(F.coalesce(F.col("text"), F.lit("")))
         .cast("long")
         .alias("n_chars"),
-        text.doc_profile_pandas_expr(F.col("text")).alias("p"),
+        text.nb_profile_score_pandas_expr(
+            F.col("text"), w_scaled, with_profile=True
+        ).alias("q"),
     )
-    n_tok = F.col("p.n_tokens")
-    s1 = prof.select(
+    n_tok = F.col("q.n_tokens")
+    nb_sum = F.col("q.nb9").cast("decimal(38,9)")
+    base = fused.select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        numeric.round6_expr(
+            F.coalesce(nb_sum.cast("double"), F.lit(0.0))
+        ).alias("nb_score"),
         (
             n_tok.between(20, 2000)
             & (F.col("n_chars") / n_tok <= 12)
-            & (F.col("p.punct_count") * 4 <= n_tok)
+            & (F.col("q.punct_count") * 4 <= n_tok)
         ).alias("s1"),
-    )
-    nb = _nb_doc_scores(t).select("doc_id", "nb_sum")
-    base = s1.join(nb, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        numeric.round6_expr(
-            F.coalesce(F.col("nb_sum").cast("double"), F.lit(0.0))
-        ).alias("nb_score"),
-        "s1",
-        F.coalesce(F.col("nb_sum") > 0, F.lit(False)).alias("s2"),
+        F.coalesce(nb_sum > 0, F.lit(False)).alias("s2"),
     )
     return _cascade_stage3(t, sf_dir, base, "nb_score")
 

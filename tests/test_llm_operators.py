@@ -2567,3 +2567,124 @@ def test_lloyd_kmeans_fused_matches_legacy_loop(spark, sf_dir):
             (c, [d[i] for i in range(dim)]) for c, d in by_cell.items()
         )
     assert got == cents  # bitwise float equality, every coordinate
+
+
+def _legacy_nb_doc_scores(t, train_even_only=False, score_filter=None):
+    """The pre-r13 NB pipeline (bucket explode + broadcast weight join +
+    per-doc decimal rollup), reconstructed from the unchanged
+    primitives as the parity baseline for the collect-model shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    from flink_big_query_connector_spark.operators import dedup, text
+    from flink_big_query_connector_spark.plans.llm_ops import (
+        _NB_NEG_MOD,
+        _NB_POS_SOURCES,
+        _nb_token_buckets,
+    )
+
+    dim = text.CLASSIFIER_DIM
+    tokj = _nb_token_buckets(dedup.spread(t["documents"]))
+    is_pos = F.col("source").isin(*_NB_POS_SOURCES)
+    seed = tokj.filter(is_pos | (F.col("doc_id") % _NB_NEG_MOD == 0))
+    if train_even_only:
+        seed = seed.filter(F.col("doc_id") % 2 == 0)
+    cnt = seed.groupBy("j").agg(
+        F.sum(F.when(is_pos, F.col("c")).otherwise(0)).cast("long").alias("pos_cnt"),
+        F.sum(F.when(is_pos, 0).otherwise(F.col("c"))).cast("long").alias("neg_cnt"),
+    )
+    tot = cnt.agg(
+        F.sum("pos_cnt").cast("long").alias("pos_tot"),
+        F.sum("neg_cnt").cast("long").alias("neg_tot"),
+    )
+
+    def ln9(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")), 9
+        ).cast(DecimalType(20, 9))
+
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "j",
+        (ln9(F.col("pos_cnt") + 1, F.col("pos_tot") + dim)
+         - ln9(F.col("neg_cnt") + 1, F.col("neg_tot") + dim)).alias("w"),
+    )
+    w0 = tot.select(
+        (ln9(F.lit(1), F.col("pos_tot") + dim)
+         - ln9(F.lit(1), F.col("neg_tot") + dim)).alias("w0")
+    )
+    score_side = tokj if score_filter is None else tokj.filter(score_filter)
+    return (
+        score_side.join(F.broadcast(w), "j", "left")
+        .crossJoin(F.broadcast(w0))
+        .select(
+            "doc_id", "c",
+            (F.coalesce(F.col("w"), F.col("w0"))
+             * F.col("c").cast(DecimalType(10, 0))).alias("we"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum("we").alias("nb_sum"),
+        )
+    )
+
+
+def test_nb_collect_model_scores_match_legacy_pipeline(spark, sf_dir):
+    """The collect-model NB scorer (one fused Arrow pass, optimization
+    r13) must reproduce the legacy explode+join+rollup pipeline
+    EXACTLY — same row set (zero-token docs absent), same token counts,
+    same exact decimal sums — on the real corpus augmented with
+    adversarial documents (NULL text, empty text, whitespace-only,
+    one-token, unicode)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.plans.llm_ops import _nb_doc_scores
+    from flink_big_query_connector_spark.sources.tables import load_tables
+
+    t = dict(load_tables(spark, sf_dir))
+    extra = spark.createDataFrame(
+        [
+            (900001, "web", None),
+            (900002, "web", ""),
+            (900003, "web", "   \t\n "),
+            (900004, "wiki_curated", "single"),
+            (900005, "web", "café naïve café 中文"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    docs = t["documents"].select("doc_id", "source", "text").unionByName(extra)
+    t["documents"] = docs
+
+    for kwargs in (
+        {},
+        {"train_even_only": True,
+         "score_filter": F.col("doc_id") % 2 == 1},
+    ):
+        new = {
+            r["doc_id"]: (r["n_tokens"], r["nb_sum"])
+            for r in _nb_doc_scores(t, **kwargs).collect()
+        }
+        old = {
+            r["doc_id"]: (r["n_tokens"], r["nb_sum"])
+            for r in _legacy_nb_doc_scores(t, **kwargs).collect()
+        }
+        assert set(new) == set(old)
+        for k in old:
+            assert new[k][0] == old[k][0], k
+            assert new[k][1] == old[k][1], (k, new[k][1], old[k][1])
+
+
+def test_nb_collect_model_empty_seed_all_null(spark):
+    """Empty seed corpus (no positive feeds, no doc_id%mod==0 rows):
+    the legacy pipeline produced an all-NULL weight sum per scored doc;
+    the collect-model scorer must emit NULL nb_sum identically."""
+    from flink_big_query_connector_spark.plans.llm_ops import _nb_doc_scores
+
+    docs = spark.createDataFrame(
+        [(3, "web", "some tokens here"), (7, "web", "more text")],
+        "doc_id long, source string, text string",
+    )
+    rows = _nb_doc_scores({"documents": docs}).collect()
+    assert {r["doc_id"] for r in rows} == {3, 7}
+    assert all(r["nb_sum"] is None for r in rows)
+    assert {r["doc_id"]: r["n_tokens"] for r in rows} == {3: 3, 7: 2}
