@@ -763,117 +763,135 @@ def embedding_neardup_pairs(
 # -- near-dup clustering (connected components) ------------------------------
 
 
+CC_MERGE_FAN = 64  # star edges funnel by this factor per merge level
+
+
+def _uf_stars_pass():
+    """The per-partition union-find pass shared by every level of
+    :func:`connected_components`: consume the partition's (u, v) pairs,
+    union them with min-root union-find (path compression; union always
+    parents the LARGER root under the smaller, so a tree's root is the
+    minimum node id seen in its component), and emit ONE (node ->
+    local_root) star row per distinct node in the partition — roots
+    included, as (r, r).  Output is a pure function of the partition's
+    ROW SET (order-independent: union-find's final partition of the node
+    set and the min of each part do not depend on edge order), so task
+    retries are deterministic under Spark's sort-before-repartition."""
+    import numpy as np
+
+    def stars(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(
+                pdf["u"].to_numpy(dtype="int64", copy=False),
+                pdf["v"].to_numpy(dtype="int64", copy=False),
+            ):
+                a = int(a)
+                b = int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if parent:
+            nodes = np.fromiter(parent, dtype=np.int64, count=len(parent))
+            roots = np.fromiter(
+                (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
+            )
+            yield pd.DataFrame({"u": nodes, "v": roots})
+
+    return stars
+
+
 def connected_components(
     pairs_df: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
 ) -> DataFrame:
     """Connected components over an undirected pair graph: every node gets
     ``cluster_id`` = the minimum node id reachable from it.
 
-    Iterative min-label propagation (the Pregel pattern as DataFrame
-    joins): each round every node adopts min(own label, neighbors'
-    labels); converges in O(graph diameter) rounds.  Near-dup graphs are
-    overwhelmingly tiny cliques, so 1-2 rounds settle real corpora.  The
-    loop is driver-side control flow only — data never leaves executors.
+    Distributed union-find funnel (r14 rework of the r13 min-label
+    propagation loop).  The r13 shape was a driver-synchronized fixpoint:
+    each round a shuffle join + aggregate + persist + ``count()`` action,
+    O(graph diameter) rounds — the 8→32-core scaling ratio was 0.82
+    (adding cores made it SLOWER; every round is driver latency), and a
+    chain-shaped dup graph makes the round count unbounded at 100 TB.
+    The rework has ZERO driver actions and a round count fixed at plan
+    time (O(log_fan parallelism)), independent of graph shape:
 
-    Round structure (r13 rework — the old shape spent ~12 s of pure
-    fixed overhead on a 256-edge sf0.1 graph):
+    - **Level 1** (no shuffle): each task runs an exact union-find over
+      its partition's pairs and emits star edges (node -> local
+      component min) — one row per distinct node in the partition.
+    - **Merge levels** (``repartition(n/fan, "u")`` + the same pass):
+      hash-partitioning by node co-locates every star edge of a node, so
+      local union-find fuses the components it links; the star set
+      shrinks toward one row per node.
+    - **Final level** (``repartition(1)`` + the same pass): one task
+      union-finds the funneled star set and emits the global labels.
 
-    - round 1 is a single map-combinable ``groupBy(u).min(v)`` over the
-      edge list — with fresh labels ``lbl(v) = v`` the join against a
-      label table is the identity, so the label table (an extra
-      distinct + persist) and the join are skipped outright;
-    - later rounds use the union+groupBy formulation
-      (``min over neighbors ∪ self``): one join + one aggregate per
-      round instead of join + aggregate + join-back;
-    - the OLD label rides through the aggregate (the self row carries
-      it, neighbor rows contribute NULL which ``min`` ignores), so the
-      convergence check is a ``filter(lbl != old).count()`` on the
-      round's own persisted output — ONE action per round, no separate
-      label-vs-label join, and no wasted second propagate before a
-      check (the old code ran two rounds per check; clique-shaped dup
-      graphs converge after one);
-    - rounds materialize via ``persist()`` + the count action (the SQL
-      path, so AQE coalesces the tiny post-shuffle partitions) instead
-      of ``localCheckpoint()`` (the RDD path, which bypasses AQE and
-      ran every round at the full shuffle-partition width).  Lineage
-      still gets truncated with a ``localCheckpoint`` every 8th round
-      so plan re-analysis stays bounded on deep (chain-shaped) graphs.
-    """
-    # Both edge directions from ONE scan of pairs_df (explode of a 2-array)
-    # — a union of two selects would evaluate the whole upstream pair
-    # pipeline (minhash + bands + verify) twice before the persist
-    # materializes.
-    edges = (
-        pairs_df.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-                    ),
-                    F.struct(
-                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .persist()
+    Exactness (this is NOT an approximation — no fixpoint, no
+    convergence check needed): (1) within any subset of edges,
+    union-find computes the exact components of that subgraph, and the
+    emitted stars have the SAME connectivity over the same node set
+    (u ~ v in the subgraph iff both reach the same local root); (2)
+    connectivity of a union of edge sets depends only on each set's
+    connectivity relation, so replacing every partition's edges by its
+    stars preserves global connectivity, level by level (induction);
+    (3) every node of the input appears in every level's output (each
+    node has an incident pair, so its local component is nonempty and
+    the pass emits its star row — roots emit (r, r)); (4) therefore the
+    final single-task pass sees a graph with exactly the input's
+    connectivity over exactly the input's node set, and min-root
+    union-find labels every node with the minimum reachable id — the
+    same fixpoint the r13 label propagation converged to.  Pinned
+    against a pure-Python union-find in tests/test_clustering.py.
+
+    Scale notes: duplicate/reversed pairs need no ``distinct`` (union on
+    an already-merged pair is a no-op), both edge directions need no
+    explode (union-find is symmetric), and the output is independent of
+    HOW rows are partitioned — only intermediate star sets vary, never
+    the final labels.  The funnel's last task holds at most one row per
+    node that survives its fan-in (near-dup graphs are overwhelmingly
+    tiny cliques, which collapse at level 1); for adversarially dense
+    graphs raise ``CC_MERGE_FAN`` levels by lowering the fan.  The
+    output is ``scoped_persist``-ed: consumers (soft weights, survivor
+    selection) reference it from 2+ plan branches, and the old shape
+    materialized via localCheckpoint anyway."""
+    edges = pairs_df.select(
+        F.col(a_col).cast("long").alias("u"),
+        F.col(b_col).cast("long").alias("v"),
     )
-
-    # Round 1: lbl(u) = min(u, min over neighbors v) — one aggregate,
-    # carrying the old label (= u) for the fused convergence check.
-    labels_full = (
-        edges.groupBy(F.col("u").alias("node"))
-        .agg(F.min("v").alias("nmin"))
-        .select(
-            "node",
-            F.least(F.col("node"), F.col("nmin")).alias("lbl"),
-            F.col("node").alias("old"),
-        )
-        .persist()
-    )
-    rounds = 1
-    # the count is the materializing action for the round's persist (the
-    # cache fills as a side effect, under AQE) AND the convergence check
-    changed = labels_full.filter(F.col("lbl") != F.col("old")).count()
-    while changed:
-        labels = labels_full.select("node", "lbl")
-        rounds += 1
-        # min over neighbors ∪ self; neighbor rows carry NULL old (min
-        # ignores nulls; exactly one self row per node supplies it).
-        contrib = edges.join(labels, edges.v == labels.node).select(
-            F.col("u").alias("node"),
-            F.col("lbl"),
-            F.lit(None).cast("long").alias("old"),
-        )
-        selfc = labels.select("node", "lbl", F.col("lbl").alias("old"))
-        new_full = (
-            contrib.unionByName(selfc)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
-        )
-        if rounds % 8 == 0:
-            # lineage cap for deep chains: checkpoint is the RDD path
-            # (no AQE) but only every 8th round pays it
-            new_full = new_full.localCheckpoint()
+    stars = _uf_stars_pass()
+    out = edges.mapInPandas(stars, "u long, v long")
+    # Merge-level count is derived from the session's parallelism (a
+    # plan-time constant — probing the actual partition count would
+    # compile the upstream plan twice), so the funnel deepens with the
+    # cluster, not with a constant tuned for local mode.
+    n = pairs_df.sparkSession.sparkContext.defaultParallelism
+    while n > 1:
+        n = 1 if n <= CC_MERGE_FAN else (n + CC_MERGE_FAN - 1) // CC_MERGE_FAN
+        if n == 1:
+            out = out.repartition(1).mapInPandas(stars, "u long, v long")
         else:
-            new_full = new_full.persist()
-        changed = new_full.filter(F.col("lbl") != F.col("old")).count()
-        # new_full is fully materialized by the count above; only now is
-        # the previous round's cache safe to drop
-        labels_full.unpersist()
-        labels_full = new_full
-    edges.unpersist()
-    # Final labels leave as a localCheckpoint (reads the already-built
-    # cache, one tiny job): downstream consumers get a flat scan instead
-    # of re-analyzing the whole iteration lineage, and every CC cache is
-    # released inline (the cache.py contract for this operator).
-    out = labels_full.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    ).localCheckpoint()
-    labels_full.unpersist()
-    return out
+            out = out.repartition(n, "u").mapInPandas(stars, "u long, v long")
+    return scoped_persist(
+        out.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+    )
 
 
 # -- duplicated-span statistics (ExactSubstr-style signal) -------------------

@@ -78,6 +78,20 @@ def test_duplicate_and_reversed_pairs_collapse(spark):
     assert got == {2: 2, 5: 2, 7: 7, 9: 7}
 
 
+def test_deep_chain_multi_level_merge(spark, monkeypatch):
+    """Force the r14 union-find funnel through several merge levels
+    (fan=2 -> 32-way parallelism funnels 16 -> 8 -> 4 -> 2 -> 1) on a
+    long chain — the diameter-shaped graph the old min-label propagation
+    was worst at.  The funnel's level count is fixed at plan time, so a
+    200-node chain and a 2-clique cost the same number of passes."""
+    from flink_big_query_connector_spark.operators import dedup as d
+
+    monkeypatch.setattr(d, "CC_MERGE_FAN", 2)
+    edges = [(i, i + 1) for i in range(200)]
+    got = _run(spark, edges)
+    assert got == {i: 0 for i in range(201)}
+
+
 def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
     """The banded-LSH near-dup pair set must be a SUBSET of the exact
     all-pairs ground truth (no false positives survive the cosine
