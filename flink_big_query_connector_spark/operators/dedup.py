@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..cache import scoped_persist
 from ..functions.vectors import cosine_similarity_expr
 from .hashing import (
+    BAND_ROWS,
     MINHASH_SEEDS,
     SIMHASH_BANDS,
     N_BANDS,
@@ -222,6 +223,119 @@ def sh60_pandas_expr(text_col: Column) -> Column:
     return _sh60.asNondeterministic()(text_col)
 
 
+def sh60_bands_pandas_expr(text_col: Column) -> Column:
+    """:func:`sh60_pandas_expr` + the 4 LSH band keys in ONE Arrow pass —
+    ``struct<sh60 array<long>, k0..k3 long>`` (optimization r14, VERDICT
+    r13 Next #2).
+
+    What it replaces: after the r13 Arrow docs build, the 16 MinHash
+    permutations still ran as interpreted Catalyst folds
+    (``transform`` + ``array_min`` per seed over the cached sh60 arrays)
+    plus a second persisted band table to keep the self-join from paying
+    them twice.  The permutations are pure int64 arithmetic, so this pass
+    computes them vectorized over the whole Arrow batch: one flat
+    ``h % P`` array for all documents, 16 ``(a*h+b) % P`` passes with
+    ``np.minimum.reduceat`` per-document segment minima, band keys as the
+    same chained 31x combine.  The band table then reads 4 flat long
+    columns off the docs cache — zero signature compute after the scan,
+    and the separate band persist disappears.
+
+    Bitwise parity (pinned in tests): identical sh60 list as
+    ``sh60_pandas_expr``; every product stays under 2^63 (a < 2^31,
+    h % P < 2^31 → a*h+b < 2^62; band key < P * 30784 < 2^46), so int64
+    arithmetic equals the engines' BIGINT arithmetic exactly.  Docs with
+    no shingles emit NULL keys — unobservable, because every consumer
+    filters ``size(sh60) > 0`` first (the same row set the old
+    ``array_min(empty) = NULL`` signature path dropped).
+
+    ``asNondeterministic`` keeps the consumers' field extractions and the
+    size filter from collapsing into the projection and duplicating the
+    Arrow node (guide §4.4; the r13 rejected experiment measured 6x from
+    exactly that duplication)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    k = SHINGLE_K
+    seeds_a = np.array([a for a, _ in MINHASH_SEEDS], dtype=np.int64)
+    seeds_b = np.array([b for _, b in MINHASH_SEEDS], dtype=np.int64)
+    n_seeds = len(MINHASH_SEEDS)
+    # bind as closure locals: the UDF body must not reach for module
+    # globals (worker-side deserialization resolves the closure, not
+    # this module's namespace)
+    p_mod = P
+    n_bands = N_BANDS
+    band_rows_n = BAND_ROWS
+
+    fields = ", ".join(
+        ["sh60 array<long>"] + [f"k{j} long" for j in range(N_BANDS)]
+    )
+
+    @pandas_udf(fields)
+    def _docs(texts: pd.Series) -> pd.DataFrame:
+        memo: dict = {}  # gram -> 60-bit hash, per worker
+
+        def h60(g):
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                memo[g] = v
+            return v
+
+        lists = []
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            if len(toks) < k:
+                lists.append([])
+                continue
+            lists.append(
+                list(
+                    dict.fromkeys(
+                        h60(" ".join(toks[i : i + k]))
+                        for i in range(len(toks) - k + 1)
+                    )
+                )
+            )
+        lens = np.fromiter(
+            (len(sh) for sh in lists), dtype=np.int64, count=len(lists)
+        )
+        nz = np.flatnonzero(lens)
+        keys = np.zeros((n_bands, len(lists)), dtype=np.int64)
+        if nz.size:
+            total = int(lens.sum())
+            flat = np.fromiter(
+                (h for sh in lists for h in sh), dtype=np.int64, count=total
+            )
+            hmod = flat % p_mod
+            starts = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            mins = np.empty((n_seeds, nz.size), dtype=np.int64)
+            for i in range(n_seeds):
+                mins[i] = np.minimum.reduceat(
+                    (seeds_a[i] * hmod + seeds_b[i]) % p_mod, starts
+                )
+            for j in range(n_bands):
+                kj = mins[j * band_rows_n]
+                for r in range(1, band_rows_n):
+                    kj = kj * 31 + mins[j * band_rows_n + r]
+                keys[j, nz] = kj
+        out = {"sh60": pd.Series(lists)}
+        empty = lens == 0
+        for j in range(n_bands):
+            col = keys[j].astype(object)
+            col[empty] = None
+            out[f"k{j}"] = pd.Series(col)
+        return pd.DataFrame(out)
+
+    return _docs.asNondeterministic()(text_col)
+
+
 def with_token_boundary(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -360,42 +474,31 @@ def incremental_neardup_flags(
     verify join carries the 60-bit shingle-hash arrays for CANDIDATES
     only (LSH-bucket-bounded).  The existing corpus is signed, not
     re-read per batch — in production its band table is a materialized
-    artifact the refresh job appends to."""
-    from ..cache import scoped_persist
+    artifact the refresh job appends to.  r14: both sides use the fused
+    sh60+band-keys Arrow pass (:func:`sh60_bands_pandas_expr`), so the
+    16 interpreted permutation folds per side are gone."""
 
     def prep(df: DataFrame, out_id: str) -> DataFrame:
-        # same zero-shuffle Arrow docs build as minhash_candidate_pairs
-        return scoped_persist(
-            spread(df)
-            .select(
-                F.col(id_col).alias(out_id),
-                sh60_pandas_expr(F.col(text_col)).alias(f"sh_{out_id}"),
-            )
-            .filter(F.size(f"sh_{out_id}") > 0)
-        )
+        # same fused zero-shuffle Arrow docs build as
+        # minhash_candidate_pairs (sh60 + flat band-key columns)
+        return band_docs(
+            df.select(F.col(id_col).alias(out_id), F.col(text_col)),
+            out_id,
+            text_col,
+        ).withColumnRenamed("sh60", f"sh_{out_id}")
 
     old_docs = prep(existing_df, "old_id")
     new_docs = prep(new_df, "new_id")
-    old_bands = lsh_band_entries(
-        with_minhash_signature(
-            old_docs.withColumnRenamed("sh_old_id", "sh60"), "sh60"
-        ),
-        "old_id",
-    )
-    new_bands = lsh_band_entries(
-        with_minhash_signature(
-            new_docs.withColumnRenamed("sh_new_id", "sh60"), "sh60"
-        ),
-        "new_id",
-    )
+    old_bands = band_rows(old_docs, "old_id")
+    new_bands = band_rows(new_docs, "new_id")
     cands = (
         new_bands.join(old_bands, ["band", "key"])
         .select("new_id", "old_id")
         .distinct()
     )
     verified = (
-        cands.join(new_docs, "new_id")
-        .join(old_docs, "old_id")
+        cands.join(new_docs.select("new_id", "sh_new_id"), "new_id")
+        .join(old_docs.select("old_id", "sh_old_id"), "old_id")
         .withColumn(
             "i",
             F.size(F.array_intersect("sh_new_id", "sh_old_id")).cast("long"),
@@ -561,31 +664,78 @@ def candidate_jaccard_pairs(
     )
 
 
+def band_rows(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) rows from the flat ``k0..k3`` columns a
+    :func:`sh60_bands_pandas_expr` docs frame carries — a trivial
+    4-struct explode off the docs cache; all signature compute already
+    happened inside the Arrow pass."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"k{j}").alias("key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def band_docs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """The persisted MinHash docs frame: (id, sh60, k0..k3) from ONE
+    zero-shuffle ArrowEvalPython pass (see
+    :func:`sh60_bands_pandas_expr`), size-filtered to signed documents.
+    Materialized once: both sides of the band self-join and the Jaccard
+    verification join consume it."""
+    raw = spread(df).select(
+        F.col(id_col), sh60_bands_pandas_expr(F.col(text_col)).alias("_mh")
+    )
+    return scoped_persist(
+        raw.select(
+            F.col(id_col),
+            F.col("_mh.sh60").alias("sh60"),
+            *[F.col(f"_mh.k{j}").alias(f"k{j}") for j in range(N_BANDS)],
+        ).filter(F.size("sh60") > 0)
+        # The size filter and field extraction sit ABOVE the Arrow node
+        # (asNondeterministic pins a single ArrowEvalPython — guide §4.4;
+        # verified one node in plans/r14).
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
     """(hashed-shingle docs, LSH candidate id pairs) — the candidate-
     generation front of :func:`minhash_neardup_pairs`, exposed separately
     so an index EVALUATION (llm_dedup_lsh_eval) can measure the candidate
-    set against exact-Jaccard ground truth."""
-    docs = scoped_persist(
-        spread(df)
-        .select(
-            F.col(id_col), sh60_pandas_expr(F.col(text_col)).alias("sh60")
+    set against exact-Jaccard ground truth.
+
+    r14: the docs frame carries the 4 band keys as flat long columns
+    from the same Arrow pass that builds sh60, so the candidate join is
+    explode + self-join off the docs cache — the 16 interpreted MinHash
+    permutation folds and the separate persisted band table are gone."""
+    docs = band_docs(df, id_col, text_col)
+    bands = band_rows(docs, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(F.size("sh60") > 0)
-        # One zero-shuffle ArrowEvalPython pass (r13; was tokenize +
-        # repartition + two interpreted folds — see sh60_pandas_expr).
-        # Materialized once: the bands self-join and the verification join
-        # are three consumers of the same md5 pass.  (doc_id, sh60) is a
-        # fraction of the corpus size.  Tracked via scoped_persist so
-        # harnesses release it per query.  The size filter sits ABOVE the
-        # Arrow node on the cached plan (filter-through-project would
-        # duplicate the UDF, guide §4.4 — verified single node in
-        # plans/r13).
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
-    sig = with_minhash_signature(docs, shingle_col="sh60")
-    return docs, lsh_candidate_pairs(sig, id_col)
+    return docs, cands
 
 
 def minhash_neardup_pairs(

@@ -2253,6 +2253,77 @@ def test_sh60_pandas_bitwise_matches_catalyst(spark, sf_dir):
     assert bad == []
 
 
+def test_sh60_bands_pandas_matches_catalyst_signatures(spark, sf_dir):
+    """The r14 fused docs build (sh60_bands_pandas_expr) must emit the
+    SAME sh60 list as sh60_pandas_expr AND the same 4 band keys the
+    Catalyst path computes (with_minhash_signature's 16 permutation
+    folds chained through band_key_expr) — over the corpus plus
+    adversarial rows.  Empty-shingle docs get NULL keys on both paths
+    (array_min over an empty transform is NULL; the Arrow pass emits
+    None)."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import dedup
+    from flink_big_query_connector_spark.operators.hashing import (
+        MINHASH_SEEDS,
+        N_BANDS,
+        band_key_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one two"),
+            (900004, "one two three"),
+            (900005, "a b c a b c a b c"),
+            (900006, "héllo wörld 漢字 again"),
+            (900007, "  padded   tokens  here four  "),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+
+    # Catalyst reference: sh60 -> 16 permutations -> 4 chained band keys
+    ref = dedup.with_minhash_signature(
+        d.withColumn("sh60", dedup.sh60_pandas_expr(F.col("text"))), "sh60"
+    )
+    mh = [F.col(f"mh{i}") for i in range(len(MINHASH_SEEDS))]
+    ref = ref.select(
+        "doc_id",
+        F.col("sh60").alias("a_sh"),
+        *[band_key_expr(mh, j).alias(f"a_k{j}") for j in range(N_BANDS)],
+    )
+    fused = d.select(
+        "doc_id", dedup.sh60_bands_pandas_expr(F.col("text")).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.sh60").alias("b_sh"),
+        *[F.col(f"m.k{j}").alias(f"b_k{j}") for j in range(N_BANDS)],
+    )
+    rows = {r["doc_id"]: r for r in fused.collect()}
+    bad = []
+    for r in ref.collect():
+        f = rows[r["doc_id"]]
+        if list(r["a_sh"]) != list(f["b_sh"]):
+            bad.append((r["doc_id"], "sh60"))
+        for j in range(N_BANDS):
+            if r[f"a_k{j}"] != f[f"b_k{j}"]:
+                bad.append((r["doc_id"], f"k{j}", r[f"a_k{j}"], f[f"b_k{j}"]))
+    assert bad == []
+    # with_minhash_signature drops shingle-less docs; the fused path must
+    # emit NULL keys for exactly those (they are filtered before use)
+    empties = {
+        r["doc_id"]: r
+        for r in fused.filter(F.size("b_sh") == 0).collect()
+    }
+    assert set(empties) == {900001, 900002, 900003}
+    assert all(
+        e[f"b_k{j}"] is None for e in empties.values() for j in range(N_BANDS)
+    )
+
+
 def test_shingles_pandas_distinct_is_per_doc_gram_distinct(spark, sf_dir):
     """distinct=True (the r13 decontamination rewrite) must equal the
     per-document DISTINCT of the plain gram list — same gram SET, no
