@@ -130,6 +130,13 @@ class FakeBigQuery:
         os.replace(tmp, self._script_path())
 
     def _pop_scripted_failure(self, table: str) -> dict | None:
+        # Fast path (r14): no script file means nothing was ever scripted —
+        # skip the lock + read every append would otherwise pay.  Tests
+        # that script failures create the file before the append runs
+        # (script_append_failures writes it under the lock), so the
+        # existence check can never miss a queued failure.
+        if not os.path.exists(self._script_path()):
+            return None
         with _locked(self._script_path() + ".lock"):
             script = self._read_script()
             failures = script.get("append_failures", [])

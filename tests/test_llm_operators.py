@@ -2593,6 +2593,31 @@ def test_lloyd_cell_dim_sums_matches_explode_agg(spark):
             emb_over, "vec_id", "embedding", cents
         ).collect()
 
+    # ...and under an ANSI-DISABLED session the same overflow must go
+    # NULL on both paths (r14, VERDICT r13 #5: the probe must mirror the
+    # session's effective mode in BOTH directions, not just the default)
+    old_mode = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        eng = (
+            similarity.ivf_cells_pandas(emb_over, "vec_id", "embedding", cents)
+            .select("cell", F.posexplode(F.col("v")).alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.sum(F.col("val").cast("decimal(27,10)")).alias("s"))
+            .collect()
+        )
+        fused = (
+            similarity.lloyd_cell_dim_sums(emb_over, "vec_id", "embedding", cents)
+            .groupBy("cell", "idx")
+            .agg(F.sum(F.col("ps").cast("decimal(38,10)")).alias("s"))
+            .collect()
+        )
+        eng_nulls = {(r["cell"], r["idx"]) for r in eng if r["s"] is None}
+        fused_nulls = {(r["cell"], r["idx"]) for r in fused if r["s"] is None}
+        assert eng_nulls and eng_nulls == fused_nulls
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_mode)
+
 
 def test_lloyd_kmeans_fused_matches_legacy_loop(spark, sf_dir):
     """End-to-end: lloyd_kmeans_centroids through the fused pass must
