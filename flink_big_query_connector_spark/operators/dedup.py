@@ -789,47 +789,100 @@ def simhash_expr(toks: Column) -> Column:
     )
 
 
+def simhash_pandas_expr(text_col: Column) -> Column:
+    """Arrow-batched SimHash: tokenize + md5-per-token + all 32 bit votes
+    in ONE zero-shuffle ArrowEvalPython projection (optimization r14).
+
+    What it replaces: :func:`simhash_df`'s explode + 32-sum groupBy.
+    SimHash is a row-local feature — the explode and the hash aggregate
+    existed for the formulation (md5 once per token under Catalyst),
+    not the data, so the exchange they cost is pure overhead (guide
+    §2.4).  The Arrow pass tokenizes with the C regex engine, md5s each
+    UNIQUE token once per worker (memo — token distributions are heavy-
+    tailed), and folds the per-bit votes vectorized: one flat token-hash
+    array per batch, 32 ``np.add.reduceat`` per-document bit counts,
+    votes = 2*ones - n.
+
+    Bitwise parity (pinned in tests): same 60-bit md5 identity as
+    ``hash60_expr``; vote sign per occurrence (NOT distinct tokens),
+    exactly the old SUM(+1/-1); zero-token documents (NULL/empty/
+    whitespace text) emit 0, matching the old ``explode_outer`` NULL row
+    whose votes were all -1.  ``asNondeterministic`` pins a single Arrow
+    node under multi-reference consumers (band explodes reference the
+    column 5x — guide §4.4)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    bits = SIMHASH_BITS
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        memo: dict = {}  # token -> 60-bit hash, per worker
+
+        def h60(t):
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                memo[t] = v
+            return v
+
+        lists = []
+        for raw in texts:
+            toks = token_re.findall(raw) if isinstance(raw, str) else []
+            lists.append([h60(t) for t in toks])
+        lens = np.fromiter(
+            (len(hs) for hs in lists), dtype=np.int64, count=len(lists)
+        )
+        out = np.zeros(len(lists), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.fromiter(
+                (h for hs in lists for h in hs),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            starts = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            n_tok = lens[nz]
+            val = np.zeros(nz.size, dtype=np.int64)
+            for j in range(bits):
+                ones = np.add.reduceat((flat >> j) & 1, starts)
+                val |= ((2 * ones - n_tok) > 0).astype(np.int64) << j
+            out[nz] = val
+        return pd.Series(out)
+
+    return _simhash.asNondeterministic()(text_col)
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, *carry_cols, simhash) via explode + one hash aggregation.
+    """(id, *carry_cols, simhash) — ONE zero-shuffle Arrow projection
+    (see :func:`simhash_pandas_expr`).
 
-    Equivalent to :func:`simhash_expr` but md5 runs once per token: tokens
-    explode to (id, token_hash) rows, a single groupBy computes all 32 bit
-    votes with map-side partial aggregation (32 longs per doc cross the
-    shuffle), and the bits reassemble from the vote signs.  This is the
-    scale path; ``simhash_expr`` remains for composing into row-level
-    expressions.
-
-    ``carry_cols`` ride the groupBy as extra keys (they must be
-    functionally dependent on ``id_col``): a caller that needs
-    per-document metadata next to the hash gets it from the SAME
-    aggregation instead of a join back to the source — the r13 URL-dedup
-    keys previously re-derived their whole fixture+tokenize pipeline on
-    both sides of that join."""
-    th = F.transform(tokens_expr(F.col(text_col)), lambda t: hash60_expr(t))
+    r14: replaces the explode + 32-sum hash aggregation (whose exchange
+    existed only so md5 would run once per token under Catalyst — the
+    Arrow pass gets that for free with a per-worker memo).  ``carry_cols``
+    are now just extra projected columns; before, they rode the groupBy
+    as functionally-dependent keys to avoid a join-back (r13).
+    ``simhash_expr`` remains for composing into row-level Catalyst
+    expressions."""
     carry = [F.col(c) for c in carry_cols]
-    ex = spread(df).select(F.col(id_col), *carry, F.explode_outer(th).alias("h"))
-    votes = ex.groupBy(id_col, *carry_cols).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    return spread(df).select(
+        F.col(id_col),
+        *carry,
+        simhash_pandas_expr(F.col(text_col)).alias("simhash"),
     )
-    value = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        value = value + F.when(
-            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), *carry, value.alias("simhash"))
 
 
 def simhash_band_entries(sh: Column) -> Column:

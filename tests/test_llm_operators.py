@@ -2324,6 +2324,55 @@ def test_sh60_bands_pandas_matches_catalyst_signatures(spark, sf_dir):
     )
 
 
+def test_simhash_pandas_matches_catalyst_and_legacy_agg(spark, sf_dir):
+    """The r14 Arrow SimHash projection must equal (a) the row-level
+    Catalyst fold (simhash_expr) on every tokenizable document and (b)
+    the legacy explode + 32-sum vote aggregation's zero-token semantics
+    (NULL/empty/whitespace text -> 0, the explode_outer NULL-row
+    behavior) — over the corpus plus adversarial rows."""
+    from pyspark.sql import functions as F
+
+    from flink_big_query_connector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "   "),
+            (900004, "one"),
+            (900005, "a b c a b c a b c"),
+            (900006, "héllo wörld 漢字 again"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    rows = d.select(
+        "doc_id",
+        "text",
+        dedup.simhash_expr(dedup.tokens_expr(F.col("text"))).alias("a"),
+        dedup.simhash_pandas_expr(F.col("text")).alias("b"),
+    ).collect()
+    bad = []
+    for r in rows:
+        has_tokens = bool(r["text"]) and r["text"].split()
+        if has_tokens:
+            if r["a"] != r["b"]:
+                bad.append((r["doc_id"], r["a"], r["b"]))
+        elif r["b"] != 0:  # legacy explode_outer zero-token contract
+            bad.append((r["doc_id"], "empty", r["b"]))
+    assert bad == []
+    # the DataFrame form: one row per input row, same values, carry cols
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_df(d, "doc_id").collect()
+    }
+    assert len(sh) == d.count()
+    for r in rows:
+        expect = r["b"]
+        assert sh[r["doc_id"]] == expect, r["doc_id"]
+
+
 def test_shingles_pandas_distinct_is_per_doc_gram_distinct(spark, sf_dir):
     """distinct=True (the r13 decontamination rewrite) must equal the
     per-document DISTINCT of the plain gram list — same gram SET, no
